@@ -1,0 +1,103 @@
+"""The extraction pipeline — Spark-first execution of the deterministic spec.
+
+Plan shape (the plan we WANT at 100 TB, verified via .explain in tests):
+
+    Scan parquet/Iceberg (column-pruned: doc_id, spans)
+      → [optional salted repartition — only when input layout is skewed]
+      → ArrowEvalPython[mapInPandas extract_batch]   (narrow, no shuffle)
+      → sink (MERGE INTO / parquet)
+
+Extraction is per-document independent, so the whole pipeline is ONE narrow
+stage: zero shuffles end-to-end. Parallelism = input splits; AQE has nothing
+to re-plan because nothing exchanges. Skew from media-heavy documents is
+bounded two ways: (a) Arrow batches are capped (maxRecordsPerBatch=2048) so
+a batch of heavy docs can't blow memory; (b) ``plans.skew.spread_by_doc``
+salts rows across partitions when the INPUT FILES are clustered (e.g. one
+parquet file holding all heavy docs) — a shuffle we only pay when needed.
+
+The per-batch Python calls ``spec.extract_document`` — the same function the
+test oracle uses — inside Arrow-batched pandas; there is no row-at-a-time
+Python UDF serialization (input_hint requirement).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import spec
+from ..schema import EXTRACTION_RESULT
+
+
+def _spans_to_list(spans) -> list[dict]:
+    out = []
+    for s in spans:
+        d = s if isinstance(s, dict) else s.asDict()
+        out.append({
+            "kind": d.get("kind"),
+            "text": d.get("text"),
+            "media_ref": d.get("media_ref"),
+            "offset": int(d.get("offset") or 0),
+        })
+    return out
+
+
+def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: (doc_id, spans) → EXTRACTION_RESULT rows."""
+    for pdf in batches:
+        rows = []
+        for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+            r = spec.extract_document(str(doc_id), _spans_to_list(spans))
+            rows.append({
+                "id": r["id"],
+                "doc_id": r["doc_id"],
+                "type": r["type"],
+                "vendor": r["vendor"],
+                "amount": r["amount"],
+                "date": r["date"],
+                "date_raw": r["date_raw"],
+                "account_number": r["account_number"],
+                "items": r["items"],
+                "raw_text": r["raw_text"],
+                "parse_failure": r["parse_failure"],
+                "out_spans": r["out_spans"],
+            })
+        yield pd.DataFrame(rows, columns=[f.name for f in EXTRACTION_RESULT.fields])
+
+
+def extract(documents: DataFrame) -> DataFrame:
+    """Run the deterministic extractor over a (doc_id, spans) DataFrame.
+
+    Returns the doc-level EXTRACTION_RESULT frame (docdata + out_spans).
+    """
+    return documents.select("doc_id", "spans").mapInPandas(
+        extract_batch, schema=EXTRACTION_RESULT
+    )
+
+
+def extracted_spans(documents: DataFrame) -> DataFrame:
+    """Flat (doc_id, order, kind, text, media_ref) span rows — the
+    golden-comparable output (north_rule span-sequence equality)."""
+    res = extract(documents)
+    return res.select(
+        "doc_id", F.explode("out_spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.order").alias("order"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+def extraction_metrics(result: DataFrame) -> DataFrame:
+    """north_star metrics: docs processed, spans emitted, parse failures."""
+    return result.agg(
+        F.count("*").alias("docs_processed"),
+        F.sum(F.size("out_spans")).alias("spans_emitted"),
+        F.sum(F.col("parse_failure").cast("long")).alias("parse_failures"),
+    )

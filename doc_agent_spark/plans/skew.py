@@ -1,0 +1,57 @@
+"""Skew handling for media-heavy documents (north_rule; SURVEY §4.2.1).
+
+AQE's skew-join splitting only helps JOIN stages; our skew is per-row
+compute cost inside the extraction UDF (a doc with 200 media spans costs
+200× a 1-span doc). Two levers:
+
+- ``spread_by_doc``: salted repartition — distributes rows uniformly by
+  ``hash(doc_id, salt)`` so heavy docs land on different partitions even
+  when the input file layout clusters them. One shuffle, paid only when
+  requested (the default narrow plan has zero shuffles).
+
+- ``split_heavy``: span-level decomposition — docs with more than
+  ``max_spans`` spans are exploded so the (cheap) per-span text prep is
+  distributed, then re-grouped with sort_array(collect_list(...)) — order
+  restored from DATA (offset), never partition order. Use when single docs
+  exceed what one task should hold; costs a shuffle for the heavy slice
+  only (the light slice stays narrow and is unioned back).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def spread_by_doc(df: DataFrame, num_partitions: int | None = None, salt: int = 16) -> DataFrame:
+    """Salted uniform spread: repartition on pmod(hash(doc_id, salt_rand), P).
+
+    The salt term decorrelates the distribution from any downstream
+    hash-partitioning on doc_id, so two consecutive spreads don't collide.
+    """
+    key = F.pmod(
+        F.hash(F.col("doc_id"), F.lit(salt)), F.lit(num_partitions or df.sparkSession.sparkContext.defaultParallelism)
+    )
+    if num_partitions:
+        return df.repartition(num_partitions, key)
+    return df.repartition(key)
+
+
+def split_heavy(df: DataFrame, max_spans: int = 32, num_partitions: int | None = None) -> DataFrame:
+    """Route heavy docs through explode → spread → regroup; light docs pass
+    through untouched. Output schema == input schema (doc_id, spans);
+    span order inside the array is restored by offset sort downstream
+    (spec sorts defensively as well)."""
+    heavy = df.filter(F.size("spans") > max_spans)
+    light = df.filter(F.size("spans") <= max_spans)
+    exploded = heavy.select("doc_id", F.explode("spans").alias("span"))
+    spread = spread_by_doc(exploded, num_partitions)
+    regrouped = spread.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list("span"),
+            lambda a, b: F.when(a.offset < b.offset, F.lit(-1))
+            .when(a.offset > b.offset, F.lit(1))
+            .otherwise(F.lit(0)),
+        ).alias("spans")
+    )
+    return light.unionByName(regrouped)

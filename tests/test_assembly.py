@@ -1,0 +1,58 @@
+"""Page-assembly goldens (ported from ocr.test.ts:27-109) — checked against
+BOTH the pure spec and the Spark column-expression implementation, proving
+the codegen path equals the reference semantics.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from doc_agent_spark.functions.assembly import assemble_page_text, assemble_pages_array
+from doc_agent_spark.spec import assemble_pages
+
+CASES = [
+    # (pages, expected) — from ocr.test.ts
+    ([], ""),                                                  # :28-31
+    (["Hello World"], "--- Page 1 ---\nHello World"),          # :33-45
+    (
+        ["Page 1 content", "Page 2 content", "Page 3 content"],
+        "--- Page 1 ---\nPage 1 content\n\n--- Page 2 ---\nPage 2 content\n\n--- Page 3 ---\nPage 3 content",
+    ),                                                         # :47-61
+    (["Has content", "   "], "--- Page 1 ---\nHas content"),   # :63-73 empty filtered
+    (["Good page", ""], "--- Page 1 ---\nGood page"),          # :98-109 failed OCR page → ''
+    # numbering assigned BEFORE filtering (ocr.ts:46): page 3 keeps its number
+    (["P1", "   ", "P3"], "--- Page 1 ---\nP1\n\n--- Page 3 ---\nP3"),
+    (["  padded  "], "--- Page 1 ---\npadded"),                # trim semantics
+]
+
+
+@pytest.mark.parametrize("pages,expected", CASES)
+def test_spec_assembly(pages, expected):
+    assert assemble_pages(pages) == expected
+
+
+def test_spark_expr_assembly_matches_spec(spark):
+    rows = [(i, pages) for i, (pages, _exp) in enumerate(CASES)]
+    df = spark.createDataFrame(rows, "case_id int, pages array<string>")
+    got = {
+        r.case_id: r.out
+        for r in df.select("case_id", assemble_pages_array(F.col("pages")).alias("out")).collect()
+    }
+    for i, (_pages, exp) in enumerate(CASES):
+        assert got[i] == exp, f"case {i}"
+
+
+def test_spark_span_assembly_orders_by_offset(spark):
+    # spans arrive in scrambled array order; offset defines page numbers
+    spans = [
+        {"kind": "media", "text": "B", "media_ref": "m2", "offset": 1},
+        {"kind": "text", "text": "A", "media_ref": "", "offset": 0},
+        {"kind": "text", "text": "  ", "media_ref": "", "offset": 2},
+        {"kind": "media", "text": "D", "media_ref": "m4", "offset": 3},
+    ]
+    df = spark.createDataFrame(
+        [("d1", spans)],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    out = df.select(assemble_page_text(F.col("spans")).alias("t")).collect()[0].t
+    assert out == "--- Page 1 ---\nA\n\n--- Page 2 ---\nB\n\n--- Page 4 ---\nD"

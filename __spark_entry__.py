@@ -1,38 +1,767 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction pipeline on sf0.001.
+``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
+training-data ops); each callable takes (spark, sf_dir) → DataFrame.
+``oracle_sql()`` — DuckDB-equivalent SQL for every query (full coverage:
+even the extraction flagship has a SQL oracle, because the derived-span
+input is constructed with mirrorable expressions).
+
+Column names/aliases match 1:1 between both sides; double aggregates are
+rounded identically on both sides so value-hash comparison is stable.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from doc_agent_spark.functions import textfns, vectors  # noqa: E402
+from doc_agent_spark.functions.assembly import assemble_page_text  # noqa: E402
+from doc_agent_spark.functions.hashing import path_hash  # noqa: E402
+from doc_agent_spark.functions.mime import filename_of, mime_of  # noqa: E402
+from doc_agent_spark.functions.salvage import salvage_from_json  # noqa: E402
+from doc_agent_spark.operators import dedup, extractor, search, similarity  # noqa: E402
+from doc_agent_spark.operators.normalize import (  # noqa: E402
+    amount_coalesce,
+    description_coalesce,
+    doc_type_normalize,
+    vendor_coalesce,
+)
+from doc_agent_spark.sources.tables import load, spans_from_documents  # noqa: E402
+
+MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+          "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the deterministic extraction pipeline (spans → typed span
+    sequence) over the sf0.001 documents table."""
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    return extractor.extracted_spans(spans_from_documents(docs))
+
+
+# ---------------------------------------------------------------------------
+# shared builders (each mirrored 1:1 in oracle_sql)
+# ---------------------------------------------------------------------------
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ re-keyed copies of every 10th doc (known exact dups)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return docs.unionByName(dups)
+
+
+_DUP_CORPUS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+""".strip()
+
+_WORDS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int) -> DataFrame:
+    return (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select(F.col("embedding").alias("qv"))
+    )
+
+
+def _cosine_scores(spark: SparkSession, sf_dir: str, vec_id: int) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir, vec_id)
+    return emb.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("id"),
+        F.round(vectors.cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
+    )
+
+
+def _cosine_scores_sql(vec_id: int) -> str:
+    dot = ("list_aggregate(list_transform(range(1, len(embedding)+1), "
+           "i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), 'sum')")
+    na = ("list_aggregate(list_transform(range(1, len(embedding)+1), "
+          "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 'sum')")
+    nb = ("list_aggregate(list_transform(range(1, len(qv)+1), "
+          "i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), 'sum')")
+    return f"""
+SELECT vec_id AS id,
+       round({dot} / (sqrt({na}) * sqrt({nb})), 6) AS score
+FROM embeddings, (SELECT embedding AS qv FROM embeddings WHERE vec_id = {vec_id})
+""".strip()
+
+
+def _date_built(col):
+    """Deterministic date-string construction (component-safe: m∈1..12,
+    d∈1..28), five forms cycled by doc_id%5; form 4 is unparseable."""
+    m = (col % 12 + 1).cast("int")
+    d = (col % 28 + 1).cast("int")
+    f = (col % 5).cast("int")
+    month_name = F.element_at(F.array(*[F.lit(x) for x in MONTHS]), m)
+    return (
+        F.when(f == 0, F.format_string("2024-%02d-%02d", m, d))
+        .when(f == 1, F.format_string("%02d/%02d/2024", m, d))
+        .when(f == 2, F.format_string("%02d/%02d/24", m, d))
+        .when(f == 3, F.concat(month_name, F.format_string(" %02d, 2024", d)))
+        .otherwise(F.format_string("%02d.%02d.2024", d, m))
+    )
+
+
+_DATE_BUILT_SQL = """
+CASE CAST(doc_id % 5 AS INTEGER)
+  WHEN 0 THEN printf('2024-%02d-%02d', CAST(doc_id % 12 + 1 AS INTEGER), CAST(doc_id % 28 + 1 AS INTEGER))
+  WHEN 1 THEN printf('%02d/%02d/2024', CAST(doc_id % 12 + 1 AS INTEGER), CAST(doc_id % 28 + 1 AS INTEGER))
+  WHEN 2 THEN printf('%02d/%02d/24', CAST(doc_id % 12 + 1 AS INTEGER), CAST(doc_id % 28 + 1 AS INTEGER))
+  WHEN 3 THEN ['Jan','Feb','Mar','Apr','May','Jun','Jul','Aug','Sep','Oct','Nov','Dec'][CAST(doc_id % 12 + 1 AS INTEGER)]
+           || printf(' %02d, 2024', CAST(doc_id % 28 + 1 AS INTEGER))
+  ELSE printf('%02d.%02d.2024', CAST(doc_id % 28 + 1 AS INTEGER), CAST(doc_id % 12 + 1 AS INTEGER))
+END
+""".strip()
+
+
+def _date_normalize_expr(s):
+    """Expression fast-path of F9 (guarded per-format; the exact JS-semantics
+    path is the pandas UDF in operators/normalize.py)."""
+    iso = F.when(s.rlike(r"^\d{4}-\d{2}-\d{2}$"), F.try_to_date(s, "yyyy-MM-dd"))
+    mdy4 = F.when(s.rlike(r"^\d{2}/\d{2}/\d{4}$"), F.try_to_date(s, "MM/dd/yyyy"))
+    rebuilt = F.concat(
+        F.lit("20"), F.substring(s, 7, 2), F.lit("-"),
+        F.substring(s, 1, 2), F.lit("-"), F.substring(s, 4, 2),
+    )
+    mdy2 = F.when(s.rlike(r"^\d{2}/\d{2}/\d{2}$"), F.try_to_date(rebuilt, "yyyy-MM-dd"))
+    mon = F.when(s.rlike(r"^[A-Za-z]{3} \d{2}, \d{4}$"), F.try_to_date(s, "MMM dd, yyyy"))
+    return F.date_format(F.coalesce(iso, mdy4, mdy2, mon), "yyyy-MM-dd")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 4
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_nation_revenue(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+
+
+def top_orders(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def events_hourly(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.hour("ts").alias("hour_of_day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def events_sessions(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts is TIMESTAMP_NTZ; widen to session-TZ (UTC) timestamp for epoch math
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ts_us - F.lag(ts_us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+def mime_dispatch(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    ext = F.element_at(
+        F.array(*[F.lit(e) for e in [".pdf", ".png", ".JPG", ".jpeg", ".gif", ".webp", ".txt"]]),
+        (F.col("doc_id") % 7 + 1).cast("int"),
+    )
+    path = F.concat(F.lit("docs/f"), F.col("doc_id").cast("string"), ext)
+    return (
+        docs.select(mime_of(path).alias("mime"))
+        .groupBy("mime")
+        .agg(F.count("*").alias("n_files"))
+    )
+
+
+def filename_path_hash(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    path = F.concat(
+        F.lit("/data/docs/"), F.col("source"), F.lit("/"),
+        F.col("doc_id").cast("string"), F.lit(".pdf"),
+    )
+    return docs.select(
+        "doc_id",
+        filename_of(path).alias("filename"),
+        path_hash(path).alias("path_sha256"),
+    )
+
+
+def page_assembly(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    spans = spans_from_documents(docs)
+    return spans.select(
+        "doc_id", assemble_page_text(F.col("spans")).alias("assembled")
+    )
+
+
+def doc_type_norm(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    raw = F.element_at(
+        F.array(*[F.lit(t) for t in ["invoice", "receipt", "bank_statement", "other", "junk_type"]]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    return (
+        docs.select(doc_type_normalize(raw).alias("doc_type"))
+        .groupBy("doc_type")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def alias_coalesce(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    vendor = F.when(did % 3 == 0, F.lit(None)).otherwise(F.concat(F.lit("V"), did.cast("string")))
+    store_name = F.when(did % 2 == 0, F.concat(F.lit("S"), did.cast("string"))).otherwise(F.lit(None))
+    merchant = F.concat(F.lit("M"), did.cast("string"))
+    amount = F.when(did % 4 == 0, F.lit(None)).otherwise(F.round(F.col("n_chars") / 100.0, 4))
+    total = F.round(F.col("n_chars") / 50.0, 4)
+    desc = F.when(did % 2 == 0, F.lit("")).otherwise(F.concat(F.lit("D"), did.cast("string")))
+    return docs.select(
+        "doc_id",
+        vendor_coalesce(vendor, store_name, merchant, F.lit(None)).alias("vendor_final"),
+        amount_coalesce(amount, total, F.lit(None)).alias("amount_final"),
+        description_coalesce(desc, F.lit(None), F.lit(None)).alias("desc_final"),
+    )
+
+
+def date_normalize(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    s = _date_built(F.col("doc_id"))
+    return docs.select(
+        "doc_id", s.alias("date_raw"), _date_normalize_expr(s).alias("date_norm")
+    )
+
+
+def json_salvage(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    core = F.concat(
+        F.lit('{"vendor":"V'), F.col("doc_id").cast("string"),
+        F.lit('","amount":'), F.col("n_chars").cast("string"), F.lit("}"),
+    )
+    raw = (
+        F.when(F.col("doc_id") % 3 == 0, core)
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("noise "), core, F.lit(" tail")))
+        .otherwise(F.lit("not json at all"))
+    )
+    parsed = salvage_from_json(raw, "vendor string, amount double")
+    return docs.select(
+        "doc_id",
+        parsed["vendor"].alias("vendor"),
+        parsed["amount"].alias("amount"),
+        parsed.isNull().alias("parse_failed"),
+    )
+
+
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_dups(_dup_corpus(spark, sf_dir))
+
+
+def fingerprint_dups(spark, sf_dir):
+    corpus = _dup_corpus(spark, sf_dir)
+    return (
+        corpus.select("doc_id", textfns.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def minhash_lsh_pairs(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_dup_corpus(spark, sf_dir), k=8, bands=4)
+
+
+def ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_dup_corpus(spark, sf_dir), threshold=0.8)
+
+
+def simhash_clusters(spark, sf_dir):
+    return dedup.simhash_clusters(_dup_corpus(spark, sf_dir))
+
+
+def cosine_topk(spark, sf_dir):
+    scores = _cosine_scores(spark, sf_dir, 0)
+    return scores.orderBy(F.desc("score"), F.asc("id")).limit(10)
+
+
+def ann_lsh_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0].embedding
+    return similarity.ann_lsh_topk(emb, list(q), k=10, n_planes=4)
+
+
+def bm25_topk(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    scores = search.bm25_scores(docs, ["spark", "join", "window"])
+    return scores.orderBy(F.desc("score"), F.asc("id")).limit(10)
+
+
+def rrf_fusion(spark, sf_dir):
+    a = _cosine_scores(spark, sf_dir, 0)
+    b = _cosine_scores(spark, sf_dir, 1)
+    return search.rrf_fuse(a, b, k=60)
+
+
+def lang_id_counts(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(textfns.lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def quality_tokens(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textfns.token_count(F.col("text")).alias("n_ws_tokens"),
+        textfns.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        textfns.quality_score(F.col("text")).alias("quality"),
+        textfns.fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+def extraction_flagship(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return extractor.extracted_spans(spans_from_documents(docs))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_nation_revenue": q5_nation_revenue,
+        "top_orders": top_orders,
+        "events_hourly": events_hourly,
+        "events_sessions": events_sessions,
+        "mime_dispatch": mime_dispatch,
+        "filename_path_hash": filename_path_hash,
+        "page_assembly": page_assembly,
+        "doc_type_norm": doc_type_norm,
+        "alias_coalesce": alias_coalesce,
+        "date_normalize": date_normalize,
+        "json_salvage": json_salvage,
+        "dedup_exact": dedup_exact,
+        "fingerprint_dups": fingerprint_dups,
+        "minhash_lsh_pairs": minhash_lsh_pairs,
+        "ngram_jaccard": ngram_jaccard,
+        "simhash_clusters": simhash_clusters,
+        "cosine_topk": cosine_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "bm25_topk": bm25_topk,
+        "rrf_fusion": rrf_fusion,
+        "lang_id_counts": lang_id_counts,
+        "quality_tokens": quality_tokens,
+        "extraction_flagship": extraction_flagship,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; views pre-registered per table name)
+# ---------------------------------------------------------------------------
+
+def _minhash_sig_sql(k: int = 8) -> str:
+    mins = ", ".join(
+        f"coalesce(list_aggregate(list_transform(sh, s -> md5('{p}:' || s)), 'min'), md5('{p}:'))"
+        for p in range(k)
+    )
+    return f"""
+words AS (SELECT doc_id AS id, {_WORDS_SQL} AS w FROM corpus),
+sh AS (SELECT id, list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM words),
+sig AS (SELECT id, [{mins}] AS sig FROM sh)
+""".strip()
+
+
+def _simhash_sql() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_aggregate(list_transform(w, t -> CASE WHEN substr(md5(t), {b + 1}, 1) "
+        f"IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END), 'sum') >= 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(16)
+    )
+    return terms
+
+
+def _lsh_bucket_sql(vec_expr: str, n_planes: int = 4, seed: int = 42) -> str:
+    terms = []
+    for j in range(n_planes):
+        proj = (
+            f"list_aggregate(list_transform(range(1, len({vec_expr}) + 1), "
+            f"i -> CAST({vec_expr}[i] AS DOUBLE) * "
+            f"(CASE WHEN substr(md5('{seed}:{j}:' || CAST(i - 1 AS VARCHAR)), 1, 1) "
+            f"BETWEEN '0' AND '7' THEN 1.0 ELSE -1.0 END)), 'sum')"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_en = "['the','and','of','to','a','in','is','it','that','for']"
+    stop_de = "['der','die','das','und','ist','von','mit','für','auf','ein']"
+    stop_fr = "['le','la','les','et','de','un','une','est','pour','que']"
+    stop_es = "['el','la','los','las','y','de','un','una','es','para']"
+
+    hits = lambda sw: f"CAST(len(list_filter({_WORDS_SQL}, x -> list_contains({sw}, x))) AS INTEGER)"
+
+    assembled_sql = """
+array_to_string(list_transform(list_filter([
+  {'p': 1, 't': trim(substring(text, 1, CAST(length(text) // 3 AS INTEGER)))},
+  {'p': 2, 't': trim(substring(text, CAST(length(text) // 3 AS INTEGER) + 1,
+                     CAST(length(text) // 3 AS INTEGER)))},
+  {'p': 3, 't': trim(substring(text, CAST(length(text) // 3 AS INTEGER) * 2 + 1,
+                     CAST(length(text) AS INTEGER) - CAST(length(text) // 3 AS INTEGER) * 2))}
+], x -> x.t <> ''), x -> '--- Page ' || x.p || ' ---' || chr(10) || x.t), chr(10) || chr(10))
+""".strip()
+
+    return {
+        "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 4) AS sum_qty,
+  round(sum(l_extendedprice), 4) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+  round(avg(l_quantity), 4) AS avg_qty,
+  round(avg(l_extendedprice), 4) AS avg_price,
+  round(avg(l_discount), 4) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "q3_shipping_priority": """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+""",
+        "q5_nation_revenue": """
+SELECT r_name, n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+        "top_orders": """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+""",
+        "events_hourly": """
+SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour_of_day,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "events_sessions": """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT user_id,
+       sum(CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END) AS n_sessions,
+       count(*) AS n_events
+FROM g GROUP BY user_id
+""",
+        "mime_dispatch": """
+WITH p AS (
+  SELECT lower(['.pdf','.png','.JPG','.jpeg','.gif','.webp','.txt'][CAST(doc_id % 7 + 1 AS INTEGER)]) AS ext
+  FROM documents)
+SELECT CASE ext
+    WHEN '.pdf' THEN 'application/pdf' WHEN '.png' THEN 'image/png'
+    WHEN '.jpg' THEN 'image/jpeg' WHEN '.jpeg' THEN 'image/jpeg'
+    WHEN '.gif' THEN 'image/gif' WHEN '.webp' THEN 'image/webp'
+    ELSE 'application/pdf' END AS mime,
+  count(*) AS n_files
+FROM p GROUP BY mime
+""",
+        "filename_path_hash": """
+WITH p AS (SELECT doc_id, '/data/docs/' || source || '/' || CAST(doc_id AS VARCHAR) || '.pdf' AS path FROM documents)
+SELECT doc_id,
+       CAST(doc_id AS VARCHAR) || '.pdf' AS filename,
+       sha256(path) AS path_sha256
+FROM p
+""",
+        "page_assembly": f"""
+SELECT printf('doc-%08d', CAST(doc_id AS INTEGER)) AS doc_id,
+       {assembled_sql} AS assembled
+FROM documents
+""",
+        "doc_type_norm": """
+WITH r AS (
+  SELECT ['invoice','receipt','bank_statement','other','junk_type'][CAST(doc_id % 5 + 1 AS INTEGER)] AS raw
+  FROM documents)
+SELECT CASE WHEN raw IN ('invoice','receipt','bank_statement','other') THEN raw ELSE 'other' END AS doc_type,
+       count(*) AS n_docs
+FROM r GROUP BY doc_type
+""",
+        "alias_coalesce": """
+SELECT doc_id,
+  coalesce(CASE WHEN doc_id % 3 = 0 THEN NULL ELSE 'V' || CAST(doc_id AS VARCHAR) END,
+           CASE WHEN doc_id % 2 = 0 THEN 'S' || CAST(doc_id AS VARCHAR) ELSE NULL END,
+           'M' || CAST(doc_id AS VARCHAR)) AS vendor_final,
+  coalesce(CASE WHEN doc_id % 4 = 0 THEN NULL ELSE round(n_chars / 100.0, 4) END,
+           round(n_chars / 50.0, 4)) AS amount_final,
+  coalesce(nullif(CASE WHEN doc_id % 2 = 0 THEN '' ELSE 'D' || CAST(doc_id AS VARCHAR) END, ''),
+           'Unknown item') AS desc_final
+FROM documents
+""",
+        "date_normalize": f"""
+WITH d AS (SELECT doc_id, {_DATE_BUILT_SQL} AS date_raw FROM documents)
+SELECT doc_id, date_raw,
+  strftime(coalesce(
+    CASE WHEN regexp_matches(date_raw, '^\\d{{4}}-\\d{{2}}-\\d{{2}}$') THEN try_strptime(date_raw, '%Y-%m-%d') END,
+    CASE WHEN regexp_matches(date_raw, '^\\d{{2}}/\\d{{2}}/\\d{{4}}$') THEN try_strptime(date_raw, '%m/%d/%Y') END,
+    CASE WHEN regexp_matches(date_raw, '^\\d{{2}}/\\d{{2}}/\\d{{2}}$') THEN try_strptime(
+      '20' || substring(date_raw, 7, 2) || '-' || substring(date_raw, 1, 2) || '-' || substring(date_raw, 4, 2),
+      '%Y-%m-%d') END,
+    CASE WHEN regexp_matches(date_raw, '^[A-Za-z]{{3}} \\d{{2}}, \\d{{4}}$') THEN try_strptime(date_raw, '%b %d, %Y') END
+  ), '%Y-%m-%d') AS date_norm
+FROM d
+""",
+        "json_salvage": """
+WITH r AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 3 = 0 THEN '{"vendor":"V' || CAST(doc_id AS VARCHAR) || '","amount":' || CAST(n_chars AS VARCHAR) || '}'
+      WHEN doc_id % 3 = 1 THEN 'noise {"vendor":"V' || CAST(doc_id AS VARCHAR) || '","amount":' || CAST(n_chars AS VARCHAR) || '} tail'
+      ELSE 'not json at all' END AS raw
+  FROM documents),
+s AS (
+  SELECT doc_id, raw,
+    CASE WHEN json_valid(trim(raw)) THEN trim(raw)
+         WHEN strpos(raw, '{') > 0 AND strpos(reverse(raw), '}') > 0
+              AND (length(raw) - strpos(reverse(raw), '}') + 1) >= strpos(raw, '{')
+           THEN CASE WHEN json_valid(substring(raw, strpos(raw, '{'),
+                         length(raw) - strpos(reverse(raw), '}') + 1 - strpos(raw, '{') + 1))
+                THEN substring(raw, strpos(raw, '{'),
+                         length(raw) - strpos(reverse(raw), '}') + 1 - strpos(raw, '{') + 1) END
+         END AS j
+  FROM r)
+SELECT doc_id,
+       json_extract_string(j, '$.vendor') AS vendor,
+       CAST(json_extract(j, '$.amount') AS DOUBLE) AS amount,
+       j IS NULL AS parse_failed
+FROM s
+""",
+        "dedup_exact": f"""
+WITH corpus AS ({_DUP_CORPUS_SQL})
+SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS dup_count
+FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+""",
+        "fingerprint_dups": f"""
+WITH corpus AS ({_DUP_CORPUS_SQL})
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       min(doc_id) AS keep_id, count(*) AS dup_count
+FROM corpus GROUP BY 1 HAVING count(*) > 1
+""",
+        "minhash_lsh_pairs": f"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+{_minhash_sig_sql(8)},
+bands AS (
+  SELECT id, b.band, md5(sig[b.band * 2 + 1] || '|' || sig[b.band * 2 + 2]) AS bucket
+  FROM sig, (VALUES (0), (1), (2), (3)) AS b(band))
+SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_bands
+FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+GROUP BY 1, 2
+""",
+        "ngram_jaccard": f"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+words AS (SELECT doc_id AS id, {_WORDS_SQL} AS w FROM corpus),
+sh AS (SELECT id, list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM words),
+ex AS (SELECT id, CAST(len(sh) AS INTEGER) AS n_sh, unnest(sh) AS s FROM sh),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b, round(CAST(n_inter AS DOUBLE) / (na + nb - n_inter), 6) AS jaccard FROM inter)
+WHERE jaccard >= 0.8
+""",
+        "simhash_clusters": f"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+words AS (SELECT doc_id AS id, {_WORDS_SQL} AS w FROM corpus),
+s AS (SELECT id, CAST({_simhash_sql()} AS INTEGER) AS simhash FROM words)
+SELECT simhash, count(*) AS n_docs, min(id) AS keep_id
+FROM s GROUP BY simhash HAVING count(*) > 1
+""",
+        "cosine_topk": f"""
+SELECT id, score FROM ({_cosine_scores_sql(0)})
+ORDER BY score DESC, id ASC LIMIT 10
+""",
+        "ann_lsh_topk": f"""
+WITH b AS (
+  SELECT vec_id AS id, embedding, CAST({_lsh_bucket_sql('embedding')} AS INTEGER) AS bucket
+  FROM embeddings),
+qb AS (SELECT bucket AS qbucket, embedding AS qv FROM b WHERE id = 0)
+SELECT id,
+  round(
+    list_aggregate(list_transform(range(1, len(embedding) + 1),
+      i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(range(1, len(embedding) + 1),
+        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 'sum'))
+     * sqrt(list_aggregate(list_transform(range(1, len(qv) + 1),
+        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), 'sum'))), 6) AS score
+FROM b, qb WHERE b.bucket = qb.qbucket
+ORDER BY score DESC, id ASC LIMIT 10
+""",
+        "bm25_topk": f"""
+WITH toks AS (SELECT doc_id AS id, {_WORDS_SQL} AS w FROM documents),
+stats AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM toks),
+t2 AS (SELECT id, CAST(len(w) AS INTEGER) AS dl, unnest(w) AS term FROM toks),
+tf AS (SELECT id, dl, term, count(*) AS tf FROM t2
+       WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2, 3),
+dft AS (SELECT term, count(DISTINCT id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.id,
+         ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+         * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl)) AS ts
+  FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN stats)
+SELECT id, round(sum(ts), 6) AS score FROM scored GROUP BY id
+ORDER BY score DESC, id ASC LIMIT 10
+""",
+        "rrf_fusion": f"""
+WITH sa AS ({_cosine_scores_sql(0)}),
+sb AS ({_cosine_scores_sql(1)}),
+ra AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rank_a FROM sa),
+rb AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rank_b FROM sb)
+SELECT coalesce(ra.id, rb.id) AS id,
+       round(coalesce(1.0 / (60 + rank_a), 0.0) + coalesce(1.0 / (60 + rank_b), 0.0), 6) AS rrf_score
+FROM ra FULL OUTER JOIN rb ON ra.id = rb.id
+""",
+        "lang_id_counts": f"""
+WITH c AS (
+  SELECT {hits(stop_en)} AS c_en, {hits(stop_de)} AS c_de,
+         {hits(stop_fr)} AS c_fr, {hits(stop_es)} AS c_es
+  FROM documents),
+p AS (
+  SELECT CASE
+    WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+    WHEN c_de > 0 AND c_de >= c_fr AND c_de >= c_es THEN 'de'
+    WHEN c_fr > 0 AND c_fr >= c_es THEN 'fr'
+    WHEN c_es > 0 THEN 'es'
+    ELSE 'und' END AS pred_lang
+  FROM c)
+SELECT pred_lang, count(*) AS n_docs FROM p GROUP BY pred_lang
+""",
+        "quality_tokens": f"""
+SELECT doc_id,
+  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS INTEGER) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
+  round(
+    (CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1.0
+          WHEN length(text) > 0 THEN 0.5 ELSE 0.0 END) * 0.4
+    + (CASE WHEN length(text) > 0
+        THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)
+        ELSE 0.0 END) * 0.3
+    + least(
+        (CASE WHEN len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) > 0
+          THEN CAST({hits(stop_en)} AS DOUBLE)
+               / len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+          ELSE 0.0 END) * 4.0, 1.0) * 0.3,
+  4) AS quality,
+  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents
+""",
+        "extraction_flagship": f"""
+WITH d AS (
+  SELECT printf('doc-%08d', CAST(doc_id AS INTEGER)) AS doc_id,
+         {assembled_sql} AS assembled,
+         trim(substring(text, 1, CAST(length(text) // 3 AS INTEGER))) AS p1,
+         trim(substring(text, CAST(length(text) // 3 AS INTEGER) + 1,
+              CAST(length(text) // 3 AS INTEGER))) AS p2,
+         trim(substring(text, CAST(length(text) // 3 AS INTEGER) * 2 + 1,
+              CAST(length(text) AS INTEGER) - CAST(length(text) // 3 AS INTEGER) * 2)) AS p3
+  FROM documents),
+v AS (
+  SELECT doc_id, assembled,
+         CASE WHEN p1 <> '' THEN p1 WHEN p2 <> '' THEN p2 ELSE p3 END AS vendor,
+         CASE WHEN p1 <> '' THEN '' WHEN p2 <> '' THEN 'media://' || doc_id || '/p2.png' ELSE '' END AS vendor_ref
+  FROM d)
+SELECT doc_id, 0 AS "order", 'doc_type' AS kind, 'other' AS text, '' AS media_ref FROM v
+UNION ALL
+SELECT doc_id, 1, 'vendor', vendor, vendor_ref FROM v WHERE vendor <> ''
+UNION ALL
+SELECT doc_id,
+       CASE WHEN vendor <> '' THEN 2 ELSE 1 END, 'raw_text', assembled, '' FROM v
+WHERE assembled <> ''
+""",
+    }

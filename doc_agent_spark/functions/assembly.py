@@ -25,6 +25,12 @@ def sorted_spans(spans: Column) -> Column:
     )
 
 
+def _ws_trim(c: Column) -> Column:
+    """JS String.trim() semantics (all whitespace, not just spaces —
+    F.trim only strips 0x20)."""
+    return F.regexp_replace(F.regexp_replace(c, r"^\s+", ""), r"\s+$", "")
+
+
 def assemble_page_text(spans: Column) -> Column:
     """Assembled OCR-text equivalent for a ``spans`` array column.
 
@@ -35,7 +41,7 @@ def assemble_page_text(spans: Column) -> Column:
         sorted_spans(spans),
         lambda s, i: F.struct(
             (i + F.lit(1)).alias("page"),
-            F.trim(F.coalesce(s.text, F.lit(""))).alias("t"),
+            _ws_trim(F.coalesce(s.text, F.lit(""))).alias("t"),
         ),
     )
     kept = F.filter(numbered, lambda p: p.t != "")
@@ -51,7 +57,7 @@ def assemble_pages_array(pages: Column) -> Column:
         pages,
         lambda t, i: F.struct(
             (i + F.lit(1)).alias("page"),
-            F.trim(F.coalesce(t, F.lit(""))).alias("t"),
+            _ws_trim(F.coalesce(t, F.lit(""))).alias("t"),
         ),
     )
     kept = F.filter(numbered, lambda p: p.t != "")

@@ -33,13 +33,9 @@ def token_count(text: Column) -> Column:
 
 def bpe_ish_token_count(text: Column) -> Column:
     """BPE-ish proxy: count of word/number/punct units (GPT-style pretoken
-    regex simplified to a portable class)."""
-    return F.size(
-        F.filter(
-            F.split(text, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
-            lambda t: F.trim(t) != "",
-        )
-    )
+    regex simplified to a portable, lookaround-free class so the DuckDB
+    (RE2) oracle computes the identical value)."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
 
 
 def stopword_hits(text: Column, lang: str) -> Column:
@@ -53,8 +49,8 @@ def lang_id(text: Column) -> Column:
     scores = [(lang, stopword_hits(text, lang)) for lang in ("en", "de", "fr", "es")]
     best_lang = F.lit("und")
     best_score = F.lit(0)
-    # iterate reversed so earlier languages win ties (> not >=)
-    for lang, score in reversed(scores):
+    # forward iteration with strict > ⇒ the earliest language wins ties
+    for lang, score in scores:
         better = score > best_score
         best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(better, score).otherwise(best_score)

@@ -33,24 +33,25 @@ def cosine(a: Column, b: Column) -> Column:
 def lsh_bucket(a: Column, n_planes: int = 8, seed: int = 42) -> Column:
     """Sign-random-projection LSH bucket id (deterministic hyperplanes).
 
-    Hyperplane j's component i is ±1 derived from crc32(f'{seed}:{j}:{i}') —
-    reproducible across engines and cluster sizes, no stored model. Bucket =
-    sum over planes of sign-bit << j. The scale path for ANN: group by
-    bucket, search within bucket (candidate set ~ N / 2^planes).
+    Hyperplane j's component i is ±1 from the first hex digit of
+    md5(f'{seed}:{j}:{i}') (digit < '8' → +1) — reproducible across engines
+    and cluster sizes, no stored model, and mirrorable in the DuckDB oracle
+    (identical md5). Bucket = sum over planes of sign-bit << j. The scale
+    path for ANN: group by bucket, search within bucket (candidate set
+    ~ N / 2^planes).
     """
+    def signed_term(j: int):
+        prefix = f"{seed}:{j}:"
+        return lambda x, i: x.cast("double") * F.when(
+            F.substring(F.md5(F.concat(F.lit(prefix), i.cast("string"))), 1, 1).rlike("[0-7]"),
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+
     bucket = F.lit(0)
     size = F.size(a)
     for j in range(n_planes):
         proj = F.aggregate(
-            F.zip_with(
-                a,
-                F.sequence(F.lit(0), size - 1),
-                lambda x, i, j=j: x.cast("double")
-                * F.when(
-                    F.crc32(F.concat_ws(":", F.lit(str(seed)), F.lit(str(j)), i.cast("string"))) % 2 == 0,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0)),
-            ),
+            F.zip_with(a, F.sequence(F.lit(0), size - 1), signed_term(j)),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )

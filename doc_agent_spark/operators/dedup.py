@@ -38,13 +38,17 @@ def exact_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     )
 
 
-def minhash_signature(text: Column, k: int = 8, ngram: int = 3) -> Column:
-    """array<string> of k lexicographic-min md5(perm:shingle) digests.
+def minhash_from_shingles(shingles: Column, k: int = 8) -> Column:
+    """array<string> of k lexicographic-min md5(perm:shingle) digests over an
+    ALREADY-MATERIALIZED shingle array column.
+
+    Keep shingle construction in its own projection: inlining word_ngrams
+    here would replicate its transform/slice tree k times in the plan
+    (Catalyst doesn't CSE across the k signature elements), which showed up
+    as a 30× slowdown in bench.
 
     Empty shingle sets yield md5(perm:) so signatures are total (no nulls).
     """
-    shingles = word_ngrams(text, ngram)
-
     def perm_hash(p: int):
         prefix = f"{p}:"
         return lambda s: F.md5(F.concat(F.lit(prefix), s))
@@ -54,6 +58,12 @@ def minhash_signature(text: Column, k: int = 8, ngram: int = 3) -> Column:
         hashed = F.transform(shingles, perm_hash(p))
         sig.append(F.coalesce(F.array_min(hashed), F.md5(F.lit(f"{p}:"))))
     return F.array(*sig)
+
+
+def minhash_signature(text: Column, k: int = 8, ngram: int = 3) -> Column:
+    """Convenience wrapper: shingle + hash in one expression (prefer
+    materializing word_ngrams first for wide plans, see above)."""
+    return minhash_from_shingles(word_ngrams(text, ngram), k)
 
 
 def minhash_lsh_pairs(
@@ -70,9 +80,9 @@ def minhash_lsh_pairs(
     hash (equi-join → shuffle on tiny keys; AQE handles bucket skew).
     """
     rows = k // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), k=k).alias("sig"),
+    sig = (
+        df.select(F.col(id_col).alias("id"), word_ngrams(F.col(text_col), 3).alias("sh"))
+        .select("id", minhash_from_shingles(F.col("sh"), k=k).alias("sig"))
     )
     banded = sig.select(
         "id",

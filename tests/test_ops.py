@@ -1,0 +1,133 @@
+"""Unit tests for the training-data operator families (dedup, similarity,
+search, text analytics) on small hand-built frames with known answers."""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from doc_agent_spark.functions import textfns, vectors
+from doc_agent_spark.operators import dedup, search, similarity
+
+
+@pytest.fixture(scope="module")
+def texts(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),     # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),     # near dup
+        (4, "completely different content about spark joins"),
+        (5, "THE  Quick   Brown Fox jumps over the lazy dog"),  # ws/case variant
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dups(spark, texts):
+    out = dedup.exact_dups(texts).collect()
+    assert len(out) == 1
+    assert out[0].keep_id == 1 and out[0].dup_count == 2
+
+
+def test_fingerprint_normalizes_ws_and_case(spark, texts):
+    fp = texts.select("doc_id", textfns.fingerprint(F.col("text")).alias("fp"))
+    vals = {r.doc_id: r.fp for r in fp.collect()}
+    assert vals[1] == vals[2] == vals[5]  # collapse whitespace + lowercase
+    assert vals[1] != vals[3]
+
+
+def test_ngram_jaccard(spark, texts):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(texts, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    # doc3 differs in last word: 7 shingles each, 6 shared → 6/8 = 0.75
+    assert math.isclose(pairs[(1, 3)], 0.75)
+    assert (1, 4) not in pairs
+
+
+def test_minhash_exact_dups_share_all_bands(spark, texts):
+    pairs = {
+        (r.id_a, r.id_b): r.n_bands
+        for r in dedup.minhash_lsh_pairs(texts, k=8, bands=4).collect()
+    }
+    assert pairs[(1, 2)] == 4
+    assert pairs[(2, 5)] == 4  # identical token streams after tokenization
+    assert pairs.get((1, 3), 0) >= 0  # near-dup may or may not band-collide
+
+
+def test_simhash_identical_for_same_tokens(spark, texts):
+    sig = texts.select("doc_id", dedup.simhash16(F.col("text")).alias("s"))
+    vals = {r.doc_id: r.s for r in sig.collect()}
+    assert vals[1] == vals[2] == vals[5]
+    assert 0 <= vals[1] < 65536
+
+
+def test_cosine_topk_identity(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.cosine_topk(emb, [1.0, 0.0, 0.0], k=3).collect()
+    assert [r.id for r in out] == [0, 1, 2]
+    assert out[0].score == 1.0
+    assert out[2].score == 0.0
+
+
+def test_knn_join(spark):
+    rows = [(i, [float(i), 1.0]) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.knn_join_brute(emb, emb, k=1)
+    top = {r.lid: r.rid for r in out.collect()}
+    assert all(top[i] == i for i in range(5))  # self is nearest
+
+
+def test_bm25_ranks_matching_docs(spark, texts):
+    scores = {r.id: r.score for r in search.bm25_scores(texts, ["spark", "fox"]).collect()}
+    assert 4 in scores              # only doc with 'spark'
+    assert scores[4] > scores[1]    # rare term beats common term
+    assert set(scores) == {1, 2, 3, 4, 5}
+
+
+def test_rrf_fusion_prefers_doubly_ranked(spark):
+    a = spark.createDataFrame([(1, 0.9), (2, 0.8)], "id long, score double")
+    b = spark.createDataFrame([(2, 0.95), (3, 0.7)], "id long, score double")
+    out = {r.id: r.rrf_score for r in search.rrf_fuse(a, b, k=60).collect()}
+    assert out[2] > out[1] and out[2] > out[3]
+    assert math.isclose(out[2], round(1 / 62 + 1 / 61, 6))
+
+
+def test_lang_id(spark):
+    rows = [
+        (1, "the cat and the dog in the house"),
+        (2, "der hund und die katze ist klein"),
+        (3, "le chat et le chien est petit"),
+        (4, "xyzzy qwerty asdf"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.lang for r in df.select("doc_id", textfns.lang_id(F.col("text")).alias("lang")).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "fr" and out[4] == "und"
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "Hello, world! 42 times.")], "id long, text string")
+    r = df.select(
+        textfns.token_count(F.col("text")).alias("ws"),
+        textfns.bpe_ish_token_count(F.col("text")).alias("bpe"),
+    ).collect()[0]
+    assert r.ws == 4
+    # Hello , world ! 42 times . → 7
+    assert r.bpe == 7
+
+
+def test_lsh_bucket_deterministic(spark):
+    rows = [(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0, 3.0]), (2, [-1.0, -2.0, -3.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = emb.select("vec_id", vectors.lsh_bucket(F.col("embedding"), 4).alias("b")).collect()
+    vals = {r.vec_id: r.b for r in out}
+    assert vals[0] == vals[1]
+    assert vals[0] + vals[2] == 15  # opposite vector flips every plane bit

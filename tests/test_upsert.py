@@ -1,0 +1,104 @@
+"""MERGE-upsert semantics (ported from repository.test.ts:15-93):
+save→get roundtrip, upsert-not-duplicate, status reset on update,
+created_at preserved, path-hash properties. Runs on the parquet fallback;
+the Iceberg path issues the same MERGE statement (sinks/upsert.py)."""
+
+import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from doc_agent_spark import spec
+from doc_agent_spark.sinks.upsert import merge_upsert_parquet
+
+
+def _updates(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "id string, path_hash string, filename string, content_hash string, "
+        "status string, data struct<vendor:string, amount:double>, created_at timestamp",
+    )
+
+
+T0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+T1 = datetime.datetime(2024, 6, 1, 0, 0, 0)
+
+
+def test_upsert_insert_then_update(spark, tmp_path):
+    target = str(tmp_path / "docs_store")
+    p_hash = spec.path_hash("/abs/a.pdf")
+
+    merge_upsert_parquet(
+        spark, target,
+        _updates(spark, [("id1", p_hash, "a.pdf", None, "pending", ("V1", 1.0), T0)]),
+    )
+    merge_upsert_parquet(
+        spark, target,
+        _updates(spark, [("id2", p_hash, "a.pdf", None, "indexed", ("V2", 2.0), T1)]),
+    )
+    rows = spark.read.parquet(target).collect()
+    assert len(rows) == 1  # upsert-not-duplicate (repository.test.ts:39-60)
+    r = rows[0]
+    assert r.id == "id2" and r.data.vendor == "V2"
+    assert r.status == "pending"          # status reset on update
+    assert r.created_at == T0             # created_at preserved from insert
+
+
+def test_upsert_inserts_new_paths(spark, tmp_path):
+    target = str(tmp_path / "docs_store2")
+    h1, h2 = spec.path_hash("/abs/a.pdf"), spec.path_hash("/abs/b.pdf")
+    merge_upsert_parquet(spark, target, _updates(spark, [("i1", h1, "a.pdf", None, "pending", ("A", 1.0), T0)]))
+    merge_upsert_parquet(spark, target, _updates(spark, [("i2", h2, "b.pdf", None, "pending", ("B", 2.0), T0)]))
+    df = spark.read.parquet(target)
+    assert df.count() == 2
+    assert {r.filename for r in df.collect()} == {"a.pdf", "b.pdf"}
+
+
+def test_upsert_idempotent_rerun(spark, tmp_path):
+    # re-running the same batch converges (checkpoint/resume primitive)
+    target = str(tmp_path / "docs_store3")
+    h = spec.path_hash("/abs/c.pdf")
+    batch = _updates(spark, [("i1", h, "c.pdf", None, "pending", ("C", 3.0), T0)])
+    merge_upsert_parquet(spark, target, batch)
+    merge_upsert_parquet(spark, target, batch)
+    assert spark.read.parquet(target).count() == 1
+
+
+def test_path_hash_properties():
+    # sha256 hex, 64 chars, deterministic, distinct per path
+    # (repository.test.ts:74-93)
+    h1 = spec.path_hash("/abs/x.pdf")
+    h2 = spec.path_hash("/abs/x.pdf")
+    h3 = spec.path_hash("/abs/y.pdf")
+    assert h1 == h2 and h1 != h3
+    assert len(h1) == 64 and all(c in "0123456789abcdef" for c in h1)
+
+
+def test_spark_path_hash_matches_spec(spark):
+    from doc_agent_spark.functions.hashing import path_hash as ph_expr
+
+    df = spark.createDataFrame([("/abs/x.pdf",)], "p string")
+    got = df.select(ph_expr(F.col("p")).alias("h")).collect()[0].h
+    assert got == spec.path_hash("/abs/x.pdf")
+
+
+def test_deterministic_id(spark):
+    from doc_agent_spark.functions.hashing import deterministic_id
+
+    df = spark.createDataFrame([("doc-1",)], "doc_id string")
+    got = df.select(deterministic_id(F.col("doc_id")).alias("i")).collect()[0].i
+    assert got == spec.deterministic_id("doc-1")
+
+
+def test_multiple_updates_same_batch_last_wins(spark, tmp_path):
+    target = str(tmp_path / "docs_store4")
+    h = spec.path_hash("/abs/d.pdf")
+    batch = _updates(spark, [
+        ("id_a", h, "d.pdf", None, "pending", ("old", 1.0), T0),
+        ("id_b", h, "d.pdf", None, "pending", ("new", 2.0), T0),
+    ])
+    merge_upsert_parquet(spark, target, batch)
+    rows = spark.read.parquet(target).collect()
+    assert len(rows) == 1
+    assert rows[0].id == "id_b"  # deterministic: max id wins within a batch

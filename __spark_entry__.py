@@ -27,7 +27,13 @@ from doc_agent_spark.functions.assembly import assemble_page_text  # noqa: E402
 from doc_agent_spark.functions.hashing import path_hash  # noqa: E402
 from doc_agent_spark.functions.mime import filename_of, mime_of  # noqa: E402
 from doc_agent_spark.functions.salvage import salvage_from_json  # noqa: E402
-from doc_agent_spark.operators import dedup, extractor, search, similarity  # noqa: E402
+from doc_agent_spark.operators import (  # noqa: E402
+    dedup,
+    extractor,
+    multimodal,
+    search,
+    similarity,
+)
 from doc_agent_spark.operators.normalize import (  # noqa: E402
     amount_coalesce,
     description_coalesce,
@@ -401,6 +407,62 @@ def extraction_flagship(spark, sf_dir):
     return extractor.extracted_spans(spans_from_documents(docs))
 
 
+def embedding_near_dups(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    # testdata embeddings are near-orthogonal (max pairwise cosine ≈ 0.51),
+    # so the near-dup threshold for oracle coverage sits at 0.4
+    return dedup.embedding_near_dups(emb, threshold=0.4, n_planes=4)
+
+
+def ivf_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0].embedding
+    return similarity.ivf_topk(emb, list(q), k=10, centroid_stride=50, nprobe=2)
+
+
+def media_metadata(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    media = multimodal.media_from_documents(docs)
+    return multimodal.image_features(media).select(
+        "media_ref", "n_bytes", "width", "height", "content_sha256"
+    )
+
+
+def retrieval_eval(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    label0 = emb.filter(F.col("vec_id") == 0).select(F.col("label").alias("qlabel"))
+    retrieved = (
+        _cosine_scores(spark, sf_dir, 0).filter(F.col("id") != 0)
+    )
+    relevant = (
+        emb.crossJoin(F.broadcast(label0))
+        .filter((F.col("label") == F.col("qlabel")) & (F.col("vec_id") != 0))
+        .select(F.col("vec_id").alias("id"))
+    )
+    return search.eval_retrieval(retrieved, relevant, k=10)
+
+
+def search_hydrate(spark, sf_dir):
+    topk = _cosine_scores(spark, sf_dir, 0).orderBy(F.desc("score"), F.asc("id")).limit(10)
+    docs = load(spark, sf_dir, "documents")
+    return search.hydrate(topk, docs, id_col="doc_id")
+
+
+def knn_join(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") < 20)
+    right = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.knn_join_brute(left, right, k=3)
+
+
+def doc_point_lookup(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") == 42)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -428,6 +490,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_counts": lang_id_counts,
         "quality_tokens": quality_tokens,
         "extraction_flagship": extraction_flagship,
+        "embedding_near_dups": embedding_near_dups,
+        "ivf_topk": ivf_topk,
+        "media_metadata": media_metadata,
+        "retrieval_eval": retrieval_eval,
+        "search_hydrate": search_hydrate,
+        "knn_join": knn_join,
+        "doc_point_lookup": doc_point_lookup,
     }
 
 
@@ -455,6 +524,15 @@ def _simhash_sql() -> str:
         for b in range(16)
     )
     return terms
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Cosine over two array columns — same sequential double fold as the
+    Spark expression (functions.vectors.cosine)."""
+    def sq(x, y):
+        return (f"list_aggregate(list_transform(range(1, len({x})+1), "
+                f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)), 'sum')")
+    return f"({sq(a, b)} / (sqrt({sq(a, a)}) * sqrt({sq(b, b)})))"
 
 
 def _lsh_bucket_sql(vec_expr: str, n_planes: int = 4, seed: int = 42) -> str:
@@ -763,5 +841,76 @@ UNION ALL
 SELECT doc_id,
        CASE WHEN vendor <> '' THEN 2 ELSE 1 END, 'raw_text', assembled, '' FROM v
 WHERE assembled <> ''
+""",
+        "embedding_near_dups": f"""
+WITH b AS (
+  SELECT vec_id AS id, embedding,
+         CAST({_lsh_bucket_sql('embedding')} AS INTEGER) AS bucket
+  FROM embeddings)
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.id AS id_a, b2.id AS id_b,
+         round({_cos_sql('a.embedding', 'b2.embedding')}, 6) AS cosine
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id)
+WHERE cosine >= 0.4
+""",
+        "ivf_topk": f"""
+WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id AS id, e.embedding AS v, c.cid,
+         {_cos_sql('e.embedding', 'c.cv')} AS s
+  FROM embeddings e CROSS JOIN cents c),
+assigned AS (
+  SELECT id, v, cid,
+         row_number() OVER (PARTITION BY id ORDER BY s DESC, cid ASC) AS rn
+  FROM scored),
+probe AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           row_number() OVER (ORDER BY {_cos_sql('c.cv', 'q.qv')} DESC, c.cid ASC) AS pr
+    FROM cents c CROSS JOIN q)
+  WHERE pr <= 2)
+SELECT a.id, round({_cos_sql('a.v', 'q.qv')}, 6) AS score
+FROM assigned a JOIN probe p ON a.cid = p.cid CROSS JOIN q
+WHERE a.rn = 1
+ORDER BY score DESC, id ASC LIMIT 10
+""",
+        "media_metadata": """
+SELECT 'media://doc/' || CAST(doc_id AS VARCHAR) || '/full.png' AS media_ref,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       CAST(16 + length(text) % 241 AS INTEGER) AS width,
+       CAST(16 + (length(text) // 7) % 181 AS INTEGER) AS height,
+       sha256(text) AS content_sha256
+FROM documents
+""",
+        "retrieval_eval": f"""
+WITH q AS (SELECT embedding AS qv, label AS qlabel FROM embeddings WHERE vec_id = 0),
+s AS (SELECT vec_id AS id, round({_cos_sql('embedding', 'qv')}, 6) AS score
+      FROM embeddings CROSS JOIN q WHERE vec_id <> 0),
+ranked AS (SELECT id, score, row_number() OVER (ORDER BY score DESC, id ASC) AS rank FROM s),
+rel AS (SELECT vec_id AS id FROM embeddings CROSS JOIN q WHERE label = qlabel AND vec_id <> 0),
+j AS (SELECT r.rank, CASE WHEN rel.id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM ranked r LEFT JOIN rel ON r.id = rel.id WHERE r.rank <= 10)
+SELECT round(sum(hit) / (SELECT count(*) FROM rel), 6) AS recall_at_k,
+       round(sum(hit) / 10.0, 6) AS precision_at_k,
+       round(coalesce(1.0 / min(CASE WHEN hit = 1 THEN rank END), 0.0), 6) AS mrr
+FROM j
+""",
+        "search_hydrate": f"""
+WITH s AS ({_cosine_scores_sql(0)}),
+topk AS (SELECT id, score FROM s ORDER BY score DESC, id ASC LIMIT 10)
+SELECT d.doc_id AS id, t.score, substring(d.text, 1, 80) AS snippet
+FROM documents d JOIN topk t ON d.doc_id = t.id
+""",
+        "knn_join": f"""
+WITH l AS (SELECT vec_id AS lid, embedding AS lv FROM embeddings WHERE vec_id < 20),
+r AS (SELECT vec_id AS rid, embedding AS rv FROM embeddings WHERE vec_id % 50 = 0),
+s AS (SELECT lid, rid, round({_cos_sql('lv', 'rv')}, 6) AS score FROM l CROSS JOIN r),
+rk AS (SELECT lid, rid, score,
+       row_number() OVER (PARTITION BY lid ORDER BY score DESC, rid ASC) AS rank FROM s)
+SELECT lid, rid, score, rank FROM rk WHERE rank <= 3
+""",
+        "doc_point_lookup": """
+SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42
 """,
     }

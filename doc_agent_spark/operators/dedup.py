@@ -138,6 +138,41 @@ def simhash_clusters(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine).
+
+    Blocking: sign-random-projection LSH bucket (functions.vectors.lsh_bucket,
+    deterministic hyperplanes) — the self-join is ON the bucket id, so the
+    candidate set is ~N²/2^planes, not N². Verification: exact cosine on
+    candidates only. At 100 TB raise n_planes so buckets stay task-sized;
+    the bucket column doubles as the repartition key.
+    """
+    from ..functions.vectors import cosine, lsh_bucket
+
+    b = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(F.col(vec_col), n_planes=n_planes).alias("bucket"),
+    )
+    lhs, rhs = b.alias("a"), b.alias("b")
+    return (
+        lhs.join(rhs, on="bucket")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1,0 +1,245 @@
+"""Multimodal columns — image/audio/video as opaque ``binary`` + typed metadata.
+
+The reference ships media as in-memory Buffers (packages/extract/src/pdf.ts:27,
+extract.ts:23-24) and never decodes pixels itself (the vision LLM does). Our
+engine keeps the same stance at scale: media bytes travel as a ``binary``
+column (or stay behind a ``media_ref`` pointer and are fetched inside the
+batch), and every media stage is an Arrow-batched ``mapInPandas`` — schema,
+partitioning, UDF signature and batch shape are real and tested; only the
+codec itself is stubbed.
+
+Decode strategy (this container has no image/audio libs):
+- ``decode_image`` tries Pillow; absent → ``FakeCodec`` — a deterministic
+  pure-bytes pseudo-decoder (dims derived from content, pixels = tiled bytes)
+  so every downstream stage (features, resize, frame sampling) is exercised
+  end-to-end with reproducible goldens.
+- ``decode_audio`` / ``decode_video_frames`` follow the same pattern.
+
+At 100 TB the media table is bucketed on ``media_ref`` and these stages are
+narrow (zero shuffle); heavy media rows are spread with plans.skew.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# ---------------------------------------------------------------------------
+# typed metadata schema for opaque media
+# ---------------------------------------------------------------------------
+
+MEDIA_META = StructType([
+    StructField("media_kind", StringType()),   # 'image' | 'audio' | 'video'
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("duration_ms", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("codec", StringType()),
+])
+
+MEDIA_TABLE = StructType([
+    StructField("media_ref", StringType()),
+    StructField("media_kind", StringType()),
+    StructField("content", BinaryType()),
+    StructField("meta", MEDIA_META),
+])
+
+IMAGE_FEATURES = StructType([
+    StructField("media_ref", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("mean_pixel", DoubleType()),
+    StructField("content_sha256", StringType()),
+])
+
+RESIZED = StructType([
+    StructField("media_ref", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("pixels", BinaryType()),
+])
+
+FRAMES = StructType([
+    StructField("media_ref", StringType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("frame", BinaryType()),
+])
+
+AUDIO_FEATURES = StructType([
+    StructField("media_ref", StringType()),
+    StructField("n_samples", IntegerType()),
+    StructField("rms", DoubleType()),
+    StructField("zero_crossings", IntegerType()),
+])
+
+
+class FakeCodec:
+    """Deterministic pure-bytes pseudo-codec (no media libs in container).
+
+    Dimensions are pure functions of the byte content length so the DuckDB
+    oracle can mirror them; pixel data is the content tiled row-major. A
+    real deployment swaps this for Pillow/ffmpeg via the try-imports below —
+    every downstream stage is codec-agnostic (operates on ndarray).
+    """
+
+    @staticmethod
+    def image_dims(n_bytes: int) -> tuple[int, int]:
+        w = 16 + n_bytes % 241
+        h = 16 + (n_bytes // 7) % 181
+        return w, h
+
+    @staticmethod
+    def decode_image(content: bytes) -> np.ndarray:
+        w, h = FakeCodec.image_dims(len(content))
+        buf = np.frombuffer(content or b"\x00", dtype=np.uint8)
+        return np.resize(buf, (h, w))  # tile/truncate to h×w, deterministic
+
+    @staticmethod
+    def decode_audio(content: bytes, sample_rate: int = 16000) -> np.ndarray:
+        buf = np.frombuffer(content or b"\x00", dtype=np.uint8)
+        return (buf.astype(np.float64) - 127.5) / 127.5  # [-1, 1] samples
+
+    @staticmethod
+    def decode_video_frames(content: bytes, n_frames: int) -> list[bytes]:
+        n = max(len(content) // max(n_frames, 1), 1)
+        return [content[i * n:(i + 1) * n] for i in range(n_frames)]
+
+
+def _try_pillow_decode(content: bytes) -> np.ndarray | None:
+    try:
+        import io
+
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        return None
+    try:
+        return np.asarray(Image.open(io.BytesIO(content)).convert("L"))
+    except Exception:
+        return None
+
+
+def decode_image(content: bytes) -> np.ndarray:
+    """Grayscale ndarray (h, w). Real codec when available, else FakeCodec."""
+    arr = _try_pillow_decode(content)
+    return arr if arr is not None else FakeCodec.decode_image(content)
+
+
+# ---------------------------------------------------------------------------
+# mapInPandas stages (Arrow batches; no per-row Python UDFs)
+# ---------------------------------------------------------------------------
+
+def image_features(media: DataFrame, ref_col: str = "media_ref",
+                   content_col: str = "content") -> DataFrame:
+    """Per-image features: dims, mean pixel, content hash. Narrow stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, content in zip(pdf[ref_col], pdf[content_col]):
+                b = bytes(content or b"")
+                arr = decode_image(b)
+                rows.append({
+                    "media_ref": ref,
+                    "n_bytes": len(b),
+                    "width": int(arr.shape[1]),
+                    "height": int(arr.shape[0]),
+                    "mean_pixel": float(np.round(arr.mean(), 6)),
+                    "content_sha256": hashlib.sha256(b).hexdigest(),
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES.fields])
+
+    return media.select(F.col(ref_col), F.col(content_col)).mapInPandas(
+        run, schema=IMAGE_FEATURES
+    )
+
+
+def resize_images(media: DataFrame, out_w: int = 32, out_h: int = 32,
+                  ref_col: str = "media_ref", content_col: str = "content") -> DataFrame:
+    """Nearest-neighbour resize to (out_h, out_w); pixels back as binary."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, content in zip(pdf[ref_col], pdf[content_col]):
+                arr = decode_image(bytes(content or b""))
+                h, w = arr.shape
+                yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+                xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+                small = arr[np.ix_(yi, xi)]
+                rows.append({
+                    "media_ref": ref, "width": out_w, "height": out_h,
+                    "pixels": small.astype(np.uint8).tobytes(),
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED.fields])
+
+    return media.select(F.col(ref_col), F.col(content_col)).mapInPandas(run, schema=RESIZED)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8,
+                  ref_col: str = "media_ref", content_col: str = "content") -> DataFrame:
+    """Frame sampling for video rows: one frame per ``every_n_bytes`` of
+    content, capped at ``max_frames`` (UDTF-style row expansion — one input
+    row yields many output rows, all inside the Arrow batch)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, content in zip(pdf[ref_col], pdf[content_col]):
+                b = bytes(content or b"")
+                n_frames = min(max(len(b) // every_n_bytes, 1), max_frames)
+                for i, fr in enumerate(FakeCodec.decode_video_frames(b, n_frames)):
+                    rows.append({"media_ref": ref, "frame_idx": i, "frame": fr})
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAMES.fields])
+
+    return media.select(F.col(ref_col), F.col(content_col)).mapInPandas(run, schema=FRAMES)
+
+
+def audio_features(media: DataFrame, ref_col: str = "media_ref",
+                   content_col: str = "content") -> DataFrame:
+    """RMS + zero-crossing count over pseudo-decoded samples."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, content in zip(pdf[ref_col], pdf[content_col]):
+                s = FakeCodec.decode_audio(bytes(content or b""))
+                zc = int(np.sum(np.abs(np.diff(np.signbit(s).astype(np.int8)))))
+                rows.append({
+                    "media_ref": ref,
+                    "n_samples": int(s.size),
+                    "rms": float(np.round(np.sqrt(np.mean(s * s)), 6)),
+                    "zero_crossings": zc,
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES.fields])
+
+    return media.select(F.col(ref_col), F.col(content_col)).mapInPandas(
+        run, schema=AUDIO_FEATURES
+    )
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic opaque-binary media table from the documents
+    testdata (content = utf-8 text bytes) — the fixture used by tests and
+    the oracle-checked ``media_metadata`` query."""
+    return docs.select(
+        F.concat(F.lit("media://doc/"), F.col("doc_id").cast("string"), F.lit("/full.png")).alias("media_ref"),
+        F.lit("image").alias("media_kind"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )

@@ -59,6 +59,44 @@ def bm25_scores(
     return scored.groupBy("id").agg(F.round(F.sum("term_score"), 6).alias("score"))
 
 
+def hydrate(results: DataFrame, docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text", snippet_len: int = 80) -> DataFrame:
+    """J1/J3 hydration join (SEMANTIC-SEARCH-ROADMAP.md:41,91-98): attach
+    document text snippets to ranked (id, score) results. The result set is
+    k rows → broadcast it into the big documents table so hydration is a
+    map-side join (no shuffle of the corpus)."""
+    d = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    return (
+        d.join(F.broadcast(results), "id")
+        .select("id", "score", F.substring("_t", 1, snippet_len).alias("snippet"))
+    )
+
+
+def eval_retrieval(retrieved: DataFrame, relevant: DataFrame, k: int = 10) -> DataFrame:
+    """A5 eval metrics (SEMANTIC-SEARCH-ROADMAP.md:506-511): recall@k,
+    precision@k, MRR for one ranked result list.
+
+    ``retrieved``: (id, score) — ranked by score desc, id asc; ``relevant``:
+    (id). Metrics computed with a rank window + left join against the
+    (broadcast) relevant set; returns ONE row (recall_at_k, precision_at_k,
+    mrr). Per-query grouping at scale = same plan with a query_id in every
+    partitionBy/groupBy.
+    """
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    ranked = retrieved.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    rel = relevant.select(F.col("id").alias("rid")).withColumn("hit", F.lit(1))
+    n_rel = relevant.count()
+    joined = ranked.join(F.broadcast(rel), ranked.id == rel.rid, "left")
+    return joined.agg(
+        F.round(F.sum(F.coalesce("hit", F.lit(0))) / F.lit(float(n_rel)), 6).alias("recall_at_k"),
+        F.round(F.sum(F.coalesce("hit", F.lit(0))) / F.lit(float(k)), 6).alias("precision_at_k"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.min(F.when(F.col("hit") == 1, F.col("rank"))), F.lit(0.0)),
+            6,
+        ).alias("mrr"),
+    )
+
+
 def rrf_fuse(
     ranked_a: DataFrame,
     ranked_b: DataFrame,

@@ -58,6 +58,75 @@ def ann_lsh_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    centroid_stride: int = 50,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k.
+
+    Cells: a deterministic centroid subset (every ``centroid_stride``-th
+    vector — stand-in for a persisted k-means model; the *mechanism* is what
+    scales: the centroid set is model-sized, broadcast/inlined, never
+    shuffled). Each vector is assigned to its max-cosine centroid as a PURE
+    EXPRESSION (array_max over per-centroid score structs — zero shuffle,
+    ties to the lower centroid id); the query probes its ``nprobe`` best
+    cells and exact-scores only vectors assigned there: candidates ≈
+    N * nprobe / n_cells. At 100 TB: partition the vector table BY the cell
+    id so a probe prunes partitions at the scan.
+    """
+    cents = sorted(
+        (int(r[0]), list(r[1]))
+        for r in embeddings.filter(F.col(id_col) % centroid_stride == 0)
+        .select(id_col, vec_col).collect()
+    )
+
+    def lit_vec(v):
+        return F.array(*[F.lit(float(x)) for x in v])
+
+    def assign_expr(v):
+        entries = [
+            F.struct(
+                cosine(v, lit_vec(cv)).alias("s"), F.lit(-cid).alias("negcid")
+            )
+            for cid, cv in cents
+        ]
+        return -F.array_max(F.array(*entries))["negcid"]
+
+    q = [float(x) for x in query_vec]
+    probe_scores = sorted(
+        ((_cos_py(q, cv), -cid) for cid, cv in cents), reverse=True
+    )[:nprobe]
+    probed = [-negcid for _s, negcid in probe_scores]
+
+    qcol = lit_vec(q)
+    return (
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            assign_expr(F.col(vec_col)).alias("cell"),
+        )
+        .filter(F.col("cell").isin(probed))
+        .select("id", F.round(cosine(F.col("v"), qcol), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def _cos_py(a: list[float], b: list[float]) -> float:
+    """Sequential-sum cosine, same fold order as the Spark/DuckDB exprs."""
+    dot = na = nb = 0.0
+    for x, y in zip(a, b):
+        dot += float(x) * float(y)
+        na += float(x) * float(x)
+        nb += float(y) * float(y)
+    return dot / ((na ** 0.5) * (nb ** 0.5))
+
+
 def knn_join_brute(
     left: DataFrame,
     right: DataFrame,

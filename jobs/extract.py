@@ -118,6 +118,27 @@ def run_extract(
     }
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Make ``doc_agent_spark`` importable on executors when the job is run
+    as a bare ``spark-submit jobs/extract.py`` (no --py-files): zip the
+    package and addPyFile it. A no-op overhead when --py-files already
+    shipped a dist zip (the production path) — addPyFile just adds a second
+    copy earlier on sys.path with identical contents."""
+    import shutil
+    import tempfile
+
+    import doc_agent_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(doc_agent_spark.__file__))
+    zpath = shutil.make_archive(
+        os.path.join(tempfile.mkdtemp(prefix="dasz"), "doc_agent_spark"),
+        "zip",
+        root_dir=os.path.dirname(pkg_dir),
+        base_dir="doc_agent_spark",
+    )
+    spark.sparkContext.addPyFile(zpath)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
@@ -132,6 +153,7 @@ def main() -> None:
     from doc_agent_spark.session import get_spark
 
     spark = get_spark(app=f"extract-{args.run_id}")
+    ship_package(spark)
     stats = run_extract(
         spark, args.input, args.output, args.lineage, args.metrics,
         args.run_id, args.buckets, args.split_heavy_over,

@@ -1,0 +1,95 @@
+"""Multimodal plumbing tests — schema, batch shape, and deterministic
+pseudo-codec goldens (SURVEY §1.2 binary handling; decode itself is stubbed
+by FakeCodec since no media libs ship in this container)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from doc_agent_spark.operators import multimodal
+
+
+def _media_df(spark, rows):
+    return spark.createDataFrame(rows, "media_ref string, content binary")
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return _media_df(
+        spark,
+        [
+            ("m1", b"hello world, this is image one"),
+            ("m2", b"x" * 2048),
+            ("m3", b""),
+        ],
+    )
+
+
+def test_fake_codec_dims_deterministic():
+    w, h = multimodal.FakeCodec.image_dims(30)
+    assert (w, h) == (16 + 30 % 241, 16 + (30 // 7) % 181)
+    arr = multimodal.FakeCodec.decode_image(b"abc")
+    # tiled bytes: first three pixels are a,b,c then repeat
+    assert arr.dtype == np.uint8
+    assert arr.flatten()[:6].tolist() == [97, 98, 99, 97, 98, 99]
+
+
+def test_image_features_schema_and_values(media):
+    out = {r.media_ref: r for r in multimodal.image_features(media).collect()}
+    assert set(out) == {"m1", "m2", "m3"}
+    r = out["m1"]
+    content = b"hello world, this is image one"
+    w, h = multimodal.FakeCodec.image_dims(len(content))
+    assert (r.n_bytes, r.width, r.height) == (len(content), w, h)
+    assert r.content_sha256 == hashlib.sha256(content).hexdigest()
+    arr = multimodal.FakeCodec.decode_image(content)
+    assert r.mean_pixel == pytest.approx(float(np.round(arr.mean(), 6)))
+    # empty content must not crash the batch; dims from n=0
+    assert out["m3"].n_bytes == 0
+
+
+def test_resize_images_fixed_shape(media):
+    rows = multimodal.resize_images(media, out_w=8, out_h=4).collect()
+    for r in rows:
+        assert (r.width, r.height) == (8, 4)
+        assert len(bytes(r.pixels)) == 8 * 4
+    # deterministic: same input → same pixels
+    again = {r.media_ref: bytes(r.pixels) for r in multimodal.resize_images(media, 8, 4).collect()}
+    assert {r.media_ref: bytes(r.pixels) for r in rows} == again
+
+
+def test_sample_frames_row_expansion(media):
+    rows = multimodal.sample_frames(media, every_n_bytes=512, max_frames=3).collect()
+    by_ref = {}
+    for r in rows:
+        by_ref.setdefault(r.media_ref, []).append(r)
+    # 2048 bytes / 512 = 4 → capped at 3 frames; small/empty content → 1 frame
+    assert len(by_ref["m2"]) == 3
+    assert len(by_ref["m1"]) == 1
+    assert len(by_ref["m3"]) == 1
+    assert [r.frame_idx for r in sorted(by_ref["m2"], key=lambda x: x.frame_idx)] == [0, 1, 2]
+    # frames are contiguous slices of the content
+    frames = sorted(by_ref["m2"], key=lambda x: x.frame_idx)
+    joined = b"".join(bytes(f.frame) for f in frames)
+    assert (b"x" * 2048).startswith(joined) and len(joined) > 0
+
+
+def test_audio_features(media):
+    out = {r.media_ref: r for r in multimodal.audio_features(media).collect()}
+    s = multimodal.FakeCodec.decode_audio(b"x" * 2048)
+    assert out["m2"].n_samples == 2048
+    assert out["m2"].rms == pytest.approx(float(np.round(np.sqrt((s * s).mean()), 6)))
+    assert out["m2"].zero_crossings == 0  # constant signal
+
+
+def test_media_from_documents_roundtrip(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = multimodal.media_from_documents(docs)
+    row = media.limit(1).collect()[0]
+    assert row.media_ref.startswith("media://doc/")
+    assert isinstance(bytes(row.content), bytes)
+    feats = multimodal.image_features(media.limit(5)).collect()
+    assert len(feats) == 5 and all(f.content_sha256 for f in feats)

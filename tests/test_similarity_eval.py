@@ -1,0 +1,90 @@
+"""IVF ANN, embedding near-dup dedup, retrieval eval, hydration join —
+golden tests on small constructed inputs plus parity checks on testdata."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from doc_agent_spark.operators import dedup, search, similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _brute_ids(emb, q, k, exclude=None):
+    got = similarity.cosine_topk(emb, q, k=k).collect()
+    return [r.id for r in got]
+
+
+def test_ivf_subset_of_brute(emb):
+    q = list(emb.filter(F.col("vec_id") == 0).collect()[0].embedding)
+    ivf = similarity.ivf_topk(emb, q, k=10, centroid_stride=50, nprobe=2).collect()
+    assert len(ivf) == 10
+    # query itself lives in a probed cell → rank 1 with score 1.0
+    assert ivf[0].id == 0 and ivf[0].score == pytest.approx(1.0)
+    # scores sorted desc, deterministic tie-break
+    scores = [r.score for r in ivf]
+    assert scores == sorted(scores, reverse=True)
+    # every IVF hit must carry its true cosine (spot parity vs brute list)
+    brute = {r.id: r.score for r in similarity.cosine_topk(emb, q, k=500).collect()}
+    for r in ivf:
+        assert brute[r.id] == pytest.approx(r.score, abs=1e-9)
+
+
+def test_ivf_nprobe_widens_recall(emb):
+    q = list(emb.filter(F.col("vec_id") == 7).collect()[0].embedding)
+    ids_1 = {r.id for r in similarity.ivf_topk(emb, q, k=10, nprobe=1).collect()}
+    ids_4 = {r.id for r in similarity.ivf_topk(emb, q, k=10, nprobe=4).collect()}
+    brute = set(_brute_ids(emb, q, 10))
+    assert len(ids_4 & brute) >= len(ids_1 & brute)
+
+
+def test_embedding_near_dups_self_pairs(spark):
+    # two identical vectors + one orthogonal: exactly one pair at cos=1
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = dedup.embedding_near_dups(df, threshold=0.95, n_planes=2).collect()
+    assert [(r.id_a, r.id_b, r.cosine) for r in got] == [(1, 2, 1.0)]
+
+
+def test_embedding_near_dups_blocking_never_false_positives(emb):
+    got = dedup.embedding_near_dups(emb, threshold=0.9, n_planes=4).collect()
+    for r in got:  # verification step guarantees threshold on every pair
+        assert r.cosine >= 0.9 and r.id_a < r.id_b
+
+
+def test_eval_retrieval_golden(spark):
+    retrieved = spark.createDataFrame(
+        [(10, 0.9), (11, 0.8), (12, 0.7), (13, 0.6)], "id long, score double"
+    )
+    relevant = spark.createDataFrame([(11,), (13,), (99,)], "id long")
+    row = search.eval_retrieval(retrieved, relevant, k=3).collect()[0]
+    # top-3 = [10, 11, 12]; hits = {11} → recall 1/3, precision 1/3, mrr 1/2
+    assert row.recall_at_k == pytest.approx(1 / 3, abs=1e-6)
+    assert row.precision_at_k == pytest.approx(1 / 3, abs=1e-6)
+    assert row.mrr == pytest.approx(0.5, abs=1e-6)
+
+
+def test_eval_retrieval_no_hits(spark):
+    retrieved = spark.createDataFrame([(1, 0.5)], "id long, score double")
+    relevant = spark.createDataFrame([(42,)], "id long")
+    row = search.eval_retrieval(retrieved, relevant, k=1).collect()[0]
+    assert (row.recall_at_k, row.precision_at_k, row.mrr) == (0.0, 0.0, 0.0)
+
+
+def test_hydrate_broadcast_join(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    results = spark.createDataFrame([(0, 1.0), (3, 0.5)], "id long, score double")
+    got = {r.id: r for r in search.hydrate(results, docs, id_col="doc_id").collect()}
+    assert set(got) == {0, 3}
+    assert len(got[0].snippet) <= 80
+    plan = search.hydrate(results, docs, id_col="doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

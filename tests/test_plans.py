@@ -1,0 +1,100 @@
+"""Physical-plan assertions — the plans we WANT at 100 TB, not just plans
+that pass (SURVEY §4.2). Each test pins a scale property: broadcast where a
+side is small, zero exchanges where the pipeline is narrow, pushdown/pruning
+reaching the parquet scan, and whole-stage codegen on the expression path."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from doc_agent_spark.operators import extractor
+from doc_agent_spark.sources.tables import spans_from_documents
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_q5_broadcasts_small_dims(spark, sf_dir):
+    plan = _plan(entrymod.q5_nation_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # nation/region must never shuffle
+
+
+def test_extraction_pipeline_is_narrow(docs):
+    """The flagship extraction plan must contain NO shuffle: scan →
+    derive spans (exprs) → ArrowEvalPython/mapInPandas. Partition count in
+    == partition count out; nothing exchanges."""
+    plan = _plan(extractor.extract(spans_from_documents(docs)))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+
+
+def test_filter_pushdown_reaches_scan(docs):
+    plan = _plan(docs.filter(F.col("doc_id") == 42).select("doc_id", "lang"))
+    assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,42)]" in plan
+
+
+def test_column_pruning_reaches_scan(docs):
+    """A 2-column projection must not read `text` (the heavy column)."""
+    plan = _plan(docs.select("doc_id", "lang"))
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    plan = _plan(entrymod.top_orders(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # top-k never global-sorts
+
+
+def test_relational_queries_stay_jvm_side(spark, sf_dir):
+    """No Python evaluation in any pure-relational/expression query — the
+    slow path is reserved for the extraction/media UDFs only."""
+    for name in ["q1_pricing_summary", "q3_shipping_priority", "q5_nation_revenue",
+                 "events_sessions", "page_assembly", "dedup_exact", "cosine_topk",
+                 "minhash_lsh_pairs", "lang_id_counts", "quality_tokens"]:
+        plan = _plan(entrymod.queries()[name](spark, sf_dir))
+        assert "Python" not in plan, f"{name} fell off the JVM path"
+        assert "BatchEvalPython" not in plan, f"{name} uses row-at-a-time Python"
+
+
+def test_whole_stage_codegen_on_expression_path(spark, sf_dir):
+    df = entrymod.q1_pricing_summary(spark, sf_dir)
+    df.collect()  # AQE finalizes the plan (and its codegen stages) on execution
+    plan = _plan(df)
+    # '*(N) ' prefixes mark whole-stage-codegen stages in the plan string;
+    # both the partial (map-side) and final aggregate must be inside one
+    assert "*(1) HashAggregate" in plan and "*(2) HashAggregate" in plan
+
+
+def test_hydrate_broadcasts_results_not_corpus(spark, sf_dir):
+    plan = _plan(entrymod.search_hydrate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    """q1 must do map-side partial aggregation (HashAggregate appears both
+    below and above the exchange)."""
+    plan = _plan(entrymod.q1_pricing_summary(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_exact_dedup_never_shuffles_text(spark, sf_dir):
+    """The dedup shuffle key is the md5 — the optimized plan's exchange input
+    must not carry the raw text column."""
+    df = entrymod.dedup_exact(spark, sf_dir)
+    plan = _plan(df)
+    exchange_idx = plan.find("Exchange")
+    assert exchange_idx != -1
+    below = plan[exchange_idx:]
+    assert "text_md5" in below and ", text" not in below

@@ -60,6 +60,86 @@ def events_windowed_counts(events: DataFrame, window: str = "1 hour",
     )
 
 
+SESSION_OUTPUT_SCHEMA = "user_id long, session_start timestamp, session_end timestamp, n_events long, sum_value double"
+SESSION_STATE_SCHEMA = "session_start long, last_ts long, n_events long, sum_value double"
+SESSION_GAP_S = 1800
+
+
+def _session_fn(key, pdfs, state):
+    """applyInPandasWithState worker: per-user session accumulation.
+
+    State carries (session_start_us, last_ts_us, n_events, sum_value).
+    A gap > SESSION_GAP_S closes the current session (emitted) and opens a
+    new one; event-time timeout closes the last session when the watermark
+    passes last_ts + gap. Emission order within a user is session order.
+    """
+    import pandas as pd
+
+    (user_id,) = key
+    GAP_US = SESSION_GAP_S * 1_000_000
+    out = []
+
+    if state.hasTimedOut:
+        ss, ls, n, sv = state.get
+        out.append((user_id, ss, ls, n, sv))
+        state.remove()
+    else:
+        rows = []
+        for pdf in pdfs:
+            for ts, v in zip(pdf["ts"], pdf["value"]):
+                rows.append((int(pd.Timestamp(ts).value // 1000), float(v)))
+        rows.sort()
+        if state.exists:
+            ss, ls, n, sv = state.get
+        else:
+            ss = ls = None
+            n, sv = 0, 0.0
+        for ts_us, v in rows:
+            if ss is None:
+                ss, ls, n, sv = ts_us, ts_us, 1, v
+            elif ts_us - ls > GAP_US:
+                out.append((user_id, ss, ls, n, sv))
+                ss, ls, n, sv = ts_us, ts_us, 1, v
+            else:
+                ls, n, sv = ts_us, n + 1, sv + v
+        if ss is not None:
+            state.update((ss, ls, n, sv))
+            state.setTimeoutTimestamp(ls // 1000 + SESSION_GAP_S * 1000)
+
+    if out:
+        yield pd.DataFrame({
+            "user_id": [r[0] for r in out],
+            "session_start": [pd.Timestamp(r[1], unit="us") for r in out],
+            "session_end": [pd.Timestamp(r[2], unit="us") for r in out],
+            "n_events": [r[3] for r in out],
+            "sum_value": [r[4] for r in out],
+        })
+
+
+def sessionize_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator: event-time sessionization with a 30-min gap
+    via ``applyInPandasWithState`` (the reference has no streaming at all —
+    SURVEY §2.7; this is the scale-path for continuous metric feeds).
+
+    State is per-user and O(1); the stream shuffles once on user_id. Sessions
+    close either inline (gap observed within the data) or by event-time
+    timeout when the watermark passes last_ts + gap.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def events_stream_to_memory(spark: SparkSession, input_dir: str, checkpoint_dir: str,
                             query_name: str = "events_counts"):
     """readStream variant of the events aggregation (file source), writing

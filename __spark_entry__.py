@@ -463,6 +463,42 @@ def doc_point_lookup(spark, sf_dir):
     )
 
 
+def customers_without_orders(spark, sf_dir):
+    """Left anti-join (J4 miss-set analog): customers with no big order
+    (threshold keeps the result non-trivial on this testdata)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def top_orders_per_segment(spark, sf_dir):
+    """Per-group top-N via rank window (W5 rank machinery over groups)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_mktsegment", "rnk", "o_orderkey", "o_totalprice")
+    )
+
+
+def events_rollup(spark, sf_dir):
+    """ROLLUP aggregation (grouping-set machinery): per (type, hour),
+    per type, and grand total."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type", F.hour("ts").alias("hour_of_day"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -497,6 +533,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_hydrate": search_hydrate,
         "knn_join": knn_join,
         "doc_point_lookup": doc_point_lookup,
+        "customers_without_orders": customers_without_orders,
+        "top_orders_per_segment": top_orders_per_segment,
+        "events_rollup": events_rollup,
     }
 
 
@@ -912,5 +951,22 @@ SELECT lid, rid, score, rank FROM rk WHERE rank <= 3
 """,
         "doc_point_lookup": """
 SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42
+""",
+        "customers_without_orders": """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+""",
+        "top_orders_per_segment": """
+SELECT c_mktsegment, rnk, o_orderkey, o_totalprice FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders JOIN customer ON o_custkey = c_custkey)
+WHERE rnk <= 3
+""",
+        "events_rollup": """
+SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour_of_day,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY ROLLUP (event_type, hour(ts))
 """,
     }

@@ -103,10 +103,23 @@ def _timed_extraction(spark, corpus_path: str, n_docs: int, repeats: int) -> flo
 # ---------------------------------------------------------------------------
 
 def phase_extract(cpus: int, n_docs: int, repeats: int) -> dict:
+    """Headline throughput at the best single-host operating point.
+
+    With a core budget >=16 that is ``local[budget-4]`` with plain 1-cpu
+    tasks: JVM feeders and python workers pipeline (each pair rarely needs 2
+    full cores simultaneously) while the 4-core headroom absorbs JVM service
+    threads (GC, scheduler, parquet footer IO) — measured ~20 s vs ~27 s for
+    task.cpus=2 on the 1.5M-doc corpus. Full oversubscription (local[32] on
+    32 cores) collapses to ~73 s, so the headroom is what makes plain slots
+    viable. Small budgets keep udf_heavy (no headroom to give)."""
     from doc_agent_spark.session import get_spark
 
-    spark = get_spark(app="bench-extract", master=f"local[{cpus}]",
-                      shuffle_partitions=cpus * 2, udf_heavy=True)
+    if cpus >= 16:
+        spark = get_spark(app="bench-extract", master=f"local[{cpus - 4}]",
+                          shuffle_partitions=cpus * 2)
+    else:
+        spark = get_spark(app="bench-extract", master=f"local[{cpus}]",
+                          shuffle_partitions=cpus * 2, udf_heavy=True)
     corpus_path = ensure_corpus(spark, n_docs)
     sec = _timed_extraction(spark, corpus_path, n_docs, repeats)
     spark.stop()

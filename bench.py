@@ -169,6 +169,80 @@ def phase_scale(cores: int, n_docs: int, repeats: int) -> dict:
             "fingerprint": [int(row.rows), str(row.h)]}
 
 
+def ensure_skew_corpus(spark, n_docs: int) -> str:
+    """A corpus with a PATHOLOGICAL layout: every media-heavy doc (2%, 50-200
+    spans each — ~45% of total span mass) packed into ONE parquet file, the
+    rest spread over many. Models the real-world case of a crawl shard of
+    media-rich documents landing in one input split."""
+    path = os.path.join(BENCH_DIR, f"skew_{n_docs}.parquet")
+    if os.path.exists(path + "/_SUCCESS"):
+        return path
+    from pyspark.sql import functions as F
+
+    from doc_agent_spark.corpus import make_doc
+    from doc_agent_spark.schema import DOCUMENTS_SPANS
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                d = make_doc(int(i))
+                if int(i) % 50 == 0:  # force-heavy 2%: replicate spans to 50-200
+                    base = d["spans"]
+                    k = 50 + (int(i) // 50) % 151
+                    d["spans"] = [
+                        {**base[j % len(base)], "offset": j} for j in range(k)
+                    ]
+                rows.append(d)
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    tmp = path + "._tmp"
+    df = (
+        spark.range(n_docs)
+        .repartition(64)
+        .mapInPandas(gen, DOCUMENTS_SPANS)
+        .withColumn("is_heavy", F.size("spans") > 32)
+    )
+    # one file for ALL heavy docs, 63 for the light rest
+    df.repartition(64, "is_heavy").drop("is_heavy").write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+    return path
+
+
+def phase_skew(cpus: int, n_docs: int) -> dict:
+    """Quantifies the two skew levers (plans/skew.py) on the pathological
+    layout: naive narrow plan (straggler-bound) vs salted spread vs
+    heavy-doc split/regroup. Same outputs in all three (tested in
+    tests/test_extractor.py); this phase measures walls only."""
+    from doc_agent_spark.operators import extractor
+    from doc_agent_spark.plans.skew import split_heavy, spread_by_doc
+    from doc_agent_spark.session import get_spark
+
+    slots = cpus - 4 if cpus >= 16 else cpus
+    spark = get_spark(app="bench-skew", master=f"local[{slots}]",
+                      shuffle_partitions=cpus * 2)
+    path = ensure_skew_corpus(spark, n_docs)
+    docs = spark.read.parquet(path)
+    run_noop(extractor.extract(docs.limit(2000)))  # warm pool
+    out = {
+        "naive_sec": round(min(run_noop(extractor.extract(docs)) for _ in range(2)), 3),
+        "salted_spread_sec": round(min(
+            run_noop(extractor.extract(spread_by_doc(docs, slots * 4))) for _ in range(2)
+        ), 3),
+        "split_heavy_sec": round(min(
+            run_noop(extractor.extract(split_heavy(docs, max_spans=32, num_partitions=slots * 4)))
+            for _ in range(2)
+        ), 3),
+    }
+    spark.stop()
+    return out
+
+
 def _run_phase(args: list[str]) -> dict:
     """Run one phase in a fresh python/JVM subprocess; phase JSON on stdout's
     last line (Spark banners precede it)."""
@@ -197,6 +271,8 @@ def main() -> None:
             print(json.dumps(phase_suite(cpus, sf_dir)))
         elif phase == "scale":
             print(json.dumps(phase_scale(int(sys.argv[2]), n_docs, repeats)))
+        elif phase == "skew":
+            print(json.dumps(phase_skew(cpus, int(os.environ.get("BENCH_SKEW_DOCS", "200000")))))
         return
 
     ext = _run_phase(["extract"])
@@ -213,6 +289,9 @@ def main() -> None:
         "docs_per_sec": ext["docs_per_sec"],
         "cpus": cpus,
     }
+
+    if os.environ.get("BENCH_SKEW") == "1":
+        result["skew"] = _run_phase(["skew"])
 
     if os.environ.get("BENCH_SCALING") == "1":
         lo, hi = max(cpus // 4, 1), cpus

@@ -15,6 +15,13 @@ compute cost inside the extraction UDF (a doc with 200 media spans costs
   restored from DATA (offset), never partition order. Use when single docs
   exceed what one task should hold; costs a shuffle for the heavy slice
   only (the light slice stays narrow and is unioned back).
+
+Measured tradeoff (bench.py skew phase, BASELINE.md): on a corpus whose
+heavy docs are clustered in one input file, spread_by_doc is 6.8× faster
+than the naive plan (42.7 s → 6.3 s) while split_heavy is slightly SLOWER
+than naive (two shuffles + regroup). Reach for split_heavy only when
+individual documents are large enough to dominate a single task — doc-level
+salting cannot split within one doc; span-level decomposition can.
 """
 
 from __future__ import annotations

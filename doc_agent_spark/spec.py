@@ -182,12 +182,30 @@ def _nullish(*vals):
     return ABSENT
 
 
+_ITEM_FAST_KEYS = frozenset(("description", "quantity", "unit_price", "total"))
+
+
 def normalize_line_item(item) -> dict:
     """LineItemSchema (schemas.ts:13-34). Returns normalized dict with None
     for absent optionals. F2 description uses FALSY-skip ('' skipped);
     F3-F5 use nullish coalescing (0 survives)."""
     if not isinstance(item, dict):
         raise ZodParseError("line item is not an object")
+    # Fast path for the extractor's own canonical shape (exact-guarded so the
+    # general Zod semantics below stay authoritative for arbitrary JSON):
+    # with ONLY these keys present, the alias chains collapse and JS
+    # Number(null) === 0 applies to each null numeric (zod coerce).
+    if item.keys() == _ITEM_FAST_KEYS:
+        d, q, u, t = item["description"], item["quantity"], item["unit_price"], item["total"]
+        if isinstance(d, str) and all(
+            v is None or (type(v) is float and v == v) for v in (q, u, t)  # v==v: no NaN
+        ):
+            return {
+                "description": d or "Unknown item",
+                "quantity": 0.0 if q is None else q,
+                "unit_price": 0.0 if u is None else u,
+                "total": 0.0 if t is None else t,
+            }
     desc = _zod_string_optional(_get(item, "description"))
     name = _zod_string_optional(_get(item, "name"))
     item_f = _zod_string_optional(_get(item, "item"))
@@ -315,10 +333,9 @@ def classify(text: str) -> str:
         return "bank_statement"
     if _RE_INVOICE.search(text) or _RE_DUE.search(text):
         return "invoice"
-    has_total = any(_RE_TOTAL_LINE.match(ln) for ln in text.split("\n"))
-    has_sub_or_tax = any(
-        _RE_SUBTOTAL.match(ln) or _RE_TAX.match(ln) for ln in text.split("\n")
-    )
+    lns = text.split("\n")
+    has_total = any(_RE_TOTAL_LINE.match(ln) for ln in lns)
+    has_sub_or_tax = any(_RE_SUBTOTAL.match(ln) or _RE_TAX.match(ln) for ln in lns)
     if has_total and has_sub_or_tax:
         return "receipt"
     return "other"
@@ -349,105 +366,114 @@ def _doc_lines(spans: list[dict]) -> list[PageLine]:
     return out
 
 
+_RE_ENDING_BAL = re.compile(r"(?:ending|closing)\s+balance", re.I)
+_RE_HAS_ALPHA = re.compile(r"[A-Za-z]")
+
+
 def extract_fields(lines: list[PageLine], doc_type: str) -> dict:
     """Deterministic field extraction per the prompt's amount rules
     (ollama.ts:94-103). Every extracted field carries the provenance
-    media_ref of the line it came from."""
+    media_ref of the line it came from.
+
+    Single pass over lines with each regex evaluated at most once per line
+    (the line-anchored patterns all tolerate surrounding whitespace, so raw
+    vs stripped evaluation is boolean-identical). Field semantics: vendor/
+    date/account/invoice-amount/bank-amount = FIRST match; receipt/other
+    amount = LAST matching total line; items = every matching line in order.
+    The plain-item-equals-vendor skip compares against the FINAL vendor, so
+    it is applied as a post-filter (a plain item line can precede the vendor
+    line only when the vendor is not yet known mid-pass)."""
     vendor = None  # (text, ref)
     date_raw = None
     amount = None
     account = None
-    items: list[tuple[dict, str]] = []
+    raw_items: list[tuple[dict, str, str | None]] = []  # (item, ref, plain_desc)
 
-    # vendor: first line that contains a letter and is not a field-ish line
     for pl in lines:
-        s = pl.line.strip()
-        if not s or not re.search(r"[A-Za-z]", s):
-            continue
-        if _RE_RESERVED.match(s) or _RE_DUE.search(s) or _RE_INVOICE.match(s):
-            continue
-        if _RE_ITEM_QTY.match(s) or _RE_TXN.match(s) or _RE_ITEM_PLAIN.match(s):
-            continue
-        if _RE_DATE_TOKEN.fullmatch(s):
-            continue
-        vendor = (s, pl.media_ref)
-        break
+        s = pl.line
+        reserved = _RE_RESERVED.match(s)
+        due = _RE_DUE.search(s)
+        m_txn = _RE_TXN.match(s)
+        m_qty = _RE_ITEM_QTY.match(s)
+        m_plain = _RE_ITEM_PLAIN.match(s)
 
-    # date: first date-looking token in line order
-    for pl in lines:
-        m = _RE_DATE_TOKEN.search(pl.line)
-        if m:
-            date_raw = (m.group(1), pl.media_ref)
-            break
+        if vendor is None:
+            st = s.strip()
+            if (
+                st
+                and _RE_HAS_ALPHA.search(st)
+                and not reserved
+                and not due
+                and not _RE_INVOICE.match(st)
+                and not m_qty
+                and not m_txn
+                and not m_plain
+                and not _RE_DATE_TOKEN.fullmatch(st)
+            ):
+                vendor = (st, pl.media_ref)
+        if date_raw is None:
+            m = _RE_DATE_TOKEN.search(s)
+            if m:
+                date_raw = (m.group(1), pl.media_ref)
+        # account is only ever consumed for bank statements (output span is
+        # gated on type == bank_statement in extract_document), so the scan
+        # is skipped for the other ~2/3 of documents
+        if account is None and doc_type == "bank_statement":
+            m = _RE_ACCOUNT.search(s)
+            if m:
+                account = (m.group(1), pl.media_ref)
 
-    # account number (bank_statement context, ollama.ts:92)
-    for pl in lines:
-        m = _RE_ACCOUNT.search(pl.line)
-        if m:
-            account = (m.group(1), pl.media_ref)
-            break
-
-    # amount by type (ollama.ts:94-103)
-    if doc_type == "receipt":
-        for pl in lines:  # last Total line that is not Subtotal/payment
-            s = pl.line
+        # amount by type (ollama.ts:94-103)
+        if doc_type == "receipt":
             if _RE_TOTAL_LINE.match(s) and not _RE_SUBTOTAL.match(s) and not _RE_PAYMENT.match(s):
                 v = _parse_money(s)
                 if v is not None:
-                    amount = (v, pl.media_ref)
-    elif doc_type == "invoice":
-        for pl in lines:
-            if _RE_DUE.search(pl.line):
-                v = _parse_money(pl.line)
+                    amount = (v, pl.media_ref)  # last total line wins
+        elif doc_type == "invoice":
+            if amount is None and due:
+                v = _parse_money(s)
                 if v is not None:
                     amount = (v, pl.media_ref)
-                    break
-    elif doc_type == "bank_statement":
-        for pl in lines:
-            if re.search(r"(?:ending|closing)\s+balance", pl.line, re.I):
-                v = _parse_money(pl.line)
+        elif doc_type == "bank_statement":
+            if amount is None and _RE_ENDING_BAL.search(s):
+                v = _parse_money(s)
                 if v is not None:
                     amount = (v, pl.media_ref)
-                    break
-    else:  # other: the main total amount shown
-        for pl in lines:
-            if _RE_TOTAL_LINE.match(pl.line):
-                v = _parse_money(pl.line)
+        else:  # other: the main total amount shown (last)
+            if _RE_TOTAL_LINE.match(s):
+                v = _parse_money(s)
                 if v is not None:
                     amount = (v, pl.media_ref)
 
-    # line items (products / services / transactions, ollama.ts:99)
-    for pl in lines:
-        s = pl.line
-        if _RE_RESERVED.match(s) or _RE_DUE.search(s):
+        # line items (products / services / transactions, ollama.ts:99)
+        if reserved or due:
             continue
-        m = _RE_TXN.match(s)
-        if m and doc_type == "bank_statement":
-            items.append((
-                {"description": m.group(2).strip(), "quantity": None,
-                 "unit_price": None, "total": _parse_money(m.group(3))},
-                pl.media_ref,
+        if m_txn and doc_type == "bank_statement":
+            raw_items.append((
+                {"description": m_txn.group(2).strip(), "quantity": None,
+                 "unit_price": None, "total": _parse_money(m_txn.group(3))},
+                pl.media_ref, None,
             ))
             continue
-        m = _RE_ITEM_QTY.match(s)
-        if m:
-            qty = float(m.group(1))
-            total = _parse_money(m.group(3))
-            items.append((
-                {"description": m.group(2).strip(), "quantity": qty,
-                 "unit_price": None, "total": total},
-                pl.media_ref,
+        if m_qty:
+            raw_items.append((
+                {"description": m_qty.group(2).strip(), "quantity": float(m_qty.group(1)),
+                 "unit_price": None, "total": _parse_money(m_qty.group(3))},
+                pl.media_ref, None,
             ))
             continue
-        m = _RE_ITEM_PLAIN.match(s)
-        if m and re.search(r"[A-Za-z]", m.group(1)):
-            if vendor and m.group(1).strip() == vendor[0]:
-                continue
-            items.append((
-                {"description": m.group(1).strip(), "quantity": None,
-                 "unit_price": None, "total": _parse_money(m.group(2))},
-                pl.media_ref,
+        if m_plain and _RE_HAS_ALPHA.search(m_plain.group(1)):
+            raw_items.append((
+                {"description": m_plain.group(1).strip(), "quantity": None,
+                 "unit_price": None, "total": _parse_money(m_plain.group(2))},
+                pl.media_ref, m_plain.group(1).strip(),
             ))
+
+    vtext = vendor[0] if vendor else None
+    items = [
+        (it, ref) for it, ref, plain_desc in raw_items
+        if plain_desc is None or vtext is None or plain_desc != vtext
+    ]
 
     return {
         "vendor": vendor,

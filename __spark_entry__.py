@@ -28,8 +28,10 @@ from doc_agent_spark.functions.hashing import path_hash  # noqa: E402
 from doc_agent_spark.functions.mime import filename_of, mime_of  # noqa: E402
 from doc_agent_spark.functions.salvage import salvage_from_json  # noqa: E402
 from doc_agent_spark.operators import (  # noqa: E402
+    boilerplate,
     dedup,
     extractor,
+    layout,
     multimodal,
     search,
     similarity,
@@ -489,6 +491,36 @@ def top_orders_per_segment(spark, sf_dir):
     )
 
 
+def boilerplate_strip(spark, sf_dir):
+    """Readability/Boilerpipe-style block scoring over an HTML-wrapped doc
+    (nav/footer boilerplate must be dropped, prose kept, tags stripped)."""
+    docs = load(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<nav><a href=/>Home</a> | <a href=/about>About</a></nav>\n\n"),
+        F.col("text"),
+        F.lit("\n\n<footer>(c) 2024 <a href=/terms>Terms</a></footer>"),
+    )
+    return docs.select(
+        "doc_id",
+        boilerplate.main_content(html).alias("main_content"),
+        F.size(
+            F.filter(boilerplate.block_scores(html), lambda s: s.is_content)
+        ).alias("n_content_blocks"),
+    )
+
+
+def layout_runs(spark, sf_dir):
+    """Line/column-run segmentation over a deterministic two-line columnar
+    text (variable-width first cell exercises real offset arithmetic)."""
+    docs = load(spark, sf_dir, "documents")
+    txt = F.concat_ws(
+        "\n",
+        F.concat(F.lit("doc"), F.col("doc_id").cast("string"), F.lit("      "), F.col("lang")),
+        F.concat(F.col("source"), F.lit("   "), F.col("n_chars").cast("string")),
+    )
+    return layout.line_column_runs(docs.select("doc_id", txt.alias("text")))
+
+
 def events_rollup(spark, sf_dir):
     """ROLLUP aggregation (grouping-set machinery): per (type, hour),
     per type, and grand total."""
@@ -536,6 +568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": customers_without_orders,
         "top_orders_per_segment": top_orders_per_segment,
         "events_rollup": events_rollup,
+        "boilerplate_strip": boilerplate_strip,
+        "layout_runs": layout_runs,
     }
 
 
@@ -585,6 +619,76 @@ def _lsh_bucket_sql(vec_expr: str, n_planes: int = 4, seed: int = 42) -> str:
         )
         terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << j} ELSE 0 END)")
     return " + ".join(terms)
+
+
+# boilerplate block scoring (operators/boilerplate.py mirrored 1:1):
+# words/lines/tags/link-density per block; content iff words>=6 AND
+# density>=4 AND tag_ratio<=0.25 AND link_density<=0.5
+_BP_WORDS = ("len(list_filter(string_split_regex(regexp_replace(b, '<[^>]*>', ' ', 'g'), "
+             "'\\s+'), w -> w <> ''))")
+_BP_LINES = ("greatest(len(list_filter(string_split_regex(b, '\\n'), l -> trim(l) <> '')), 1)")
+_BP_TAGS = "len(regexp_extract_all(b, '<[^>]*>'))"
+# coalesce: DuckDB array_to_string([]) is NULL where Spark array_join is ''
+_BP_LINKED = ("len(list_filter(string_split_regex(coalesce(array_to_string("
+              "regexp_extract_all(b, '(?s)<a\\b[^>]*>(.*?)</a>', 1), ' '), ''), '\\s+'), w -> w <> ''))")
+_BP_IS_CONTENT = (
+    f"(({_BP_WORDS}) >= 6 AND CAST({_BP_WORDS} AS DOUBLE) / ({_BP_LINES}) >= 4.0 "
+    f"AND (CASE WHEN ({_BP_WORDS}) > 0 THEN CAST({_BP_TAGS} AS DOUBLE) / ({_BP_WORDS}) ELSE 1.0 END) <= 0.25 "
+    f"AND (CASE WHEN ({_BP_WORDS}) > 0 THEN CAST({_BP_LINKED} AS DOUBLE) / ({_BP_WORDS}) ELSE 1.0 END) <= 0.5)"
+)
+
+_BOILERPLATE_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+    '<nav><a href=/>Home</a> | <a href=/about>About</a></nav>' || chr(10) || chr(10)
+    || text || chr(10) || chr(10)
+    || '<footer>(c) 2024 <a href=/terms>Terms</a></footer>' AS html
+  FROM documents),
+blk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(html, '\\n\\s*\\n'), x -> trim(x) <> '') AS blocks
+  FROM h),
+scored AS (
+  SELECT doc_id,
+         list_filter(blocks, b -> {_BP_IS_CONTENT}) AS content
+  FROM blk)
+SELECT doc_id,
+  coalesce(array_to_string(list_transform(content,
+    b -> trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), '[ \\t]+', ' ', 'g'))),
+    chr(10) || chr(10)), '') AS main_content,
+  CAST(len(content) AS INTEGER) AS n_content_blocks
+FROM scored
+""".strip()
+
+_LAYOUT_RUNS_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         'doc' || CAST(doc_id AS VARCHAR) || '      ' || lang || chr(10) ||
+         source || '   ' || CAST(n_chars AS VARCHAR) AS txt
+  FROM documents),
+lines AS (
+  SELECT doc_id,
+         unnest(list_transform(string_split(txt, chr(10)),
+                (x, i) -> {'line_no': CAST(i - 1 AS INTEGER), 'line': x})) AS L
+  FROM t)
+SELECT doc_id AS id, L.line_no,
+  unnest(
+    list_transform(
+      list_filter(
+        list_transform(
+          regexp_extract_all(L.line, '\S+(?: \S+)*|\s+'),
+          (s, i) -> {'col_start':
+                       list_aggregate(
+                         list_transform(regexp_extract_all(L.line, '\S+(?: \S+)*|\s+')[1:i-1],
+                                        x -> length(x)), 'sum'),
+                     'run_text': s}),
+        e -> trim(e.run_text) <> ''),
+      (e, i) -> {'run_idx': CAST(i - 1 AS INTEGER),
+                 'col_start': CAST(coalesce(e.col_start, 0) AS INTEGER),
+                 'run_text': e.run_text}),
+    recursive := true)
+FROM lines
+""".strip()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -969,4 +1073,6 @@ SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour_of_day,
        count(*) AS n_events, round(sum(value), 4) AS sum_value
 FROM events GROUP BY ROLLUP (event_type, hour(ts))
 """,
+        "boilerplate_strip": _BOILERPLATE_SQL,
+        "layout_runs": _LAYOUT_RUNS_SQL,
     }

@@ -1,0 +1,91 @@
+"""Golden tests: boilerplate block scoring and line/column-run layout
+segmentation (north_star capabilities; pure-expression operators)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from doc_agent_spark.operators import boilerplate, layout
+
+HTML_DOC = (
+    "<nav><a href=/>Home</a> | <a href=/about>About</a> | <a href=/contact>Contact</a></nav>\n"
+    "\n"
+    "The quick brown fox jumps over the lazy dog near the river bank today.\n"
+    "It was a bright cold day in April and the clocks were striking thirteen loudly.\n"
+    "\n"
+    "<footer>© 2024 Example Corp <a href=/terms>Terms</a></footer>\n"
+    "\n"
+    "Short.\n"
+)
+
+
+def test_block_scoring_keeps_prose_drops_nav(spark):
+    df = spark.createDataFrame([(1, HTML_DOC)], "id long, text string")
+    rows = df.select(boilerplate.block_scores(F.col("text")).alias("b")).collect()[0].b
+    assert len(rows) == 4
+    nav, prose, footer, short = rows
+    assert not nav.is_content            # high link density + tag ratio
+    assert prose.is_content              # dense prose
+    assert not footer.is_content
+    assert not short.is_content          # below min words
+    assert prose.words == 29 and prose.lines == 2
+
+
+def test_main_content_strips_tags_and_boilerplate(spark):
+    df = spark.createDataFrame([(1, HTML_DOC)], "id long, text string")
+    got = df.select(boilerplate.main_content(F.col("text")).alias("m")).collect()[0].m
+    assert "Home" not in got and "<" not in got and "©" not in got
+    assert got.startswith("The quick brown fox")
+    assert "striking thirteen loudly." in got
+
+
+def test_main_content_empty_for_pure_boilerplate(spark):
+    df = spark.createDataFrame(
+        [(1, "<nav><a href=/>Home</a></nav>\n\n<footer>x</footer>")],
+        "id long, text string",
+    )
+    assert df.select(boilerplate.main_content(F.col("text")).alias("m")).collect()[0].m == ""
+
+
+LAYOUT_DOC = (
+    "INVOICE            ACME CORP\n"
+    "Item     Qty       Price\n"
+    "Widget   2         10.00\n"
+    "single space line only\n"
+)
+
+
+def test_line_column_runs_offsets(spark):
+    df = spark.createDataFrame([(7, LAYOUT_DOC)], "doc_id long, text string")
+    runs = layout.line_column_runs(df).collect()
+    by_line = {}
+    for r in runs:
+        by_line.setdefault(r.line_no, []).append((r.run_idx, r.col_start, r.run_text))
+    assert by_line[0] == [(0, 0, "INVOICE"), (1, 19, "ACME CORP")]
+    assert by_line[1] == [(0, 0, "Item"), (1, 9, "Qty"), (2, 19, "Price")]
+    assert by_line[2] == [(0, 0, "Widget"), (1, 9, "2"), (2, 19, "10.00")]
+    # single interior spaces do NOT split a run
+    assert by_line[3] == [(0, 0, "single space line only")]
+    # offsets are true character positions
+    for line_no, rs in by_line.items():
+        src = LAYOUT_DOC.split("\n")[line_no]
+        for _idx, start, txt in rs:
+            assert src[start:start + len(txt)] == txt
+
+
+def test_column_profile_detects_aligned_columns(spark):
+    df = spark.createDataFrame([(7, LAYOUT_DOC)], "doc_id long, text string")
+    prof = {
+        r.col_start: r.n_lines
+        for r in layout.column_profile(layout.line_column_runs(df)).collect()
+    }
+    # columns at 0 (all 4 lines), 9 (2 lines), 19 (3 lines)
+    assert prof[0] == 4 and prof[9] == 2 and prof[19] == 3
+
+
+def test_layout_runs_leading_gap(spark):
+    df = spark.createDataFrame([(1, "   indented   x")], "doc_id long, text string")
+    runs = [(r.col_start, r.run_text) for r in layout.line_column_runs(df).collect()]
+    assert runs == [(3, "indented"), (14, "x")]

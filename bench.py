@@ -47,7 +47,8 @@ SUITE = (
     "events_sessions", "page_assembly", "dedup_exact", "minhash_lsh_pairs",
     "simhash_clusters", "cosine_topk", "ann_lsh_topk", "ivf_topk",
     "embedding_near_dups", "bm25_topk", "rrf_fusion", "lang_id_counts",
-    "quality_tokens", "media_metadata", "extraction_flagship",
+    "quality_tokens", "media_metadata", "boilerplate_strip", "layout_runs",
+    "extraction_flagship",
 )
 
 

@@ -85,6 +85,23 @@ def block_scores(text: Column) -> Column:
     return F.transform(blocks, score)
 
 
+def dom_tokens(text: Column) -> Column:
+    """Batched DOM tokenization (north_star "batched DOM/byte-stream
+    tokenization"): the markup stream as an ordered token sequence
+    array<struct<kind,'tag'|'text', token:string>> — tags kept verbatim
+    (lowercased name form preserved by the consumer), text runs trimmed,
+    whitespace-only runs dropped. One regexp scan, vectorized JVM-side."""
+    raw = F.regexp_extract_all(text, F.lit(r"(<[^>]*>|[^<]+)"), F.lit(1))
+    toks = F.transform(
+        raw,
+        lambda t: F.struct(
+            F.when(t.startswith("<"), F.lit("tag")).otherwise(F.lit("text")).alias("kind"),
+            F.when(t.startswith("<"), t).otherwise(F.trim(t)).alias("token"),
+        ),
+    )
+    return F.filter(toks, lambda s: s.token != "")
+
+
 def main_content(text: Column) -> Column:
     """Boilerplate-stripped main content: content blocks, tags removed,
     whitespace-normalized, joined by '\n\n'."""

@@ -49,6 +49,22 @@ def test_main_content_empty_for_pure_boilerplate(spark):
     assert df.select(boilerplate.main_content(F.col("text")).alias("m")).collect()[0].m == ""
 
 
+def test_dom_tokens_stream(spark):
+    df = spark.createDataFrame(
+        [(1, '<div class="x">Hello <b>world</b>!</div>  ')], "id long, text string"
+    )
+    toks = df.select(boilerplate.dom_tokens(F.col("text")).alias("t")).collect()[0].t
+    assert [(t.kind, t.token) for t in toks] == [
+        ("tag", '<div class="x">'),
+        ("text", "Hello"),
+        ("tag", "<b>"),
+        ("text", "world"),
+        ("tag", "</b>"),
+        ("text", "!"),
+        ("tag", "</div>"),
+    ]
+
+
 LAYOUT_DOC = (
     "INVOICE            ACME CORP\n"
     "Item     Qty       Price\n"

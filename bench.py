@@ -8,9 +8,11 @@ Env knobs:
   SPARK_GRAFT_SF_DIR   table dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
   BENCH_DOCS           synthetic corpus size (default 1_500_000)
-  BENCH_SCALING=1      also run the N-vs-4N scaling protocol
-                       (BASELINE.md §3) and report scaling efficiency +
-                       identical-results fingerprint equality
+  BENCH_SCALING=0      skip the N-vs-4N scaling protocol (BASELINE.md §3;
+                       ON by default — reports scaling efficiency +
+                       identical-results fingerprint equality)
+  BENCH_SKEW=1         also run the skew-lever phase (naive vs salted
+                       spread vs split-heavy on a clustered heavy layout)
 
 Methodology (each point matters; they were all discovered the hard way):
 - Every phase runs in its OWN subprocess → fresh JVM per phase, like real
@@ -294,7 +296,8 @@ def main() -> None:
     if os.environ.get("BENCH_SKEW") == "1":
         result["skew"] = _run_phase(["skew"])
 
-    if os.environ.get("BENCH_SCALING") == "1":
+    if os.environ.get("BENCH_SCALING", "1") != "0":  # default ON: the N-vs-4N
+        # efficiency is part of the target metric (BASELINE.json north_rule)
         lo, hi = max(cpus // 4, 1), cpus
         small = _run_phase(["scale", str(lo)])
         large = _run_phase(["scale", str(hi)])

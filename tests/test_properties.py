@@ -1,0 +1,134 @@
+"""Property-based tests (hypothesis) for the JS-semantics hard parts
+(SURVEY §7.3): Number() coercion, date normalization, JSON salvage, page
+assembly, money parsing. These are pure-Python spec functions — no Spark
+session needed, so thousands of cases run in seconds."""
+
+from __future__ import annotations
+
+import json
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from doc_agent_spark import spec
+from doc_agent_spark.jsdate import js_num_to_str, js_number, normalize_date
+
+settings.register_profile("ci", max_examples=300, deadline=None)
+settings.load_profile("ci")
+
+
+# --- js_number ------------------------------------------------------------
+
+@given(st.floats(allow_nan=False, allow_infinity=False))
+def test_js_number_roundtrips_floats(x):
+    assert js_number(x) == x
+
+
+@given(st.integers(min_value=-10**15, max_value=10**15))
+def test_js_number_parses_decimal_strings(n):
+    assert js_number(str(n)) == float(n)
+
+
+@given(st.text(alphabet="0123456789., -+eE$", max_size=20))
+def test_js_number_total_no_crash(s):
+    v = js_number(s)
+    assert isinstance(v, float)  # NaN allowed; never raises
+
+
+@given(st.floats(allow_nan=False, allow_infinity=False, min_value=-1e15, max_value=1e15))
+def test_js_num_to_str_reparses_to_same_value(x):
+    s = js_num_to_str(x)
+    assert float(s) == x
+    if x == int(x):
+        assert "." not in s  # String(1250.0) === '1250'
+
+
+# --- normalize_date -------------------------------------------------------
+
+@given(st.integers(1, 12), st.integers(1, 28), st.integers(1970, 2099))
+def test_normalize_date_iso_identity(m, d, y):
+    assert normalize_date(f"{y}-{m:02d}-{d:02d}") == f"{y}-{m:02d}-{d:02d}"
+
+
+@given(st.integers(1, 12), st.integers(1, 28))
+def test_normalize_date_mdy_two_digit_year(m, d):
+    # 2-digit years: the reference's fallback expands YY -> 20YY; V8 new Date
+    # maps <50 -> 20YY, so for 24 both arms agree
+    assert normalize_date(f"{m:02d}/{d:02d}/24") == f"2024-{m:02d}-{d:02d}"
+
+
+@given(st.integers(1, 12), st.integers(1, 28), st.integers(1970, 2099))
+def test_normalize_date_mdy_four_digit(m, d, y):
+    assert normalize_date(f"{m}/{d}/{y}") == f"{y}-{m:02d}-{d:02d}"
+
+
+@given(st.integers(13, 99), st.integers(1, 28))
+def test_normalize_date_invalid_month_rejected(m, d):
+    assert normalize_date(f"{m:02d}/{d:02d}/2024") is None
+
+
+@given(st.text(max_size=30))
+def test_normalize_date_total(s):
+    v = normalize_date(s)
+    assert v is None or (len(v) == 10 and v[4] == "-" and v[7] == "-")
+
+
+# --- salvage parse --------------------------------------------------------
+
+json_objects = st.dictionaries(
+    st.text(alphabet=st.characters(blacklist_characters="{}", blacklist_categories=("Cs",)), max_size=8),
+    st.one_of(st.none(), st.integers(-1000, 1000), st.floats(-1e6, 1e6, allow_nan=False),
+              st.text(alphabet=st.characters(blacklist_characters="{}", blacklist_categories=("Cs",)), max_size=12)),
+    max_size=5,
+)
+
+
+@given(json_objects)
+def test_salvage_recovers_wrapped_json(obj):
+    raw = json.dumps(obj)
+    assert spec.salvage_parse(raw) == obj
+    # brace-slice salvage (ollama.ts:210-216): noise must not contain braces
+    assert spec.salvage_parse(f"noise {raw} trailing") == obj
+
+
+@given(st.text(alphabet=st.characters(blacklist_characters="{}", blacklist_categories=("Cs",)), max_size=40))
+def test_salvage_rejects_braceless_garbage(s):
+    try:
+        v = spec.salvage_parse(s)
+        assert isinstance(v, dict)  # only if s itself was a JSON object string
+    except spec.ZodParseError:
+        pass
+
+
+# --- page assembly --------------------------------------------------------
+
+@given(st.lists(st.one_of(st.none(), st.text(max_size=20)), max_size=8))
+def test_assemble_pages_invariants(pages):
+    out = spec.assemble_pages(pages)
+    kept = [(i + 1, (t or "").strip()) for i, t in enumerate(pages) if (t or "").strip()]
+    # every kept page appears with its PRE-filter 1-based number (ocr.ts:46)
+    for num, txt in kept:
+        assert f"--- Page {num} ---\n{txt}" in out
+    assert out.count("--- Page ") == len(kept)
+    if not kept:
+        assert out == ""
+
+
+# --- money parsing --------------------------------------------------------
+
+@given(st.integers(0, 10**6), st.integers(0, 99), st.booleans(), st.booleans())
+def test_parse_money_tail(cents_units, cents, neg, grouped):
+    v = cents_units + cents / 100.0
+    s = f"{v:,.2f}" if grouped else f"{v:.2f}"
+    if neg:
+        s = "-" + s
+    line = f"Total    {s}"
+    got = spec._parse_money(line)
+    assert got is not None
+    assert math.isclose(got, -v if neg else v, abs_tol=1e-9)
+
+
+@given(st.text(alphabet="abc $-.,", max_size=20))
+def test_parse_money_total_no_crash(s):
+    spec._parse_money(s)  # never raises

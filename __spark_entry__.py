@@ -63,6 +63,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # shared builders (each mirrored 1:1 in oracle_sql)
 # ---------------------------------------------------------------------------
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Parallelize compute-heavy narrow stages when the input layout
+    under-splits (the testdata tables are single small parquet files → 1-2
+    scan partitions → serial execution of per-row expression work). One
+    round-robin shuffle; result semantics are order-insensitive. The 100 TB
+    analog is plans.skew.spread_by_doc on clustered layouts."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(p)
+
+
 def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ re-keyed copies of every 10th doc (known exact dups)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -70,7 +80,7 @@ def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 10 == 0)
         .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     )
-    return docs.unionByName(dups)
+    return _spread(docs.unionByName(dups))
 
 
 _DUP_CORPUS_SQL = """
@@ -385,7 +395,7 @@ def rrf_fusion(spark, sf_dir):
 
 
 def lang_id_counts(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(load(spark, sf_dir, "documents"))
     return (
         docs.select(textfns.lang_id(F.col("text")).alias("pred_lang"))
         .groupBy("pred_lang")
@@ -394,7 +404,7 @@ def lang_id_counts(spark, sf_dir):
 
 
 def quality_tokens(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(load(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         textfns.token_count(F.col("text")).alias("n_ws_tokens"),
@@ -410,7 +420,7 @@ def extraction_flagship(spark, sf_dir):
 
 
 def embedding_near_dups(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _spread(load(spark, sf_dir, "embeddings"))
     # testdata embeddings are near-orthogonal (max pairwise cosine ≈ 0.51),
     # so the near-dup threshold for oracle coverage sits at 0.4
     return dedup.embedding_near_dups(emb, threshold=0.4, n_planes=4)
@@ -494,7 +504,7 @@ def top_orders_per_segment(spark, sf_dir):
 def boilerplate_strip(spark, sf_dir):
     """Readability/Boilerpipe-style block scoring over an HTML-wrapped doc
     (nav/footer boilerplate must be dropped, prose kept, tags stripped)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(load(spark, sf_dir, "documents"))
     html = F.concat(
         F.lit("<nav><a href=/>Home</a> | <a href=/about>About</a></nav>\n\n"),
         F.col("text"),

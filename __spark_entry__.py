@@ -80,7 +80,7 @@ def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 10 == 0)
         .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     )
-    return _spread(docs.unionByName(dups))
+    return docs.unionByName(dups)
 
 
 _DUP_CORPUS_SQL = """
@@ -360,15 +360,16 @@ def fingerprint_dups(spark, sf_dir):
 
 
 def minhash_lsh_pairs(spark, sf_dir):
-    return dedup.minhash_lsh_pairs(_dup_corpus(spark, sf_dir), k=8, bands=4)
+    # heavy per-row shingle+md5 work → spread the under-split input first
+    return dedup.minhash_lsh_pairs(_spread(_dup_corpus(spark, sf_dir)), k=8, bands=4)
 
 
 def ngram_jaccard(spark, sf_dir):
-    return dedup.ngram_jaccard_pairs(_dup_corpus(spark, sf_dir), threshold=0.8)
+    return dedup.ngram_jaccard_pairs(_spread(_dup_corpus(spark, sf_dir)), threshold=0.8)
 
 
 def simhash_clusters(spark, sf_dir):
-    return dedup.simhash_clusters(_dup_corpus(spark, sf_dir))
+    return dedup.simhash_clusters(_spread(_dup_corpus(spark, sf_dir)))
 
 
 def cosine_topk(spark, sf_dir):

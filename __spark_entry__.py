@@ -487,6 +487,17 @@ def customers_without_orders(spark, sf_dir):
     )
 
 
+def orders_with_pricey_items(spark, sf_dir):
+    """Left semi-join (EXISTS decorrelation): orders having at least one
+    line item above a price threshold."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 90000)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
 def top_orders_per_segment(spark, sf_dir):
     """Per-group top-N via rank window (W5 rank machinery over groups)."""
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
@@ -577,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": knn_join,
         "doc_point_lookup": doc_point_lookup,
         "customers_without_orders": customers_without_orders,
+        "orders_with_pricey_items": orders_with_pricey_items,
         "top_orders_per_segment": top_orders_per_segment,
         "events_rollup": events_rollup,
         "boilerplate_strip": boilerplate_strip,
@@ -1070,6 +1082,11 @@ SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42
         "customers_without_orders": """
 SELECT c_custkey, c_name, c_mktsegment FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+""",
+        "orders_with_pricey_items": """
+SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_extendedprice > 90000)
 """,
         "top_orders_per_segment": """
 SELECT c_mktsegment, rnk, o_orderkey, o_totalprice FROM (

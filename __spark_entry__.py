@@ -248,7 +248,10 @@ def events_sessions(spark, sf_dir):
     return (
         ev.withColumn("new_sess", new_sess)
         .groupBy("user_id")
-        .agg(F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events"))
+        .agg(
+            F.sum("new_sess").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
     )
 
 
@@ -780,7 +783,7 @@ WITH g AS (
          epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
   FROM events)
 SELECT user_id,
-       sum(CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END) AS n_sessions,
+       CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM g GROUP BY user_id
 """,
@@ -1043,9 +1046,9 @@ ORDER BY score DESC, id ASC LIMIT 10
 """,
         "media_metadata": """
 SELECT 'media://doc/' || CAST(doc_id AS VARCHAR) || '/full.png' AS media_ref,
-       CAST(length(text) AS BIGINT) AS n_bytes,
-       CAST(16 + length(text) % 241 AS INTEGER) AS width,
-       CAST(16 + (length(text) // 7) % 181 AS INTEGER) AS height,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(16 + strlen(text) % 241 AS INTEGER) AS width,
+       CAST(16 + (strlen(text) // 7) % 181 AS INTEGER) AS height,
        sha256(text) AS content_sha256
 FROM documents
 """,
@@ -1074,7 +1077,7 @@ r AS (SELECT vec_id AS rid, embedding AS rv FROM embeddings WHERE vec_id % 50 = 
 s AS (SELECT lid, rid, round({_cos_sql('lv', 'rv')}, 6) AS score FROM l CROSS JOIN r),
 rk AS (SELECT lid, rid, score,
        row_number() OVER (PARTITION BY lid ORDER BY score DESC, rid ASC) AS rank FROM s)
-SELECT lid, rid, score, rank FROM rk WHERE rank <= 3
+SELECT lid, rid, score, CAST(rank AS INTEGER) AS rank FROM rk WHERE rank <= 3
 """,
         "doc_point_lookup": """
 SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42
@@ -1089,7 +1092,7 @@ WHERE EXISTS (SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey AND l_extendedprice > 90000)
 """,
         "top_orders_per_segment": """
-SELECT c_mktsegment, rnk, o_orderkey, o_totalprice FROM (
+SELECT c_mktsegment, CAST(rnk AS INTEGER) AS rnk, o_orderkey, o_totalprice FROM (
   SELECT c_mktsegment, o_orderkey, o_totalprice,
          row_number() OVER (PARTITION BY c_mktsegment
                             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk

@@ -41,6 +41,42 @@ def rows_canon(cols, rows):
     )
 
 
+# The driver hashes *typed* results, so value equality alone is not enough:
+# DuckDB sum(int) -> HUGEINT while Spark sum -> BIGINT hashes differently even
+# when every value is equal (round-1 events_sessions lesson). Map both engines'
+# types to one canonical vocabulary and require exact agreement.
+_TYPE_ALIASES = {
+    "varchar": "string", "char": "string", "text": "string",
+    "integer": "int", "int32": "int", "int4": "int",
+    "bigint": "long", "int64": "long", "int8": "long",
+    "hugeint": "int128", "uhugeint": "uint128",
+    "smallint": "short", "int16": "short", "int2": "short",
+    "tinyint": "byte", "utinyint": "ubyte",
+    "double precision": "double", "float8": "double",
+    "real": "float", "float4": "float", "float": "float",
+    "boolean": "bool",
+    "timestamp_ntz": "timestamp", "timestamp without time zone": "timestamp",
+    "timestamp with time zone": "timestamptz",
+    "blob": "binary", "bytea": "binary", "varbinary": "binary",
+}
+
+
+def canon_type(t):
+    s = str(t).strip().lower()
+    # recurse into array/list element types
+    if s.startswith("array<") and s.endswith(">"):
+        return f"array<{canon_type(s[6:-1])}>"
+    if s.endswith("[]"):
+        return f"array<{canon_type(s[:-2])}>"
+    if s.startswith("decimal"):
+        return s.replace(" ", "")
+    return _TYPE_ALIASES.get(s, s)
+
+
+def type_map(names, types):
+    return {n: canon_type(t) for n, t in zip(names, types)}
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -68,9 +104,10 @@ def main():
             print(f"PASS(rows-only) {name}: {len(srows)} rows")
             continue
         try:
-            res = con.execute(os_[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(os_[name])
+            dcols = list(rel.columns)
+            dtypes = [str(t) for t in rel.types]
+            drows = rel.fetchall()
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"FAIL {name}: duckdb error {str(e)[:300]}")
@@ -78,6 +115,13 @@ def main():
         if sorted(scols) != sorted(dcols):
             failures.append((name, f"cols spark={sorted(scols)} duck={sorted(dcols)}"))
             print(f"FAIL {name}: column mismatch spark={sorted(scols)} duck={sorted(dcols)}")
+            continue
+        stypes = type_map(scols, [f.dataType.simpleString() for f in sdf.schema.fields])
+        dtmap = type_map(dcols, dtypes)
+        badt = {c: (stypes[c], dtmap[c]) for c in scols if stypes[c] != dtmap[c]}
+        if badt:
+            failures.append((name, f"type mismatch {badt}"))
+            print(f"FAIL {name}: type mismatch {badt}")
             continue
         if len(srows) != len(drows):
             failures.append((name, f"rowcount spark={len(srows)} duck={len(drows)}"))

@@ -71,7 +71,20 @@ def _session_fn(key, pdfs, state):
     State carries (session_start_us, last_ts_us, n_events, sum_value).
     A gap > SESSION_GAP_S closes the current session (emitted) and opens a
     new one; event-time timeout closes the last session when the watermark
-    passes last_ts + gap. Emission order within a user is session order.
+    passes last_ts + gap.
+
+    Out-of-order handling (events within the watermark but older than the
+    state's last_ts — they arrive in a LATER micro-batch, so rows.sort()
+    alone cannot fix them):
+    - within [session_start - gap, last_ts]: merged into the open session,
+      extending session_start backwards / never regressing session_end
+      (ss = min, ls = max);
+    - older than session_start - gap: the event belongs to a session that
+      precedes the open one. Consecutive such stragglers are coalesced into
+      their own session and emitted this batch (append mode cannot retract
+      sessions already emitted, so this is the best-effort completion the
+      watermark contract allows).
+    Emitted rows are sorted by session_start per user.
     """
     import pandas as pd
 
@@ -94,14 +107,29 @@ def _session_fn(key, pdfs, state):
         else:
             ss = ls = None
             n, sv = 0, 0.0
+        po = None  # pending straggler session, strictly older than the open one
         for ts_us, v in rows:
             if ss is None:
                 ss, ls, n, sv = ts_us, ts_us, 1, v
+            elif ts_us < ss - GAP_US:
+                # straggler from before the open session (sorted input ⇒ all
+                # stragglers precede in-order rows, so po is complete once a
+                # row lands in another branch)
+                if po is not None and ts_us - po[1] <= GAP_US:
+                    po = (po[0], max(po[1], ts_us), po[2] + 1, po[3] + v)
+                else:
+                    if po is not None:
+                        out.append((user_id, *po))
+                    po = (ts_us, ts_us, 1, v)
             elif ts_us - ls > GAP_US:
                 out.append((user_id, ss, ls, n, sv))
                 ss, ls, n, sv = ts_us, ts_us, 1, v
             else:
-                ls, n, sv = ts_us, n + 1, sv + v
+                ss, ls = min(ss, ts_us), max(ls, ts_us)
+                n, sv = n + 1, sv + v
+        if po is not None:
+            out.append((user_id, *po))
+        out.sort(key=lambda r: r[1])
         if ss is not None:
             state.update((ss, ls, n, sv))
             state.setTimeoutTimestamp(ls // 1000 + SESSION_GAP_S * 1000)

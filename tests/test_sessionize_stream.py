@@ -63,6 +63,66 @@ def session_rows(spark, tmp_path_factory):
     return spark.sql("SELECT * FROM sessions").collect()
 
 
+@pytest.fixture(scope="module")
+def ooo_rows(spark, tmp_path_factory):
+    """Out-of-order events in a SECOND micro-batch (within the 2h watermark
+    but older than the state's last_ts) — rows.sort() can't fix these."""
+    d = tmp_path_factory.mktemp("ooo")
+    in_dir, ckpt = str(d / "in"), str(d / "ckpt")
+    # batch 1: user 5 open session 10:00-10:10; user 6 open session 10:00
+    spark.createDataFrame(
+        [(5, _t(0), 1.0), (5, _t(10), 2.0), (6, _t(0), 1.0)], SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(in_dir + "/b1")
+    # batch 2 (all within the 2h watermark of batch 1's 10:10 max):
+    # - user 5 at 9:55: older than last_ts but within gap of session_start
+    #   → must MERGE, extending session_start back to 9:55 (not regress
+    #   session_end to 9:55 — the round-1 bug)
+    # - user 6 at 8:30+8:35: stragglers > gap before the open session
+    #   → their own coalesced session
+    # - user 3 far-future: advances watermark → timeouts fire
+    spark.createDataFrame(
+        [
+            (5, _t(55, hour=9), 4.0),
+            (6, _t(30, hour=8), 0.25), (6, _t(35, hour=8), 0.25),
+            (3, _t(0, hour=20), 0.5),
+        ],
+        SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(in_dir + "/b2")
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir + "/*")
+    )
+    q = (
+        sessionize_stream(stream, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("ooo_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql("SELECT * FROM ooo_sessions").collect()
+
+
+def test_out_of_order_merge_extends_start_not_end(ooo_rows):
+    u5 = [r for r in ooo_rows if r.user_id == 5]
+    assert len(u5) == 1
+    s = u5[0]
+    assert (s.session_start, s.session_end) == (_t(55, hour=9), _t(10))
+    assert (s.n_events, s.sum_value) == (3, 7.0)
+
+
+def test_straggler_older_than_gap_becomes_own_session(ooo_rows):
+    u6 = sorted([r for r in ooo_rows if r.user_id == 6], key=lambda r: r.session_start)
+    assert [(r.session_start, r.session_end, r.n_events, r.sum_value) for r in u6] == [
+        (_t(30, hour=8), _t(35, hour=8), 2, 0.5),
+        (_t(0), _t(0), 1, 1.0),
+    ]
+
+
 def test_inline_gap_closes_first_session(session_rows):
     u1 = sorted(
         [r for r in session_rows if r.user_id == 1], key=lambda r: r.session_start

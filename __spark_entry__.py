@@ -393,9 +393,12 @@ def bm25_topk(spark, sf_dir):
 
 
 def rrf_fusion(spark, sf_dir):
+    # top_n form: lists are cut to their top-100 by TakeOrderedAndProject and
+    # ranked windowlessly — the fused plan carries no partition-less Window
+    # (asserted in tests/test_plans.py)
     a = _cosine_scores(spark, sf_dir, 0)
     b = _cosine_scores(spark, sf_dir, 1)
-    return search.rrf_fuse(a, b, k=60)
+    return search.rrf_fuse(a, b, k=60, top_n=100)
 
 
 def lang_id_counts(spark, sf_dir):
@@ -456,6 +459,28 @@ def retrieval_eval(spark, sf_dir):
         .select(F.col("vec_id").alias("id"))
     )
     return search.eval_retrieval(retrieved, relevant, k=10)
+
+
+def retrieval_eval_by_query(spark, sf_dir):
+    """Multi-query eval harness shape: vec_ids 0-2 are the query set; each
+    query's retrieved list = cosine vs the whole corpus (minus self),
+    relevant = same-label vectors. Ranks partition by query_id."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    retrieved = scored.select(
+        "query_id",
+        F.col("vec_id").alias("id"),
+        F.round(vectors.cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
+    )
+    relevant = scored.filter(F.col("label") == F.col("qlabel")).select(
+        "query_id", F.col("vec_id").alias("id")
+    )
+    return search.eval_retrieval_by_query(retrieved, relevant, k=10)
 
 
 def search_hydrate(spark, sf_dir):
@@ -587,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": ivf_topk,
         "media_metadata": media_metadata,
         "retrieval_eval": retrieval_eval,
+        "retrieval_eval_by_query": retrieval_eval_by_query,
         "search_hydrate": search_hydrate,
         "knn_join": knn_join,
         "doc_point_lookup": doc_point_lookup,
@@ -949,10 +975,12 @@ ORDER BY score DESC, id ASC LIMIT 10
 WITH sa AS ({_cosine_scores_sql(0)}),
 sb AS ({_cosine_scores_sql(1)}),
 ra AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rank_a FROM sa),
-rb AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rank_b FROM sb)
-SELECT coalesce(ra.id, rb.id) AS id,
+rb AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rank_b FROM sb),
+ta AS (SELECT * FROM ra WHERE rank_a <= 100),
+tb AS (SELECT * FROM rb WHERE rank_b <= 100)
+SELECT coalesce(ta.id, tb.id) AS id,
        round(coalesce(1.0 / (60 + rank_a), 0.0) + coalesce(1.0 / (60 + rank_b), 0.0), 6) AS rrf_score
-FROM ra FULL OUTER JOIN rb ON ra.id = rb.id
+FROM ta FULL OUTER JOIN tb ON ta.id = tb.id
 """,
         "lang_id_counts": f"""
 WITH c AS (
@@ -1064,6 +1092,33 @@ SELECT round(sum(hit) / (SELECT count(*) FROM rel), 6) AS recall_at_k,
        round(sum(hit) / 10.0, 6) AS precision_at_k,
        round(coalesce(1.0 / min(CASE WHEN hit = 1 THEN rank END), 0.0), 6) AS mrr
 FROM j
+""",
+        "retrieval_eval_by_query": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+           FROM embeddings WHERE vec_id < 3),
+s AS (SELECT q.query_id, e.vec_id AS id, e.label, q.qlabel,
+             round({_cos_sql('e.embedding', 'q.qv')}, 6) AS score
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+ranked AS (SELECT query_id, id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, id ASC) AS rank
+           FROM s),
+rel AS (SELECT query_id, id FROM s WHERE label = qlabel),
+j AS (SELECT r.query_id, r.rank,
+             CASE WHEN rel.id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM ranked r LEFT JOIN rel
+        ON r.query_id = rel.query_id AND r.id = rel.id
+      WHERE r.rank <= 10),
+per_q AS (SELECT query_id, sum(hit) AS hits,
+                 min(CASE WHEN hit = 1 THEN rank END) AS best
+          FROM j GROUP BY query_id),
+rel_n AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY query_id)
+SELECT p.query_id,
+       round(CASE WHEN coalesce(n_rel, 0) > 0
+                  THEN CAST(hits AS DOUBLE) / n_rel ELSE 0.0 END, 6) AS recall_at_k,
+       round(CAST(hits AS DOUBLE) / 10.0, 6) AS precision_at_k,
+       round(coalesce(1.0 / best, 0.0), 6) AS mrr
+FROM per_q p LEFT JOIN rel_n USING (query_id)
 """,
         "search_hydrate": f"""
 WITH s AS ({_cosine_scores_sql(0)}),

@@ -72,24 +72,56 @@ def hydrate(results: DataFrame, docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def topk(df: DataFrame, n: int, score_col: str = "score", id_col: str = "id") -> DataFrame:
+    """Bounded top-n: orderBy+limit plans as TakeOrderedAndProject —
+    per-partition partial top-n, single tiny final merge, never a global
+    sort (asserted in tests/test_plans.py)."""
+    return df.orderBy(F.desc(score_col), F.asc(id_col)).limit(n)
+
+
+def _rank_bounded(df: DataFrame, name: str, score_col: str = "score",
+                  id_col: str = "id") -> DataFrame:
+    """Rank a BOUNDED (top-n, n ≲ 1k) result set with NO window at all:
+    rank(x) = |{y : y sorts ≤ x by (score desc, id asc)}| via a broadcast
+    self-join + count. n² comparisons with bounded n is trivia, fully
+    parallel, and avoids the partition-less Window's single-task sort —
+    the round-1 scale weakness of this module. Returns (id, rank:int).
+    """
+    x, y = df.alias("x"), df.alias("y")
+    sx, sy = F.col(f"x.{score_col}"), F.col(f"y.{score_col}")
+    ix, iy = F.col(f"x.{id_col}"), F.col(f"y.{id_col}")
+    before_or_self = (sy > sx) | ((sy == sx) & (iy <= ix))
+    return (
+        x.join(F.broadcast(y), before_or_self)
+        .groupBy(ix.alias(id_col))
+        .agg(F.count(F.lit(1)).cast("int").alias(name))
+    )
+
+
 def eval_retrieval(retrieved: DataFrame, relevant: DataFrame, k: int = 10) -> DataFrame:
     """A5 eval metrics (SEMANTIC-SEARCH-ROADMAP.md:506-511): recall@k,
     precision@k, MRR for one ranked result list.
 
     ``retrieved``: (id, score) — ranked by score desc, id asc; ``relevant``:
-    (id). Metrics computed with a rank window + left join against the
-    (broadcast) relevant set; returns ONE row (recall_at_k, precision_at_k,
-    mrr). Per-query grouping at scale = same plan with a query_id in every
-    partitionBy/groupBy.
+    (id). Top-k is a TakeOrderedAndProject and ranks come from the bounded
+    windowless ranker, so the plan has no partition-less Window; the recall
+    denominator is computed INSIDE the plan (no eager count, n_rel=0 yields
+    recall 0.0 rather than null/NaN). Returns ONE row. For eval sets use
+    :func:`eval_retrieval_by_query`.
     """
-    w = Window.orderBy(F.desc("score"), F.asc("id"))
-    ranked = retrieved.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    ranked = _rank_bounded(topk(retrieved, k), "rank")
     rel = relevant.select(F.col("id").alias("rid")).withColumn("hit", F.lit(1))
-    n_rel = relevant.count()
-    joined = ranked.join(F.broadcast(rel), ranked.id == rel.rid, "left")
+    n_rel = relevant.agg(F.count(F.lit(1)).alias("n_rel"))
+    joined = (
+        ranked.join(F.broadcast(rel), ranked.id == rel.rid, "left")
+        .crossJoin(F.broadcast(n_rel))
+    )
+    hits = F.sum(F.coalesce("hit", F.lit(0)))
     return joined.agg(
-        F.round(F.sum(F.coalesce("hit", F.lit(0))) / F.lit(float(n_rel)), 6).alias("recall_at_k"),
-        F.round(F.sum(F.coalesce("hit", F.lit(0))) / F.lit(float(k)), 6).alias("precision_at_k"),
+        F.round(
+            F.coalesce(F.when(F.max("n_rel") > 0, hits / F.max("n_rel")), F.lit(0.0)), 6
+        ).alias("recall_at_k"),
+        F.round(F.coalesce(hits, F.lit(0)) / F.lit(float(k)), 6).alias("precision_at_k"),
         F.round(
             F.coalesce(F.lit(1.0) / F.min(F.when(F.col("hit") == 1, F.col("rank"))), F.lit(0.0)),
             6,
@@ -97,26 +129,80 @@ def eval_retrieval(retrieved: DataFrame, relevant: DataFrame, k: int = 10) -> Da
     )
 
 
+def eval_retrieval_by_query(retrieved: DataFrame, relevant: DataFrame, k: int = 10,
+                            query_col: str = "query_id") -> DataFrame:
+    """Multi-query eval (the reference eval-harness shape,
+    SEMANTIC-SEARCH-ROADMAP.md:492-511): one metrics row per query.
+
+    ``retrieved``: (query_col, id, score); ``relevant``: (query_col, id).
+    Ranks use a window PARTITIONED by query_col — each query's list sorts in
+    its own task, so the stage parallelizes across queries (the scale axis
+    of an eval set). Recall denominators come from a per-query aggregation
+    joined in; queries with no relevant rows get recall 0.0.
+    """
+    w = Window.partitionBy(query_col).orderBy(F.desc("score"), F.asc("id"))
+    ranked = retrieved.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    rel = relevant.select(query_col, "id").withColumn("hit", F.lit(1))
+    joined = ranked.join(rel, [query_col, "id"], "left")
+    per_q = joined.groupBy(query_col).agg(
+        F.sum(F.coalesce("hit", F.lit(0))).alias("hits"),
+        F.min(F.when(F.col("hit") == 1, F.col("rank"))).alias("best"),
+    )
+    rel_n = relevant.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_rel"))
+    return per_q.join(rel_n, query_col, "left").select(
+        query_col,
+        F.round(
+            F.coalesce(
+                F.when(F.col("n_rel") > 0, F.col("hits") / F.col("n_rel")), F.lit(0.0)
+            ),
+            6,
+        ).alias("recall_at_k"),
+        F.round(F.col("hits") / F.lit(float(k)), 6).alias("precision_at_k"),
+        F.round(F.coalesce(F.lit(1.0) / F.col("best"), F.lit(0.0)), 6).alias("mrr"),
+    )
+
+
 def rrf_fuse(
     ranked_a: DataFrame,
     ranked_b: DataFrame,
     k: int = 60,
+    top_n: int | None = None,
+    query_col: str | None = None,
 ) -> DataFrame:
     """Reciprocal Rank Fusion (roadmap :130-135): full-outer on id,
     score = Σ 1/(k + rank); missing list contributes 0.
 
-    Inputs: (id, score) frames; ranks derived per-list by score desc, id asc.
+    Inputs: (id, score) frames (plus ``query_col`` for multi-query fusion);
+    ranks derived per-list by score desc, id asc. Three plan shapes:
+
+    - ``query_col`` set: windows partition by query — every query's lists
+      rank in parallel; the scale path for batched search.
+    - ``top_n`` set (single query): each list is first cut to its top-n by
+      TakeOrderedAndProject, then ranked by the bounded windowless ranker —
+      the fused plan contains NO Window (RRF only needs top ranks; beyond
+      top_n the 1/(k+rank) tail is ~0).
+    - neither: exact full-list fusion with a global window — only for small
+      bounded lists (kept for parity tests; not the 100 TB shape).
     """
     def ranked(df: DataFrame, name: str) -> DataFrame:
+        if query_col is not None:
+            w = Window.partitionBy(query_col).orderBy(F.desc("score"), F.asc("id"))
+            out = df.select(query_col, "id", F.row_number().over(w).alias(name))
+            if top_n is not None:
+                out = out.filter(F.col(name) <= top_n)
+            return out
+        if top_n is not None:
+            return _rank_bounded(topk(df, top_n), name)
         w = Window.orderBy(F.desc("score"), F.asc("id"))
         return df.select("id", F.row_number().over(w).alias(name))
 
+    keys = [query_col, "id"] if query_col is not None else ["id"]
     a = ranked(ranked_a, "rank_a")
     b = ranked(ranked_b, "rank_b")
     return (
-        a.join(b, "id", "full_outer")
+        a.join(b, keys, "full_outer")
         .select(
-            "id",
+            *keys,
             F.round(
                 F.coalesce(1.0 / (F.lit(k) + F.col("rank_a")), F.lit(0.0))
                 + F.coalesce(1.0 / (F.lit(k) + F.col("rank_b")), F.lit(0.0)),

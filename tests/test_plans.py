@@ -89,6 +89,24 @@ def test_partial_aggregation_before_shuffle(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_rrf_and_eval_have_no_global_window(spark, sf_dir):
+    """Round-1 weakness: partition-less Window = single-task sort of the full
+    list. The top_n RRF form and the single-list eval now rank via
+    TakeOrderedAndProject + bounded self-join — no Window node at all."""
+    for name in ["rrf_fusion", "retrieval_eval"]:
+        plan = _plan(entrymod.queries()[name](spark, sf_dir))
+        assert "Window" not in plan, f"{name} regressed to a global window"
+        assert "TakeOrderedAndProject" in plan
+
+
+def test_eval_by_query_window_is_partitioned(spark, sf_dir):
+    plan = _plan(entrymod.retrieval_eval_by_query(spark, sf_dir))
+    win_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert win_lines, "expected a (partitioned) window for per-query ranking"
+    for ln in win_lines:
+        assert "query_id" in ln, f"window not partitioned by query_id: {ln}"
+
+
 def test_exact_dedup_never_shuffles_text(spark, sf_dir):
     """The dedup shuffle key is the md5 — the optimized plan's exchange input
     must not carry the raw text column."""

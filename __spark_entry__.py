@@ -436,7 +436,9 @@ def embedding_near_dups(spark, sf_dir):
 def ivf_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0].embedding
-    return similarity.ivf_topk(emb, list(q), k=10, centroid_stride=50, nprobe=2)
+    # stride 5 → 100 centroids at sf0.01: exercises a codebook-sized cell set
+    # (the round-1 literal-expression version could only afford 10)
+    return similarity.ivf_topk(emb, list(q), k=10, centroid_stride=5, nprobe=2)
 
 
 def media_metadata(spark, sf_dir):
@@ -1051,7 +1053,7 @@ SELECT id_a, id_b, cosine FROM (
 WHERE cosine >= 0.4
 """,
         "ivf_topk": f"""
-WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),
+WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 5 = 0),
 q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 scored AS (
   SELECT e.vec_id AS id, e.embedding AS v, c.cid,

@@ -107,6 +107,15 @@ def test_eval_by_query_window_is_partitioned(spark, sf_dir):
         assert "query_id" in ln, f"window not partitioned by query_id: {ln}"
 
 
+def test_ivf_uses_broadcast_joins_not_literal_centroids(spark, sf_dir):
+    """The IVF codebook must flow through the plan as a broadcast relation:
+    probe/candidate joins are BroadcastHashJoins and no giant literal
+    centroid array appears in the expression tree (round-1 weakness)."""
+    plan = _plan(entrymod.ivf_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "array_max" not in plan  # the old literal-argmax mechanism
+
+
 def test_exact_dedup_never_shuffles_text(spark, sf_dir):
     """The dedup shuffle key is the md5 — the optimized plan's exchange input
     must not carry the raw text column."""

@@ -371,6 +371,14 @@ def ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_spread(_dup_corpus(spark, sf_dir)), threshold=0.8)
 
 
+def ngram_jaccard_capped(spark, sf_dir):
+    # df-capped variant: shingles in >20 docs are dropped before the
+    # inverted-index self-join (stop-shingle skew hardening)
+    return dedup.ngram_jaccard_pairs(
+        _spread(_dup_corpus(spark, sf_dir)), threshold=0.8, max_shingle_df=20
+    )
+
+
 def simhash_clusters(spark, sf_dir):
     return dedup.simhash_clusters(_spread(_dup_corpus(spark, sf_dir)))
 
@@ -429,8 +437,17 @@ def extraction_flagship(spark, sf_dir):
 def embedding_near_dups(spark, sf_dir):
     emb = _spread(load(spark, sf_dir, "embeddings"))
     # testdata embeddings are near-orthogonal (max pairwise cosine ≈ 0.51),
-    # so the near-dup threshold for oracle coverage sits at 0.4
-    return dedup.embedding_near_dups(emb, threshold=0.4, n_planes=4)
+    # so the near-dup threshold for oracle coverage sits at 0.4; single
+    # 4-plane table keeps this entry's round-1 oracle semantics
+    return dedup.embedding_near_dups(emb, threshold=0.4, n_planes=4, n_tables=1)
+
+
+def embedding_near_dups_banded(spark, sf_dir):
+    # scale posture: more planes (task-sized buckets) × more tables
+    # (recall restored across bands); demo plane count sized so the
+    # near-orthogonal testdata still yields a nonempty result
+    emb = _spread(load(spark, sf_dir, "embeddings"))
+    return dedup.embedding_near_dups(emb, threshold=0.4, n_planes=6, n_tables=8)
 
 
 def ivf_topk(spark, sf_dir):
@@ -602,6 +619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dups": fingerprint_dups,
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "ngram_jaccard": ngram_jaccard,
+        "ngram_jaccard_capped": ngram_jaccard_capped,
+        "embedding_near_dups_banded": embedding_near_dups_banded,
         "simhash_clusters": simhash_clusters,
         "cosine_topk": cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
@@ -930,6 +949,40 @@ inter AS (
 SELECT id_a, id_b, jaccard FROM (
   SELECT id_a, id_b, round(CAST(n_inter AS DOUBLE) / (na + nb - n_inter), 6) AS jaccard FROM inter)
 WHERE jaccard >= 0.8
+""",
+        "ngram_jaccard_capped": f"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+words AS (SELECT doc_id AS id, {_WORDS_SQL} AS w FROM corpus),
+sh AS (SELECT id, list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM words),
+ex0 AS (SELECT id, unnest(sh) AS s FROM sh),
+hot AS (SELECT s FROM (SELECT s, count(*) AS sdf FROM ex0 GROUP BY s) WHERE sdf > 20),
+kept AS (SELECT id, s FROM ex0 WHERE s NOT IN (SELECT s FROM hot)),
+sizes AS (SELECT id, CAST(count(*) AS INTEGER) AS n_sh FROM kept GROUP BY id),
+ex AS (SELECT k.id, k.s, z.n_sh FROM kept k JOIN sizes z ON k.id = z.id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b, round(CAST(n_inter AS DOUBLE) / (na + nb - n_inter), 6) AS jaccard FROM inter)
+WHERE jaccard >= 0.8
+""",
+        "embedding_near_dups_banded": f"""
+WITH b AS ({" UNION ALL ".join(
+    f"SELECT vec_id AS id, {t} AS tbl, CAST({_lsh_bucket_sql('embedding', n_planes=6, seed=42 + t)} AS INTEGER) AS bucket FROM embeddings"
+    for t in range(8)
+)}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+  FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.id < b2.id)
+SELECT id_a, id_b, cosine FROM (
+  SELECT c.id_a, c.id_b,
+         round({_cos_sql('ea.embedding', 'eb.embedding')}, 6) AS cosine
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b)
+WHERE cosine >= 0.4
 """,
         "simhash_clusters": f"""
 WITH corpus AS ({_DUP_CORPUS_SQL}),

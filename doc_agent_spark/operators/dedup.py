@@ -143,31 +143,53 @@ def embedding_near_dups(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 4,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine).
 
-    Blocking: sign-random-projection LSH bucket (functions.vectors.lsh_bucket,
-    deterministic hyperplanes) — the self-join is ON the bucket id, so the
-    candidate set is ~N²/2^planes, not N². Verification: exact cosine on
-    candidates only. At 100 TB raise n_planes so buckets stay task-sized;
-    the bucket column doubles as the repartition key.
+    Blocking: MULTI-TABLE sign-random-projection LSH (banding). Each of
+    ``n_tables`` tables hashes with ``n_planes`` deterministic hyperplanes
+    (table t's seed = seed+t); candidate pairs share a bucket in ANY table,
+    deduped before exact-cosine verification.
+
+    Scale posture (the round-1 defaults were the demo posture): high
+    ``n_planes`` keeps buckets task-sized — candidates ≈ T·N²/2^planes —
+    while multiple tables restore recall: a pair with per-plane agreement p
+    survives with 1-(1-p^planes)^tables. The bucket self-join shuffles only
+    (id, tbl, bucket) — vectors rejoin by id AFTER the distinct candidate
+    set, so the wide embedding column never rides the candidate explosion.
     """
     from ..functions.vectors import cosine, lsh_bucket
 
-    b = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        lsh_bucket(F.col(vec_col), n_planes=n_planes).alias("bucket"),
-    )
-    lhs, rhs = b.alias("a"), b.alias("b")
-    return (
-        lhs.join(rhs, on="bucket")
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    buckets = base.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    lsh_bucket(F.col("v"), n_planes=n_planes, seed=seed + t).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ])
+        ).alias("tb"),
+    ).select("id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    cand = (
+        buckets.alias("a").join(buckets.alias("b"), ["tbl", "bucket"])
         .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+            "id_a", "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -180,6 +202,7 @@ def ngram_jaccard_pairs(
     ngram: int = 3,
     threshold: float = 0.8,
     block_col: str | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs: (id_a, id_b, jaccard).
 
@@ -188,13 +211,40 @@ def ngram_jaccard_pairs(
     |A ∪ B| = |A| + |B| - |A ∩ B|. The shingle join shuffles
     (shingle, id) pairs — linear in corpus shingle mass, never O(N²).
     An optional blocking column bounds the join fan-out.
+
+    ``max_shingle_df``: document-frequency cap. A stop-shingle (a 3-gram in
+    nearly every document — boilerplate headers, licence lines) makes that
+    shingle's join group quadratic: df docs ⇒ df² candidate rows. With the
+    cap, shingles with df > cap are dropped and Jaccard is computed over
+    the KEPT shingle sets, so every join group is ≤ cap² — candidate count
+    is task-bounded regardless of corpus skew. The hot set is small by
+    construction (≤ shingle_mass/cap entries), so it folds to a single
+    collect_set row that BROADCASTS into an array_except projection — the
+    shingle mass is never re-shuffled to apply the cap.
     """
+    has_blk = [F.col(block_col).alias("blk")] if block_col else []
     base = df.select(
         F.col(id_col).alias("id"),
         word_ngrams(F.col(text_col), ngram).alias("sh"),
-        *([F.col(block_col).alias("blk")] if block_col else []),
-    ).withColumn("n_sh", F.size("sh"))
-    ex = base.select("id", "n_sh", *(["blk"] if block_col else []), F.explode("sh").alias("s"))
+        *has_blk,
+    )
+    if max_shingle_df is not None:
+        hot = (
+            base.select(F.explode("sh").alias("s"))
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("sdf"))
+            .filter(F.col("sdf") > max_shingle_df)
+            .agg(F.collect_set("s").alias("hot_set"))  # always exactly 1 row
+        )
+        base = base.crossJoin(F.broadcast(hot)).select(
+            "id",
+            F.array_except("sh", "hot_set").alias("sh"),
+            *(["blk"] if block_col else []),
+        )
+    base = base.withColumn("n_sh", F.size("sh"))
+    ex = base.select(
+        "id", "n_sh", *(["blk"] if block_col else []), F.explode("sh").alias("s")
+    )
     a, b = ex.alias("a"), ex.alias("b")
     on = [F.col("a.s") == F.col("b.s"), F.col("a.id") < F.col("b.id")]
     if block_col:

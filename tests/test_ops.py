@@ -131,3 +131,52 @@ def test_lsh_bucket_deterministic(spark):
     vals = {r.vec_id: r.b for r in out}
     assert vals[0] == vals[1]
     assert vals[0] + vals[2] == 15  # opposite vector flips every plane bit
+
+
+def test_ngram_df_cap_bounds_stop_shingle_candidates(spark):
+    """Skew hardening: one ubiquitous 3-gram must not produce a quadratic
+    candidate set. 40 docs all share a boilerplate prefix; only one true
+    near-dup pair shares rare content."""
+    boiler = "all rights reserved by the example corporation"
+    rows = [(i, f"{boiler} unique{i} filler{i} content{i} item{i}") for i in range(40)]
+    rows += [
+        (100, f"{boiler} rare shared phrase appears here alpha"),
+        (101, f"{boiler} rare shared phrase appears here beta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # threshold 0 surfaces the raw candidate pair set
+    uncapped = dedup.ngram_jaccard_pairs(df, threshold=0.0).count()
+    capped_pairs = dedup.ngram_jaccard_pairs(
+        df, threshold=0.0, max_shingle_df=5
+    ).collect()
+    assert uncapped == 42 * 41 // 2  # boilerplate joins every doc to every doc
+    # cap drops the df=42 boilerplate shingles; only the rare-phrase pair stays
+    assert [(r.id_a, r.id_b) for r in capped_pairs] == [(100, 101)]
+    # jaccard is over KEPT shingles: 6 kept each (5 boilerplate-internal
+    # dropped), 5 shared → 5 / (6 + 6 - 5)
+    assert abs(capped_pairs[0].jaccard - round(5 / 7, 6)) < 1e-9
+
+
+def test_banded_lsh_recalls_dups_with_bounded_buckets(spark):
+    """Multi-table SRP-LSH: 12 planes keep buckets tiny on near-orthogonal
+    noise, and identical vectors are still recalled (they share every
+    bucket in every table)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = [(i, [float(x) for x in rng.randn(16)]) for i in range(60)]
+    vecs.append((100, vecs[0][1]))   # exact dup of 0
+    vecs.append((101, vecs[1][1]))   # exact dup of 1
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+    out = dedup.embedding_near_dups(emb, threshold=0.99, n_planes=12, n_tables=8)
+    assert sorted((r.id_a, r.id_b) for r in out.collect()) == [(0, 100), (1, 101)]
+
+    # bucket-size boundedness: no table's bucket holds a task-breaking share
+    from doc_agent_spark.functions.vectors import lsh_bucket
+    sizes = (
+        emb.select(lsh_bucket(F.col("embedding"), n_planes=12, seed=42).alias("b"))
+        .groupBy("b").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert sizes <= 8  # 62 vectors over 4096 buckets: every bucket task-sized

@@ -29,6 +29,7 @@ from doc_agent_spark.functions.mime import filename_of, mime_of  # noqa: E402
 from doc_agent_spark.functions.salvage import salvage_from_json  # noqa: E402
 from doc_agent_spark.operators import (  # noqa: E402
     boilerplate,
+    chunking,
     dedup,
     extractor,
     layout,
@@ -90,6 +91,20 @@ SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
 """.strip()
 
 _WORDS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
+
+# fixed-window chunking CTE (mirror of operators/chunking.py 'semantic'
+# strategy, words_per_chunk=20): deterministic md5(doc_id:index) chunk ids
+_CHUNKS_SQL = """
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+n AS (SELECT doc_id, w,
+             greatest(CAST(ceil(len(w) / 20.0) AS INTEGER), 1) AS nc FROM t),
+c AS (SELECT doc_id, w, unnest(range(0, nc)) AS ci FROM n),
+chunks AS (
+  SELECT md5(CAST(doc_id AS VARCHAR) || ':' || CAST(ci AS VARCHAR)) AS chunk_id,
+         doc_id, CAST(ci AS INTEGER) AS chunk_index,
+         array_to_string(w[CAST(ci * 20 + 1 AS INTEGER):CAST(ci * 20 + 20 AS INTEGER)], ' ') AS content
+  FROM c)
+""".strip()
 
 
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int) -> DataFrame:
@@ -502,6 +517,25 @@ def retrieval_eval_by_query(spark, sf_dir):
     return search.eval_retrieval_by_query(retrieved, relevant, k=10)
 
 
+def chunk_documents(spark, sf_dir):
+    """Chunked data model (roadmap Chunk{id, documentId, content, index}).
+    Testdata text has no newlines/punctuation, so the demo uses the
+    fixed-window strategy (20 words/chunk ⇒ 2-4 chunks per doc)."""
+    docs = load(spark, sf_dir, "documents")
+    return chunking.chunk_documents(docs, strategy="semantic", words_per_chunk=20)
+
+
+def chunk_search_hydrate(spark, sf_dir):
+    """Chunk-grained search: BM25 over chunks, top-10, hydrated through the
+    chunk→document FK join (the reference's retrieval shape)."""
+    docs = load(spark, sf_dir, "documents")
+    chunks = chunking.chunk_documents(docs, strategy="semantic", words_per_chunk=20)
+    scores = search.bm25_scores(
+        chunks, ["spark", "join", "window"], id_col="chunk_id", text_col="content"
+    )
+    return chunking.hydrate_chunks(search.topk(scores, 10), chunks, docs)
+
+
 def search_hydrate(spark, sf_dir):
     topk = _cosine_scores(spark, sf_dir, 0).orderBy(F.desc("score"), F.asc("id")).limit(10)
     docs = load(spark, sf_dir, "documents")
@@ -635,6 +669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_eval": retrieval_eval,
         "retrieval_eval_by_query": retrieval_eval_by_query,
         "search_hydrate": search_hydrate,
+        "chunk_documents": chunk_documents,
+        "chunk_search_hydrate": chunk_search_hydrate,
         "knn_join": knn_join,
         "doc_point_lookup": doc_point_lookup,
         "customers_without_orders": customers_without_orders,
@@ -1174,6 +1210,31 @@ SELECT p.query_id,
        round(CAST(hits AS DOUBLE) / 10.0, 6) AS precision_at_k,
        round(coalesce(1.0 / best, 0.0), 6) AS mrr
 FROM per_q p LEFT JOIN rel_n USING (query_id)
+""",
+        "chunk_documents": f"""
+{_CHUNKS_SQL}
+SELECT chunk_id, doc_id, chunk_index, content FROM chunks
+""",
+        "chunk_search_hydrate": f"""
+{_CHUNKS_SQL},
+toks AS (SELECT chunk_id AS id,
+                list_filter(string_split_regex(lower(content), '[^a-z0-9]+'), x -> x <> '') AS w
+         FROM chunks),
+stats AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM toks),
+t2 AS (SELECT id, CAST(len(w) AS INTEGER) AS dl, unnest(w) AS term FROM toks),
+tf AS (SELECT id, dl, term, count(*) AS tf FROM t2
+       WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2, 3),
+dft AS (SELECT term, count(DISTINCT id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.id,
+         ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+         * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl)) AS ts
+  FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN stats),
+sc AS (SELECT id, round(sum(ts), 6) AS score FROM scored GROUP BY id
+       ORDER BY score DESC, id ASC LIMIT 10)
+SELECT ch.chunk_id, ch.doc_id, ch.chunk_index, s.score,
+       substring(ch.content, 1, 80) AS snippet, d.lang AS doc_lang
+FROM sc s JOIN chunks ch ON ch.chunk_id = s.id JOIN documents d ON d.doc_id = ch.doc_id
 """,
         "search_hydrate": f"""
 WITH s AS ({_cosine_scores_sql(0)}),

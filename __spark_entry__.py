@@ -92,6 +92,36 @@ SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
 
 _WORDS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
 
+def _extraction_spans_sql(assembled_sql: str) -> str:
+    """WITH-prefix producing the `spans` CTE: the flagship extractor's
+    span-sequence output (doc_id, order, kind, text, media_ref) mirrored in
+    SQL — shared by extraction_flagship and json_export."""
+    return f"""
+WITH d AS (
+  SELECT printf('doc-%08d', CAST(doc_id AS INTEGER)) AS doc_id,
+         {assembled_sql} AS assembled,
+         trim(substring(text, 1, CAST(length(text) // 3 AS INTEGER))) AS p1,
+         trim(substring(text, CAST(length(text) // 3 AS INTEGER) + 1,
+              CAST(length(text) // 3 AS INTEGER))) AS p2,
+         trim(substring(text, CAST(length(text) // 3 AS INTEGER) * 2 + 1,
+              CAST(length(text) AS INTEGER) - CAST(length(text) // 3 AS INTEGER) * 2)) AS p3
+  FROM documents),
+v AS (
+  SELECT doc_id, assembled,
+         CASE WHEN p1 <> '' THEN p1 WHEN p2 <> '' THEN p2 ELSE p3 END AS vendor,
+         CASE WHEN p1 <> '' THEN '' WHEN p2 <> '' THEN 'media://' || doc_id || '/p2.png' ELSE '' END AS vendor_ref
+  FROM d),
+spans AS (
+SELECT doc_id, 0 AS "order", 'doc_type' AS kind, 'other' AS text, '' AS media_ref FROM v
+UNION ALL
+SELECT doc_id, 1, 'vendor', vendor, vendor_ref FROM v WHERE vendor <> ''
+UNION ALL
+SELECT doc_id,
+       CASE WHEN vendor <> '' THEN 2 ELSE 1 END, 'raw_text', assembled, '' FROM v
+WHERE assembled <> '')
+""".strip()
+
+
 # fixed-window chunking CTE (mirror of operators/chunking.py 'semantic'
 # strategy, words_per_chunk=20): deterministic md5(doc_id:index) chunk ids
 _CHUNKS_SQL = """
@@ -449,6 +479,44 @@ def extraction_flagship(spark, sf_dir):
     return extractor.extracted_spans(spans_from_documents(docs))
 
 
+def json_export(spark, sf_dir):
+    """S8 JSON / dry-run export (reference cli.ts:27 `--dry-run` prints the
+    extraction result as JSON; commands/extract.ts:229-246): one JSON doc
+    per extracted document — to_json over the order-sorted span sequence.
+    Byte-parity with the DuckDB oracle's to_json is probed and exact."""
+    spans = extraction_flagship(spark, sf_dir)
+    g = spans.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("order"), F.col("kind"), F.col("text"), F.col("media_ref")
+                )
+            )
+        ).alias("spans")
+    )
+    return g.select(
+        "doc_id",
+        F.to_json(F.struct(F.col("doc_id"), F.col("spans"))).alias("json"),
+    )
+
+
+def list_documents(spark, sf_dir):
+    """S10/W3 list scan ordered by created_at DESC (reference
+    storage/src/index.ts:62-66). Testdata carries no created_at, so a
+    deterministic unique one derives from doc_id; top-25 plans as
+    TakeOrderedAndProject (never a global sort)."""
+    docs = load(spark, sf_dir, "documents")
+    created = F.expr(
+        "timestampadd(SECOND, CAST(doc_id * 7919 % 86400000 AS INT),"
+        " timestamp'2024-01-01 00:00:00')"
+    )
+    return (
+        docs.select("doc_id", "lang", "source", "n_chars", created.alias("created_at"))
+        .orderBy(F.desc("created_at"), F.asc("doc_id"))
+        .limit(25)
+    )
+
+
 def embedding_near_dups(spark, sf_dir):
     emb = _spread(load(spark, sf_dir, "embeddings"))
     # testdata embeddings are near-orthogonal (max pairwise cosine ≈ 0.51),
@@ -663,6 +731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_counts": lang_id_counts,
         "quality_tokens": quality_tokens,
         "extraction_flagship": extraction_flagship,
+        "json_export": json_export,
+        "list_documents": list_documents,
         "embedding_near_dups": embedding_near_dups,
         "ivf_topk": ivf_topk,
         "media_metadata": media_metadata,
@@ -1108,27 +1178,24 @@ SELECT doc_id,
 FROM documents
 """,
         "extraction_flagship": f"""
-WITH d AS (
-  SELECT printf('doc-%08d', CAST(doc_id AS INTEGER)) AS doc_id,
-         {assembled_sql} AS assembled,
-         trim(substring(text, 1, CAST(length(text) // 3 AS INTEGER))) AS p1,
-         trim(substring(text, CAST(length(text) // 3 AS INTEGER) + 1,
-              CAST(length(text) // 3 AS INTEGER))) AS p2,
-         trim(substring(text, CAST(length(text) // 3 AS INTEGER) * 2 + 1,
-              CAST(length(text) AS INTEGER) - CAST(length(text) // 3 AS INTEGER) * 2)) AS p3
-  FROM documents),
-v AS (
-  SELECT doc_id, assembled,
-         CASE WHEN p1 <> '' THEN p1 WHEN p2 <> '' THEN p2 ELSE p3 END AS vendor,
-         CASE WHEN p1 <> '' THEN '' WHEN p2 <> '' THEN 'media://' || doc_id || '/p2.png' ELSE '' END AS vendor_ref
-  FROM d)
-SELECT doc_id, 0 AS "order", 'doc_type' AS kind, 'other' AS text, '' AS media_ref FROM v
-UNION ALL
-SELECT doc_id, 1, 'vendor', vendor, vendor_ref FROM v WHERE vendor <> ''
-UNION ALL
-SELECT doc_id,
-       CASE WHEN vendor <> '' THEN 2 ELSE 1 END, 'raw_text', assembled, '' FROM v
-WHERE assembled <> ''
+{_extraction_spans_sql(assembled_sql)}
+SELECT * FROM spans
+""",
+        "json_export": f"""
+{_extraction_spans_sql(assembled_sql)},
+g AS (SELECT doc_id,
+             list(struct_pack("order" := "order", kind := kind, text := text,
+                              media_ref := media_ref) ORDER BY "order") AS spans
+      FROM spans GROUP BY doc_id)
+SELECT doc_id, CAST(to_json(struct_pack(doc_id := doc_id, spans := spans)) AS VARCHAR) AS json
+FROM g
+""",
+        "list_documents": """
+SELECT doc_id, lang, source, n_chars,
+       TIMESTAMP '2024-01-01 00:00:00'
+         + to_seconds(CAST(doc_id * 7919 % 86400000 AS BIGINT)) AS created_at
+FROM documents
+ORDER BY created_at DESC, doc_id ASC LIMIT 25
 """,
         "embedding_near_dups": f"""
 WITH b AS (

@@ -57,41 +57,54 @@ def _dedupe_updates(updates: DataFrame) -> DataFrame:
     )
 
 
+# per-column merge policy for matched rows (reference: on path_hash conflict
+# update {id, data, status:'pending'}; everything stamped at first insert is
+# preserved). Columns not listed take the update's value on match.
+_PRESERVE_ON_MATCH = ("filename", "created_at")
+_RESET_ON_MATCH = {"status": "pending"}
+
+
 def merge_upsert_parquet(spark: SparkSession, target_path: str, updates: DataFrame) -> None:
     """Parquet fallback with MERGE semantics on path_hash.
 
     matched rows: updated id/data, status reset, created_at preserved;
     unmatched: inserted as-is. Written via a staging path + atomic rename
     so a crash mid-write never corrupts the target (resume-safe).
+
+    SCHEMA EVOLUTION (S11, the reference's db.ts:28-76 migrate analog —
+    but additive, never reset-on-mismatch: dropping a 10^12-row table on a
+    schema change is not a cluster option): the merge is schema-driven over
+    the UNION of target and update columns. A column new in the updates
+    lands as NULL on untouched rows (Iceberg analog: ALTER TABLE ADD
+    COLUMN before MERGE — the documented production path); a column the
+    updates no longer carry is preserved from the target and NULL on fresh
+    inserts.
     """
     updates = _dedupe_updates(updates)
     if not os.path.exists(target_path):
         updates.write.mode("overwrite").parquet(target_path)
         return
     current = spark.read.parquet(target_path)
-    u = updates.select(
-        F.col("path_hash").alias("u_path_hash"),
-        F.col("id").alias("u_id"),
-        F.col("data").alias("u_data"),
-        F.col("filename").alias("u_filename"),
-        F.col("content_hash").alias("u_content_hash"),
-        F.col("status").alias("u_status"),
-        F.col("created_at").alias("u_created_at"),
-    )
-    merged = (
-        current.join(u, current.path_hash == u.u_path_hash, "full_outer")
-        .select(
-            F.coalesce("u_id", "id").alias("id"),
-            F.coalesce("path_hash", "u_path_hash").alias("path_hash"),
-            F.coalesce("filename", "u_filename").alias("filename"),
-            F.coalesce("u_content_hash", "content_hash").alias("content_hash"),
-            F.when(F.col("u_path_hash").isNotNull(), F.lit("pending"))
-            .otherwise(F.col("status")).alias("status"),
-            F.coalesce("u_data", "data").alias("data"),
-            # created_at preserved from first insert (matched case)
-            F.coalesce("created_at", "u_created_at").alias("created_at"),
-        )
-    )
+    cur_cols, upd_cols = current.columns, set(updates.columns)
+    all_cols = cur_cols + [c for c in updates.columns if c not in cur_cols]
+    u = updates.select([F.col(c).alias(f"u_{c}") for c in updates.columns])
+    matched = F.col("u_path_hash").isNotNull()
+
+    def merged_col(c: str):
+        in_u, in_c = c in upd_cols, c in set(cur_cols)
+        if not in_u:
+            return F.col(c)            # update dropped it: preserve target
+        if not in_c:
+            return F.col(f"u_{c}")     # added column: NULL on untouched rows
+        if c in _RESET_ON_MATCH:
+            return F.when(matched, F.lit(_RESET_ON_MATCH[c])).otherwise(F.col(c))
+        if c in _PRESERVE_ON_MATCH or c == "path_hash":
+            return F.coalesce(c, f"u_{c}")
+        return F.coalesce(f"u_{c}", c)  # update wins on match
+
+    merged = current.join(
+        u, current.path_hash == u.u_path_hash, "full_outer"
+    ).select(*[merged_col(c).alias(c) for c in all_cols])
     staging = target_path.rstrip("/") + "._staging"
     merged.write.mode("overwrite").parquet(staging)
     final_tmp = target_path.rstrip("/") + "._old"

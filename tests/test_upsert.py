@@ -102,3 +102,61 @@ def test_multiple_updates_same_batch_last_wins(spark, tmp_path):
     rows = spark.read.parquet(target).collect()
     assert len(rows) == 1
     assert rows[0].id == "id_b"  # deterministic: max id wins within a batch
+
+
+def test_upsert_schema_evolution_added_column(spark, tmp_path):
+    """S11 analog (reference db.ts:28-76 migrate): v2 updates carry a new
+    column; v1 rows survive with NULL there, matched rows take the new
+    value, and the usual merge policies still hold."""
+    target = str(tmp_path / "docs_store_v2")
+    h1, h2, h3 = (spec.path_hash(p) for p in ("/abs/a.pdf", "/abs/b.pdf", "/abs/c.pdf"))
+    merge_upsert_parquet(
+        spark, target,
+        _updates(spark, [
+            ("i1", h1, "a.pdf", None, "indexed", ("A", 1.0), T0),
+            ("i2", h2, "b.pdf", None, "indexed", ("B", 2.0), T0),
+        ]),
+    )
+    v2 = spark.createDataFrame(
+        [
+            ("i1b", h1, "a.pdf", None, "pending", ("A2", 1.5), T1, "ocr-v2"),
+            ("i3", h3, "c.pdf", None, "pending", ("C", 3.0), T1, "ocr-v2"),
+        ],
+        "id string, path_hash string, filename string, content_hash string, "
+        "status string, data struct<vendor:string, amount:double>, "
+        "created_at timestamp, ocr_version string",
+    )
+    merge_upsert_parquet(spark, target, v2)
+    rows = {r.path_hash: r for r in spark.read.parquet(target).collect()}
+    assert len(rows) == 3
+    assert rows[h2].ocr_version is None          # v1 row preserved, new col NULL
+    assert rows[h2].data.vendor == "B"
+    assert rows[h1].ocr_version == "ocr-v2"      # matched row takes new column
+    assert rows[h1].data.vendor == "A2" and rows[h1].created_at == T0
+    assert rows[h1].status == "pending"          # reset still applies
+    assert rows[h3].ocr_version == "ocr-v2"      # fresh insert complete
+
+
+def test_upsert_schema_evolution_dropped_column(spark, tmp_path):
+    """Updates that no longer carry a column preserve it on matched rows
+    and leave it NULL on fresh inserts."""
+    target = str(tmp_path / "docs_store_v3")
+    h1, h2 = spec.path_hash("/abs/a.pdf"), spec.path_hash("/abs/b.pdf")
+    merge_upsert_parquet(
+        spark, target,
+        _updates(spark, [("i1", h1, "a.pdf", "sha-1", "indexed", ("A", 1.0), T0)]),
+    )
+    slim = spark.createDataFrame(
+        [("i1b", h1, "A2", 1.5, T1), ("i2", h2, "B", 2.0, T1)],
+        "id string, path_hash string, vendor string, amount double, created_at timestamp",
+    ).select(
+        "id", "path_hash",
+        F.struct(F.col("vendor"), F.col("amount")).alias("data"),
+        "created_at",
+    )
+    merge_upsert_parquet(spark, target, slim)
+    rows = {r.path_hash: r for r in spark.read.parquet(target).collect()}
+    assert rows[h1].content_hash == "sha-1"      # dropped col preserved
+    assert rows[h1].filename == "a.pdf"
+    assert rows[h1].data.vendor == "A2"
+    assert rows[h2].content_hash is None and rows[h2].filename is None

@@ -75,21 +75,66 @@ def run_extract(
         F.col("s.text").alias("text"), F.col("s.media_ref").alias("media_ref"),
     )
 
+    # Run-level metrics ride the write action itself (Observation): zero
+    # extra scans, zero extra Python. Every doc emits exactly one order-0
+    # span, so sum(order=0) ≡ countDistinct(doc_id) without a distinct.
+    from pyspark.sql import Observation
+
+    obs = Observation("extract_metrics")
+    flat = flat.observe(
+        obs,
+        F.sum(F.when(F.col("order") == 0, 1).otherwise(0)).alias("docs"),
+        F.count(F.lit(1)).alias("spans"),
+        F.sum(
+            F.when(F.col("parse_failure") & (F.col("order") == 0), 1).otherwise(0)
+        ).alias("failures"),
+    )
+
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     flat.write.mode("overwrite").partitionBy("bucket").parquet(output_path)
+    m = obs.get
 
-    # lineage + metrics from the WRITTEN data (source of truth, so a crash
-    # between write and lineage append just re-does those buckets)
-    written = spark.read.parquet(output_path)
+    wall_ms = int((time.time() - t0) * 1000)
+    lineage = lineage_from_written(spark, output_path, done, run_id, wall_ms)
+    lineage.write.mode("append").parquet(lineage_path)
+
+    metrics_row = spark.createDataFrame(
+        [(run_id, "extract", int(m["docs"] or 0), int(m["spans"] or 0), int(m["failures"] or 0))],
+        "run_id string, stage string, docs_processed long, spans_emitted long, parse_failures long",
+    )
+    metrics_row.write.mode("append").parquet(metrics_path)
+    return {
+        "docs_processed": int(m["docs"] or 0),
+        "spans_emitted": int(m["spans"] or 0),
+        "parse_failures": int(m["failures"] or 0),
+        "resumed_buckets_skipped": len(done),
+        "wall_ms": wall_ms,
+    }
+
+
+def lineage_from_written(spark, output_path, done, run_id, wall_ms):
+    """Per-bucket lineage from the WRITTEN data (source of truth: a crash
+    between write and lineage append just re-does those buckets).
+
+    This is a deliberate PRUNED read-back, not a full second scan: bucket
+    is the partition directory (no data read) and the scan touches only
+    the narrow doc-flag columns — never text/media_ref (plan-asserted in
+    tests/test_resume_streaming.py). Every doc emits exactly one order-0
+    span, so sum(order=0) ≡ countDistinct(doc_id) without a distinct. The
+    alternatives are strictly worse at 100 TB: re-aggregating the
+    extraction DataFrame re-runs the whole Python stage (2× CPU), and
+    task-side accumulators double-count on retries/speculation.
+    """
+    written = spark.read.parquet(output_path).select("bucket", "parse_failure", "order")
     if done:
         written = written.filter(~F.col("bucket").isin(*sorted(done)))
-    wall_ms = int((time.time() - t0) * 1000)
-    lineage = written.groupBy("bucket").agg(
+    docs_n = F.sum(F.when(F.col("order") == 0, 1).otherwise(0))
+    return written.groupBy("bucket").agg(
         F.lit(run_id).alias("run_id"),
         F.lit("extract").alias("stage"),
         F.lit("done").alias("status"),
-        F.countDistinct("doc_id").alias("docs_in"),
-        F.countDistinct("doc_id").alias("docs_out"),
+        docs_n.alias("docs_in"),
+        docs_n.alias("docs_out"),
         F.count("*").alias("spans_out"),
         F.sum(F.when(F.col("parse_failure") & (F.col("order") == 0), 1).otherwise(0)).alias("parse_failures"),
         F.lit(wall_ms).cast("long").alias("wall_ms"),
@@ -98,42 +143,29 @@ def run_extract(
         "run_id", "stage", F.col("bucket").cast("int").alias("partition_id"), "status",
         "docs_in", "docs_out", "spans_out", "parse_failures", "wall_ms", "finished_at",
     )
-    lineage.write.mode("append").parquet(lineage_path)
-
-    m = lineage.agg(
-        F.sum("docs_out").alias("docs"), F.sum("spans_out").alias("spans"),
-        F.sum("parse_failures").alias("failures"),
-    ).collect()[0]
-    metrics_row = spark.createDataFrame(
-        [(run_id, "extract", int(m.docs or 0), int(m.spans or 0), int(m.failures or 0))],
-        "run_id string, stage string, docs_processed long, spans_emitted long, parse_failures long",
-    )
-    metrics_row.write.mode("append").parquet(metrics_path)
-    return {
-        "docs_processed": int(m.docs or 0),
-        "spans_emitted": int(m.spans or 0),
-        "parse_failures": int(m.failures or 0),
-        "resumed_buckets_skipped": len(done),
-        "wall_ms": wall_ms,
-    }
 
 
 def ship_package(spark: SparkSession) -> None:
     """Make ``doc_agent_spark`` importable on executors when the job is run
     as a bare ``spark-submit jobs/extract.py`` (no --py-files): zip the
-    package and addPyFile it. A no-op overhead when --py-files already
-    shipped a dist zip (the production path) — addPyFile just adds a second
-    copy earlier on sys.path with identical contents."""
+    package and addPyFile it. Skipped when the package already imports from
+    an archive (--py-files shipped it — the production path); the temp zip
+    is removed at interpreter exit."""
+    import atexit
     import shutil
     import tempfile
 
     import doc_agent_spark
 
-    pkg_dir = os.path.dirname(os.path.abspath(doc_agent_spark.__file__))
+    pkg_file = os.path.abspath(doc_agent_spark.__file__)
+    if ".zip" in pkg_file or ".egg" in pkg_file:
+        return  # already running from a shipped archive
+    tmp = tempfile.mkdtemp(prefix="dasz")
+    atexit.register(shutil.rmtree, tmp, True)
     zpath = shutil.make_archive(
-        os.path.join(tempfile.mkdtemp(prefix="dasz"), "doc_agent_spark"),
+        os.path.join(tmp, "doc_agent_spark"),
         "zip",
-        root_dir=os.path.dirname(pkg_dir),
+        root_dir=os.path.dirname(os.path.dirname(pkg_file)),
         base_dir="doc_agent_spark",
     )
     spark.sparkContext.addPyFile(zpath)

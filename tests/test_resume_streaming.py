@@ -84,6 +84,22 @@ def test_metrics_written(spark, tmp_path, corpus_path):
     assert lrows.agg(F.sum("docs_out")).collect()[0][0] == N
 
 
+def test_lineage_readback_is_column_pruned(spark, tmp_path, corpus_path):
+    """The lineage pass over the written output must never scan the heavy
+    span columns — only the partition dir + narrow doc-flag columns."""
+    from extract import lineage_from_written
+
+    out, lin, met = (str(tmp_path / x) for x in ("o", "l", "m"))
+    run_extract(spark, corpus_path, out, lin, met, run_id="p1", buckets=8)
+    plan = (
+        lineage_from_written(spark, out, set(), "p1", 0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    scan = plan[plan.find("ReadSchema"):]
+    assert "parse_failure" in scan and "order" in scan
+    assert "text" not in scan and "media_ref" not in scan
+
+
 def test_streaming_extraction_equals_batch(spark, tmp_path, corpus_path):
     out = str(tmp_path / "stream_out")
     ckpt = str(tmp_path / "ckpt")

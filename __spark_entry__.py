@@ -604,6 +604,19 @@ def chunk_search_hydrate(spark, sf_dir):
     return chunking.hydrate_chunks(search.topk(scores, 10), chunks, docs)
 
 
+def rerank_search(spark, sf_dir):
+    """Hybrid-search rerank stage: BM25 top-20 hydrated with text, then the
+    deterministic cross-encoder stub re-scores and blends (retrieval score
+    preserved alongside, per the reference Reranker contract)."""
+    docs = load(spark, sf_dir, "documents")
+    terms = ["spark", "join", "window"]
+    topk = search.topk(search.bm25_scores(docs, terms), 20)
+    hydrated = docs.select(F.col("doc_id").alias("id"), "text").join(
+        F.broadcast(topk), "id"
+    )
+    return search.rerank(hydrated, terms, text_col="text", alpha=0.6)
+
+
 def search_hydrate(spark, sf_dir):
     topk = _cosine_scores(spark, sf_dir, 0).orderBy(F.desc("score"), F.asc("id")).limit(10)
     docs = load(spark, sf_dir, "documents")
@@ -739,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_eval": retrieval_eval,
         "retrieval_eval_by_query": retrieval_eval_by_query,
         "search_hydrate": search_hydrate,
+        "rerank_search": rerank_search,
         "chunk_documents": chunk_documents,
         "chunk_search_hydrate": chunk_search_hydrate,
         "knn_join": knn_join,
@@ -1302,6 +1316,33 @@ sc AS (SELECT id, round(sum(ts), 6) AS score FROM scored GROUP BY id
 SELECT ch.chunk_id, ch.doc_id, ch.chunk_index, s.score,
        substring(ch.content, 1, 80) AS snippet, d.lang AS doc_lang
 FROM sc s JOIN chunks ch ON ch.chunk_id = s.id JOIN documents d ON d.doc_id = ch.doc_id
+""",
+        "rerank_search": f"""
+WITH toks AS (SELECT doc_id AS id, {_WORDS_SQL} AS w FROM documents),
+stats AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM toks),
+t2 AS (SELECT id, CAST(len(w) AS INTEGER) AS dl, unnest(w) AS term FROM toks),
+tf AS (SELECT id, dl, term, count(*) AS tf FROM t2
+       WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2, 3),
+dft AS (SELECT term, count(DISTINCT id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.id,
+         ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+         * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl)) AS ts
+  FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN stats),
+topk AS (SELECT id, round(sum(ts), 6) AS score FROM scored GROUP BY id
+         ORDER BY score DESC, id ASC LIMIT 20),
+h AS (SELECT t.id, t.score, k.w
+      FROM topk t JOIN toks k ON k.id = t.id),
+rr AS (
+  SELECT id, score,
+         round(CAST(len(list_intersect(list_distinct(w), ['spark', 'join', 'window'])) AS DOUBLE)
+               / 3.0 * 0.7
+               + least(CAST(len(list_filter(w, x -> list_contains(['spark', 'join', 'window'], x))) AS DOUBLE)
+                       / 20.0, 1.0) * 0.3, 6) AS rerank_score
+  FROM h)
+SELECT id, score, rerank_score,
+       round(0.6 * rerank_score + 0.4 * score, 6) AS final_score
+FROM rr
 """,
         "search_hydrate": f"""
 WITH s AS ({_cosine_scores_sql(0)}),

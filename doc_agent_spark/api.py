@@ -1,0 +1,103 @@
+"""Service-surface analog of the reference's MCP server
+(/root/reference/packages/cli/src/mcp/server.ts:12-60: named tools
+`extract_document`, `search_documents` over stdio) — SURVEY §3.2's stated
+mapping: "same plan, different sink".
+
+A transport (MCP/REST/CLI) is a thin driver-side shell; everything here
+returns a DataFrame so the caller picks the sink (collect for an RPC
+response, write for a batch job). Operations are registered by name with a
+typed parameter schema, mirroring the reference's tool registry, and each
+delegates to the library operators — no plan logic lives in this layer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Operation:
+    name: str
+    description: str
+    params: dict[str, type]          # name -> python type (the z.object analog)
+    defaults: dict[str, Any] = field(default_factory=dict)
+    fn: Callable[..., DataFrame] = None
+
+    def __call__(self, spark: SparkSession, **kwargs) -> DataFrame:
+        args = {**self.defaults, **kwargs}
+        unknown = set(args) - set(self.params)
+        if unknown:
+            raise TypeError(f"{self.name}: unknown parameter(s) {sorted(unknown)}")
+        missing = [p for p in self.params if p not in args]
+        if missing:
+            raise TypeError(f"{self.name}: missing parameter(s) {missing}")
+        for p, t in self.params.items():
+            if not isinstance(args[p], t):
+                raise TypeError(f"{self.name}: {p} must be {t.__name__}")
+        return self.fn(spark, **args)
+
+
+def _extract_document(spark: SparkSession, input_path: str) -> DataFrame:
+    from .operators import extractor
+    from .sources.tables import spans_from_documents
+
+    docs = spark.read.parquet(input_path)
+    if "spans" not in docs.columns:
+        docs = spans_from_documents(docs)
+    return extractor.extracted_spans(docs)
+
+
+def _search_documents(spark: SparkSession, input_path: str, query: str,
+                      limit: int) -> DataFrame:
+    # the surface the reference stubs ("not yet implemented"): BM25 +
+    # hydration over the corpus, one call
+    from .operators import search
+
+    docs = spark.read.parquet(input_path)
+    terms = [t for t in query.lower().split() if t]
+    scores = search.bm25_scores(docs, terms)
+    return search.hydrate(search.topk(scores, limit), docs)
+
+
+def _list_documents(spark: SparkSession, input_path: str, limit: int) -> DataFrame:
+    docs = spark.read.parquet(input_path)
+    order = [F.desc("created_at")] if "created_at" in docs.columns else []
+    return docs.drop("text").orderBy(*order, F.asc("doc_id")).limit(limit)
+
+
+OPERATIONS: dict[str, Operation] = {
+    op.name: op
+    for op in (
+        Operation(
+            "extract_document",
+            "Extract structured span sequences from a document corpus",
+            {"input_path": str},
+            fn=_extract_document,
+        ),
+        Operation(
+            "search_documents",
+            "Search indexed documents (BM25 + hydration)",
+            {"input_path": str, "query": str, "limit": int},
+            {"limit": 10},
+            fn=_search_documents,
+        ),
+        Operation(
+            "list_documents",
+            "List documents, newest first",
+            {"input_path": str, "limit": int},
+            {"limit": 25},
+            fn=_list_documents,
+        ),
+    )
+}
+
+
+def execute(spark: SparkSession, operation: str, **params) -> DataFrame:
+    """Dispatch a named operation — the transport-agnostic entry a MCP/REST
+    shell would call. Raises KeyError for unknown operations (the registry
+    IS the capability list, like the reference's tool registration)."""
+    return OPERATIONS[operation](spark, **params)

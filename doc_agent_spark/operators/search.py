@@ -162,6 +162,47 @@ def eval_retrieval_by_query(retrieved: DataFrame, relevant: DataFrame, k: int = 
     )
 
 
+def rerank(
+    candidates: DataFrame,
+    query_terms: list[str],
+    text_col: str = "content",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Rerank stage of hybrid search (SEMANTIC-SEARCH-ROADMAP.md:137-144:
+    an optional cross-encoder re-scores retrieval candidates; retrieval
+    scores are preserved for debugging/blending).
+
+    ``candidates``: (id, score, <text_col>) — the k hydrated results. The
+    cross-encoder is STUBBED deterministically (no model runs in this data
+    plane): term-coverage (distinct query terms present / total) blended
+    with a saturating term-frequency component. A real model slots in as
+    an Arrow-batched pandas UDF over the same k-row frame — candidates are
+    top-k sized, so model cost dominates and the Spark plan shape (narrow
+    projection over a broadcast-joined candidate set) is already right.
+
+    Returns (id, score, rerank_score, final_score) with
+    final = α·rerank + (1-α)·score.
+    """
+    terms = [t.lower() for t in query_terms]
+    w = words_of(F.col(text_col))
+    terms_arr = F.array(*[F.lit(t) for t in terms])
+    matched = F.size(F.array_intersect(w, terms_arr))
+    tf_total = F.size(F.filter(w, lambda x: x.isin(*terms)))
+    rerank_score = F.round(
+        (matched.cast("double") / F.lit(float(len(terms)))) * 0.7
+        + F.least(tf_total.cast("double") / F.lit(20.0), F.lit(1.0)) * 0.3,
+        6,
+    )
+    return candidates.select(
+        "id",
+        "score",
+        rerank_score.alias("rerank_score"),
+        F.round(
+            F.lit(alpha) * rerank_score + F.lit(1.0 - alpha) * F.col("score"), 6
+        ).alias("final_score"),
+    )
+
+
 def rrf_fuse(
     ranked_a: DataFrame,
     ranked_b: DataFrame,

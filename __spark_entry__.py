@@ -34,6 +34,7 @@ from doc_agent_spark.operators import (  # noqa: E402
     extractor,
     layout,
     multimodal,
+    sampling,
     search,
     similarity,
 )
@@ -91,6 +92,29 @@ SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
 """.strip()
 
 _WORDS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
+
+def _pii_redaction_sql() -> str:
+    """Mirror of the pii_redaction query: same synthetic raw string, same
+    ordered pattern chain (patterns sourced from functions/redact.py so the
+    two sides cannot drift)."""
+    from doc_agent_spark.functions.redact import PII_PATTERNS, redact_sql
+
+    raw = (
+        "printf('doc %d contact user%d@example.com ssn 123-45-%04d acct %d "
+        "call +1 (555) 123-%04d end', doc_id, doc_id, "
+        "CAST(doc_id % 10000 AS INTEGER), 10000000000 + doc_id, "
+        "CAST(doc_id % 10000 AS INTEGER))"
+    )
+    counts, cur = [], raw
+    for (pat, rep), nm in zip(PII_PATTERNS, ("n_emails", "n_ssns", "n_accts", "n_phones")):
+        p = pat.replace("'", "''")
+        counts.append(f"CAST(len(regexp_extract_all({cur}, '{p}')) AS INTEGER) AS {nm}")
+        cur = f"regexp_replace({cur}, '{p}', '{rep}', 'g')"
+    return (
+        "SELECT doc_id, " + redact_sql(raw) + " AS redacted, "
+        + ", ".join(counts) + " FROM documents"
+    )
+
 
 def _extraction_spans_sql(assembled_sql: str) -> str:
     """WITH-prefix producing the `spans` CTE: the flagship extractor's
@@ -474,6 +498,66 @@ def quality_tokens(spark, sf_dir):
     )
 
 
+def pii_redaction(spark, sf_dir):
+    """Training-data PII scrub: synthetic PII is woven into each doc from
+    doc_id (both engines construct the identical raw string), then redacted
+    with the fixed pattern chain; per-category counts audit the scrub."""
+    from doc_agent_spark.functions import redact
+
+    docs = load(spark, sf_dir, "documents")
+    raw = F.format_string(
+        "doc %d contact user%d@example.com ssn 123-45-%04d acct %d call +1 (555) 123-%04d end",
+        F.col("doc_id"), F.col("doc_id"),
+        (F.col("doc_id") % 10000).cast("int"),
+        F.col("doc_id") + F.lit(10000000000),
+        (F.col("doc_id") % 10000).cast("int"),
+    )
+    counts = redact.pii_counts(raw)
+    return docs.select(
+        "doc_id",
+        redact.redact_pii(raw).alias("redacted"),
+        counts["emails"].alias("n_emails"),
+        counts["ssns"].alias("n_ssns"),
+        counts["accts"].alias("n_accts"),
+        counts["phones"].alias("n_phones"),
+    )
+
+
+def dup_clusters(spark, sf_dir):
+    """Connected components over the MinHash-LSH candidate pairs: the
+    keep/drop cluster map that pairwise dedup feeds at scale."""
+    pairs = dedup.minhash_lsh_pairs(_spread(_dup_corpus(spark, sf_dir)), k=8, bands=4)
+    return dedup.dup_clusters(pairs.select("id_a", "id_b"))
+
+
+def stratified_sample(spark, sf_dir):
+    """Deterministic per-language training-data mix: 100% de, 50% fr,
+    25% en, drop the rest — reproducible at any cluster size."""
+    from doc_agent_spark.operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    return sampling.sample_stratified(
+        docs.select("doc_id", "lang", "n_chars"),
+        fractions={"de": 1.0, "fr": 0.5, "en": 0.25},
+        strata_col="lang",
+        key_col="doc_id",
+    )
+
+
+def token_histogram(spark, sf_dir):
+    """Corpus token-length distribution: fixed-width (10-token) histogram
+    over the BPE-ish token count — the shape check before training mixes."""
+    docs = _spread(load(spark, sf_dir, "documents"))
+    bucket = (
+        F.floor(textfns.bpe_ish_token_count(F.col("text")) / 10) * 10
+    ).cast("int")
+    return (
+        docs.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def extraction_flagship(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return extractor.extracted_spans(spans_from_documents(docs))
@@ -744,6 +828,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_counts": lang_id_counts,
         "quality_tokens": quality_tokens,
         "extraction_flagship": extraction_flagship,
+        "pii_redaction": pii_redaction,
+        "dup_clusters": dup_clusters,
+        "stratified_sample": stratified_sample,
+        "token_histogram": token_histogram,
         "json_export": json_export,
         "list_documents": list_documents,
         "embedding_near_dups": embedding_near_dups,
@@ -1194,6 +1282,37 @@ FROM documents
         "extraction_flagship": f"""
 {_extraction_spans_sql(assembled_sql)}
 SELECT * FROM spans
+""",
+        "pii_redaction": _pii_redaction_sql(),
+        "dup_clusters": f"""
+WITH RECURSIVE corpus AS ({_DUP_CORPUS_SQL}),
+{_minhash_sig_sql(8)},
+bands AS (
+  SELECT id, b.band, md5(sig[b.band * 2 + 1] || '|' || sig[b.band * 2 + 2]) AS bucket
+  FROM sig, (VALUES (0), (1), (2), (3)) AS b(band)),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT src AS id, src AS label FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+""",
+        "stratified_sample": f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE {sampling.hash8_sql('doc_id')} < CASE lang
+  WHEN 'de' THEN '{sampling.hex_threshold(1.0)}'
+  WHEN 'fr' THEN '{sampling.hex_threshold(0.5)}'
+  WHEN 'en' THEN '{sampling.hex_threshold(0.25)}'
+  ELSE '{sampling.hex_threshold(0.0)}' END
+""",
+        "token_histogram": """
+SELECT CAST(floor(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) / 10) * 10 AS INTEGER) AS bucket,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
 """,
         "json_export": f"""
 {_extraction_spans_sql(assembled_sql)},

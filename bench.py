@@ -51,6 +51,9 @@ SUITE = (
     "embedding_near_dups", "bm25_topk", "rrf_fusion", "lang_id_counts",
     "quality_tokens", "media_metadata", "boilerplate_strip", "layout_runs",
     "extraction_flagship",
+    # round 2 additions
+    "embedding_near_dups_banded", "retrieval_eval_by_query", "rerank_search",
+    "chunk_documents", "chunk_search_hydrate", "json_export", "list_documents",
 )
 
 

@@ -195,6 +195,55 @@ def embedding_near_dups(
     )
 
 
+def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over candidate-dup pairs: (id, cluster_id) with
+    cluster_id = min id of the component — the canonical-survivor map that
+    turns pairwise dedup output into keep/drop decisions.
+
+    Min-label propagation to fixpoint: each round every node takes the min
+    label over itself and its neighbors; converges in O(component diameter)
+    rounds (dup clusters are near-cliques from LSH banding, so diameter is
+    tiny in practice — the loop exits on the first no-change round, checked
+    via a count of changed labels). Each round is one equi-join + one
+    partial-aggregated groupBy on id — the same shuffle key every round, so
+    AQE reuses the partitioning. At extreme scale swap in the
+    large-star/small-star variant; the fixpoint-driver shape stays the same.
+
+    Singleton nodes never appear in ``pairs`` and so are absent from the
+    output (they are their own cluster by definition).
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select("id", F.least("label", "nlabel").alias("label"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+        labels = labels.localCheckpoint(eager=True)  # cut the growing lineage
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1,0 +1,87 @@
+"""Training-data curation operators: PII redaction, duplicate clustering
+(connected components), deterministic sampling."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from doc_agent_spark.functions import redact
+from doc_agent_spark.operators import dedup, sampling
+
+
+def test_redact_pii_all_categories(spark):
+    rows = [(1, "mail a.b+c@ex-ample.co.uk ssn 123-45-6789 acct 123456789012 "
+                "tel +44 (0) 555-123-9876 ok 42")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = df.select(redact.redact_pii(F.col("text")).alias("t")).collect()[0].t
+    assert out == "mail <EMAIL> ssn <SSN> acct <ACCT> tel <PHONE> ok 42"
+
+
+def test_redact_counts_do_not_double_count(spark):
+    df = spark.createDataFrame(
+        [(1, "x@y.io and 123-45-6789 and 12345678901")], "id long, text string"
+    )
+    c = df.select(redact.pii_counts(F.col("text")).alias("c")).collect()[0].c
+    assert (c.emails, c.ssns, c.accts, c.phones) == (1, 1, 1, 0)
+
+
+def test_dup_clusters_transitive(spark):
+    # chain 1-2-3 plus island 10-11: min-label must propagate transitively
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r.id: r.cluster_id for r in dedup.dup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    out = {r.id: r.cluster_id for r in dedup.dup_clusters(pairs).collect()}
+    assert set(out.values()) == {0} and len(out) == n + 1
+
+
+def _expected_keep(key, fraction, seed="s42"):
+    h = hashlib.md5(f"{seed}:{key}".encode()).hexdigest()[:8]
+    return h < sampling.hex_threshold(fraction)
+
+
+def test_bernoulli_sample_matches_reference_hash(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    kept = {r.doc_id for r in sampling.sample_bernoulli(df, 0.3, "doc_id").collect()}
+    expected = {i for i in range(500) if _expected_keep(i, 0.3)}
+    assert kept == expected
+    assert 0.2 < len(kept) / 500 < 0.4
+
+
+def test_stratified_sample_respects_fractions(spark):
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.sample_stratified(
+        df, {"a": 1.0, "b": 0.0}, strata_col="lang", key_col="doc_id"
+    ).collect()
+    assert {r.lang for r in out} == {"a"}
+    assert len(out) == 200  # fraction 1.0 keeps every row, 0.0 none
+
+
+def test_sampling_stable_under_repartition(spark):
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    a = {r.doc_id for r in sampling.sample_bernoulli(df, 0.5, "doc_id").collect()}
+    b = {r.doc_id for r in
+         sampling.sample_bernoulli(df.repartition(17), 0.5, "doc_id").collect()}
+    assert a == b
+
+
+def test_sampling_is_pushdown_friendly(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        sampling.sample_bernoulli(docs.select("doc_id"), 0.5, "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan

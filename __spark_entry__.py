@@ -460,7 +460,7 @@ def cosine_topk(spark, sf_dir):
 def ann_lsh_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0].embedding
-    return similarity.ann_lsh_topk(emb, list(q), k=10, n_planes=4)
+    return similarity.ann_lsh_topk(emb, list(q), k=10, n_planes=4, dim=64)
 
 
 def bm25_topk(spark, sf_dir):
@@ -606,7 +606,7 @@ def embedding_near_dups(spark, sf_dir):
     # testdata embeddings are near-orthogonal (max pairwise cosine ≈ 0.51),
     # so the near-dup threshold for oracle coverage sits at 0.4; single
     # 4-plane table keeps this entry's round-1 oracle semantics
-    return dedup.embedding_near_dups(emb, threshold=0.4, n_planes=4, n_tables=1)
+    return dedup.embedding_near_dups(emb, threshold=0.4, n_planes=4, n_tables=1, dim=64)
 
 
 def embedding_near_dups_banded(spark, sf_dir):
@@ -614,7 +614,7 @@ def embedding_near_dups_banded(spark, sf_dir):
     # (recall restored across bands); demo plane count sized so the
     # near-orthogonal testdata still yields a nonempty result
     emb = _spread(load(spark, sf_dir, "embeddings"))
-    return dedup.embedding_near_dups(emb, threshold=0.4, n_planes=6, n_tables=8)
+    return dedup.embedding_near_dups(emb, threshold=0.4, n_planes=6, n_tables=8, dim=64)
 
 
 def ivf_topk(spark, sf_dir):

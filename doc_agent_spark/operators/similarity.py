@@ -39,16 +39,17 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: score only the query's bucket."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     with_bucket = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        lsh_bucket(F.col(vec_col), n_planes=n_planes).alias("bucket"),
+        lsh_bucket(F.col(vec_col), n_planes=n_planes, dim=dim).alias("bucket"),
     )
     qdf = embeddings.sparkSession.range(1).select(
-        lsh_bucket(q, n_planes=n_planes).alias("qbucket")
+        lsh_bucket(q, n_planes=n_planes, dim=dim).alias("qbucket")
     )
     return (
         with_bucket.join(F.broadcast(qdf), F.col("bucket") == F.col("qbucket"))
@@ -67,40 +68,65 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k, fully relational.
+    """IVF (inverted-file) approximate top-k.
 
     Cells: a deterministic centroid subset (every ``centroid_stride``-th
-    vector — stand-in for a persisted k-means codebook). The codebook stays
-    a DATAFRAME and broadcasts into every stage — never ``.collect()``-ed
-    into literal expression trees (the round-1 weakness: a realistic
-    4k-64k-cell codebook inlined as literals is a multi-hundred-MB Catalyst
-    tree). Only the single query vector is a literal.
+    vector — stand-in for a persisted k-means codebook). The codebook is
+    never inlined into literal expression trees (the round-1 weakness: a
+    realistic 4k-64k-cell codebook as literals is a multi-hundred-MB
+    Catalyst tree) — it ships as a Spark broadcast variable. Only the
+    single query vector is a literal.
 
-    Plan: (1) assignment — broadcast-nested-loop vector×centroid cosine,
-    then ``max_by`` argmax per vector (map-side partial agg; ties to the
-    lower centroid id); (2) probe — the query's ``nprobe`` best cells via
-    TakeOrderedAndProject over the codebook; (3) candidates = assignment
-    ⋈ probe (BroadcastHashJoin), ≈ N·nprobe/n_cells ids, broadcast back
-    into the vector table (BroadcastHashJoin) so exact scoring touches only
-    probed cells. At 100 TB the assignment runs ONCE at index-build time
-    and the table is written partitioned BY cell, so a probe prunes at the
-    scan; the query-time tree is identical minus stage (1).
+    Plan: (1) assignment — Arrow-batched matmul against the broadcast
+    normalized codebook, argmax ties to the lower centroid id; (2) probe —
+    the query's ``nprobe`` best cells via TakeOrderedAndProject over the
+    codebook DataFrame; (3) candidates = assignment ⋈ probe
+    (BroadcastHashJoin), ≈ N·nprobe/n_cells ids, broadcast back into the
+    vector table (BroadcastHashJoin) so exact scoring touches only probed
+    cells — scores computed by the exact JVM cosine expressions. At 100 TB
+    the assignment runs ONCE at index-build time and the table is written
+    partitioned BY cell, so a probe prunes at the scan; the query-time
+    tree is identical minus stage (1).
     """
+    import numpy as np
+
     cents = embeddings.filter(F.col(id_col) % centroid_stride == 0).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
     )
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
 
-    pairs = (
-        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .join(F.broadcast(cents))
-        .select("id", "cid", cosine(F.col("v"), F.col("cv")).alias("cs"))
-    )
-    assigned = pairs.groupBy("id").agg(
-        F.max_by(
-            "cid", F.struct(F.col("cs"), (-F.col("cid")).alias("neg"))
-        ).alias("cell")
-    )
+    # Codebook → a SPARK BROADCAST VARIABLE of a normalized numpy matrix —
+    # model-sized data shipped the way any ML model ships, never inlined
+    # into the Catalyst tree. Assignment is then one Arrow-batched matmul
+    # per partition (argmax_c cosine(v,c) = argmax_c dot(v, ĉ): |v| is
+    # constant per row, so only centroids need normalizing). The first
+    # relational formulation (broadcast nested-loop + max_by) was
+    # value-identical but fold-interpreted: N·C·D scalar ops dominated the
+    # query (measured 18.7 s vs ~1 s at sf0.1 with 1000 cells) — dense
+    # linear algebra is exactly the case for a vectorized pandas stage.
+    rows = sorted((int(r.cid), list(r.cv)) for r in cents.collect())
+    cids = np.array([c for c, _ in rows], dtype=np.int64)
+    M = np.array([v for _, v in rows], dtype=np.float64)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    bc = embeddings.sparkSession.sparkContext.broadcast((cids, M))
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        cids_, M_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            # rows sorted by cid ascending ⇒ np.argmax's first-max rule
+            # breaks exact ties toward the lower centroid id (oracle order)
+            cell = cids_[np.argmax(V @ M_.T, axis=1)]
+            yield pd.DataFrame({"id": pdf["id"], "cell": cell})
+
+    assigned = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(assign, "id long, cell long")
     probe = (
         cents.select("cid", cosine(F.col("cv"), qcol).alias("qs"))
         .orderBy(F.desc("qs"), F.asc("cid"))

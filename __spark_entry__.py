@@ -452,6 +452,10 @@ def simhash_clusters(spark, sf_dir):
     return dedup.simhash_clusters(_spread(_dup_corpus(spark, sf_dir)))
 
 
+def simhash_near_pairs(spark, sf_dir):
+    return dedup.simhash_near_pairs(_spread(_dup_corpus(spark, sf_dir)))
+
+
 def cosine_topk(spark, sf_dir):
     scores = _cosine_scores(spark, sf_dir, 0)
     return scores.orderBy(F.desc("score"), F.asc("id")).limit(10)
@@ -819,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "ngram_jaccard": ngram_jaccard,
         "ngram_jaccard_capped": ngram_jaccard_capped,
+        "simhash_near_pairs": simhash_near_pairs,
         "embedding_near_dups_banded": embedding_near_dups_banded,
         "simhash_clusters": simhash_clusters,
         "cosine_topk": cosine_topk,
@@ -1198,6 +1203,18 @@ words AS (SELECT doc_id AS id, {_WORDS_SQL} AS w FROM corpus),
 s AS (SELECT id, CAST({_simhash_sql()} AS INTEGER) AS simhash FROM words)
 SELECT simhash, count(*) AS n_docs, min(id) AS keep_id
 FROM s GROUP BY simhash HAVING count(*) > 1
+""",
+        "simhash_near_pairs": f"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+words AS (SELECT doc_id AS id, {_WORDS_SQL} AS w FROM corpus),
+s AS (SELECT id, CAST({_simhash_sql()} AS INTEGER) AS sig FROM words),
+v AS (SELECT id, sig, sig AS var FROM s
+      UNION ALL
+      SELECT id, sig, xor(sig, 1 << b.b) AS var
+      FROM s, (SELECT unnest(range(16)) AS b) b)
+SELECT DISTINCT a.id AS id_a, c.id AS id_b,
+       CAST(bit_count(xor(a.sig, c.sig)) AS INTEGER) AS hamming
+FROM v a JOIN s c ON a.var = c.sig AND a.id < c.id
 """,
         "cosine_topk": f"""
 SELECT id, score FROM ({_cosine_scores_sql(0)})

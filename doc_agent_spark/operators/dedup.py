@@ -138,6 +138,40 @@ def simhash_clusters(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def simhash_near_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """SimHash pairs within Hamming distance 1 — the Hamming-adjacent
+    lookup the exact-bucket variant (``simhash_clusters``) can't see.
+
+    Bit-flip bucketing: each doc emits its 16-bit signature plus all 16
+    one-bit flips (17 variants); a pair at distance ≤ 1 ALWAYS has one
+    side's variant equal to the other side's core signature, so an
+    equi-join variants⋈cores finds exactly the distance-≤1 pairs with no
+    all-pairs compare — candidate volume is 17N rows into a hash join, the
+    100 TB-safe shape (generalizes to distance d via flips of ≤d bits).
+    Output: (id_a, id_b, hamming).
+    """
+    s = df.select(F.col(id_col).alias("id"), simhash16(F.col(text_col)).alias("sig"))
+    variants = s.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(F.col("sig"), *[F.col("sig").bitwiseXOR(F.lit(1 << b)) for b in range(16)])
+        ).alias("var"),
+    )
+    core = s.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        variants.join(core, (F.col("var") == F.col("sig_b")) & (F.col("id") < F.col("id_b")))
+        .select(
+            F.col("id").alias("id_a"),
+            "id_b",
+            F.bit_count(F.col("sig").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .distinct()
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.95,

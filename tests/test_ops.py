@@ -180,3 +180,23 @@ def test_banded_lsh_recalls_dups_with_bounded_buckets(spark):
         .groupBy("b").count().agg(F.max("count")).collect()[0][0]
     )
     assert sizes <= 8  # 62 vectors over 4096 buckets: every bucket task-sized
+
+
+def test_simhash_near_pairs_matches_bruteforce(spark, texts):
+    sigs = {
+        r.doc_id: r.sig
+        for r in texts.select(
+            "doc_id", dedup.simhash16(F.col("text")).alias("sig")
+        ).collect()
+    }
+    expected = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a in sigs for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 1
+    }
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_near_pairs(texts).collect()
+    }
+    assert got == expected
+    assert expected  # fixture contains exact dups → at least one 0-distance pair

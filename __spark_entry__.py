@@ -93,6 +93,12 @@ SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
 
 _WORDS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
 
+def _embedding_sql(text_expr: str, dim: int) -> str:
+    from doc_agent_spark.functions.embedder import embedding_sql
+
+    return embedding_sql(text_expr, dim)
+
+
 def _pii_redaction_sql() -> str:
     """Mirror of the pii_redaction query: same synthetic raw string, same
     ordered pattern chain (patterns sourced from functions/redact.py so the
@@ -454,6 +460,40 @@ def simhash_clusters(spark, sf_dir):
 
 def simhash_near_pairs(spark, sf_dir):
     return dedup.simhash_near_pairs(_spread(_dup_corpus(spark, sf_dir)))
+
+
+def lsh_verified_pairs(spark, sf_dir):
+    """Generate-then-verify dedup: MinHash-LSH banding proposes candidates,
+    exact n-gram Jaccard verifies ONLY those pairs — the composed shape
+    that makes exact dedup affordable at corpus scale."""
+    corpus = _spread(_dup_corpus(spark, sf_dir))
+    cand = dedup.minhash_lsh_pairs(corpus, k=8, bands=4)
+    return dedup.verify_pairs_jaccard(cand, corpus, threshold=0.6)
+
+
+def embed_documents(spark, sf_dir):
+    """EmbeddingProvider surface with the deterministic no-model embedder
+    (bit-identical across engines — see functions/embedder.py)."""
+    from doc_agent_spark.functions import embedder
+
+    docs = load(spark, sf_dir, "documents")
+    return embedder.embed(docs, "doc_id", "text", dim=16)
+
+
+def semantic_search_e2e(spark, sf_dir):
+    """The reference's full retrieval pipeline end-to-end (minus the LLM):
+    chunk → embed → cosine top-k against the embedded query → hydrate
+    through the chunk→document FK."""
+    from doc_agent_spark.functions import embedder
+
+    docs = load(spark, sf_dir, "documents")
+    chunks = chunking.chunk_documents(docs, strategy="semantic", words_per_chunk=20)
+    vecs = embedder.embed(chunks, "chunk_id", "content", dim=16)
+    qv = embedder.fake_embedding(F.lit("spark join window"), 16)
+    scores = vecs.select(
+        "id", F.round(vectors.cosine(F.col("embedding"), qv), 6).alias("score")
+    )
+    return chunking.hydrate_chunks(search.topk(scores, 10), chunks, docs)
 
 
 def cosine_topk(spark, sf_dir):
@@ -824,6 +864,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": ngram_jaccard,
         "ngram_jaccard_capped": ngram_jaccard_capped,
         "simhash_near_pairs": simhash_near_pairs,
+        "lsh_verified_pairs": lsh_verified_pairs,
+        "embed_documents": embed_documents,
+        "semantic_search_e2e": semantic_search_e2e,
         "embedding_near_dups_banded": embedding_near_dups_banded,
         "simhash_clusters": simhash_clusters,
         "cosine_topk": cosine_topk,
@@ -1215,6 +1258,35 @@ v AS (SELECT id, sig, sig AS var FROM s
 SELECT DISTINCT a.id AS id_a, c.id AS id_b,
        CAST(bit_count(xor(a.sig, c.sig)) AS INTEGER) AS hamming
 FROM v a JOIN s c ON a.var = c.sig AND a.id < c.id
+""",
+        "lsh_verified_pairs": f"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+{_minhash_sig_sql(8)},
+bands AS (
+  SELECT id, b.band, md5(sig[b.band * 2 + 1] || '|' || sig[b.band * 2 + 2]) AS bucket
+  FROM sig, (VALUES (0), (1), (2), (3)) AS b(band)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT c.id_a, c.id_b,
+         round(CAST(len(list_intersect(A.sh, B.sh)) AS DOUBLE)
+               / (len(A.sh) + len(B.sh) - len(list_intersect(A.sh, B.sh))), 6) AS jaccard
+  FROM cand c JOIN sh A ON A.id = c.id_a JOIN sh B ON B.id = c.id_b)
+WHERE jaccard >= 0.6
+""",
+        "embed_documents": f"""
+SELECT doc_id AS id, {_embedding_sql('text', 16)} AS embedding FROM documents
+""",
+        "semantic_search_e2e": f"""
+{_CHUNKS_SQL},
+vecs AS (SELECT chunk_id AS id, {_embedding_sql('content', 16)} AS v FROM chunks),
+q AS (SELECT {_embedding_sql("'spark join window'", 16)} AS qv),
+s AS (SELECT id, round({_cos_sql('v', 'qv')}, 6) AS score FROM vecs CROSS JOIN q),
+topk AS (SELECT id, score FROM s ORDER BY score DESC, id ASC LIMIT 10)
+SELECT ch.chunk_id, ch.doc_id, ch.chunk_index, t.score,
+       substring(ch.content, 1, 80) AS snippet, d.lang AS doc_lang
+FROM topk t JOIN chunks ch ON ch.chunk_id = t.id JOIN documents d ON d.doc_id = ch.doc_id
 """,
         "cosine_topk": f"""
 SELECT id, score FROM ({_cosine_scores_sql(0)})

@@ -138,6 +138,46 @@ def simhash_clusters(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def verify_pairs_jaccard(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard on an ALREADY-GENERATED candidate pair set —
+    the verify half of the generate-then-verify dedup pattern (pairs from
+    MinHash banding / SimHash flips / embedding LSH).
+
+    Because candidates are a vanishing fraction of N², the verify is two
+    equi-joins of the pair list against per-doc shingle arrays plus an
+    array_intersect per pair — no inverted-index self-join at all. At
+    100 TB this is the only affordable exact-verify shape: the shingle
+    mass is scanned twice but never self-joined.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_vid"), word_ngrams(F.col(text_col), ngram).alias("_sh")
+    )
+    a = sh.select(F.col("_vid").alias("id_a"), F.col("_sh").alias("sha"))
+    b = sh.select(F.col("_vid").alias("id_b"), F.col("_sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    return (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                inter.cast("double")
+                / (F.size("sha") + F.size("shb") - inter).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash_near_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

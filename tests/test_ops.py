@@ -200,3 +200,26 @@ def test_simhash_near_pairs_matches_bruteforce(spark, texts):
     }
     assert got == expected
     assert expected  # fixture contains exact dups → at least one 0-distance pair
+
+
+def test_fake_embedder_deterministic_and_bounded(spark):
+    from doc_agent_spark.functions import embedder
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha"), (3, "beta")], "id long, text string"
+    )
+    out = {r.id: r.embedding for r in embedder.embed(df, "id", "text", dim=8).collect()}
+    assert out[1] == out[2] != out[3]
+    assert len(out[1]) == 8
+    assert all(-0.5 <= x < 0.5 for x in out[1])
+
+
+def test_verify_pairs_jaccard_on_candidates_only(spark, texts):
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 4)], "id_a long, id_b long"   # one dup pair, one unrelated
+    )
+    out = {(r.id_a, r.id_b): r.jaccard
+           for r in dedup.verify_pairs_jaccard(pairs, texts, threshold=0.0).collect()}
+    assert out[(1, 2)] == 1.0
+    assert out[(1, 4)] == 0.0
+    assert (2, 5) not in out  # non-candidates are never scored

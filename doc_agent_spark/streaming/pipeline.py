@@ -60,6 +60,22 @@ def events_windowed_counts(events: DataFrame, window: str = "1 hour",
     )
 
 
+def dedup_stream(docs: DataFrame, watermark: str = "1 hour",
+                 text_col: str = "text", ts_col: str = "ts") -> DataFrame:
+    """Streaming exact dedup: first-seen wins. State holds one 32-byte md5
+    per document seen inside the watermark horizon and is EVICTED as event
+    time advances (``dropDuplicatesWithinWatermark``) — plain
+    ``dropDuplicates`` on a stream grows state forever, the classic
+    unbounded-state footgun. The dedup key is the content hash, never the
+    text, so the state store stays tiny at any corpus rate (same key
+    discipline as the batch exact dedup's shuffle)."""
+    return (
+        docs.withWatermark(ts_col, watermark)
+        .withColumn("text_md5", F.md5(F.col(text_col)))
+        .dropDuplicatesWithinWatermark(["text_md5"])
+    )
+
+
 SESSION_OUTPUT_SCHEMA = "user_id long, session_start timestamp, session_end timestamp, n_events long, sum_value double"
 SESSION_STATE_SCHEMA = "session_start long, last_ts long, n_events long, sum_value double"
 SESSION_GAP_S = 1800

@@ -1,0 +1,78 @@
+"""Streaming operators beyond sessionization: watermarked windowed counts
+(late-data drop) and streaming exact dedup with bounded state."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from doc_agent_spark.streaming.pipeline import dedup_stream, events_windowed_counts
+
+def _t(minute, hour=10):
+    return dt.datetime(2024, 1, 1, hour, minute)
+
+
+def test_dedup_stream_first_seen_wins(spark, tmp_path):
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    SCHEMA = "doc_id long, ts timestamp, text string"
+    # batch 1: two distinct texts, one internal dup
+    spark.createDataFrame(
+        [(1, _t(0), "alpha"), (2, _t(1), "alpha"), (3, _t(2), "beta")], SCHEMA
+    ).coalesce(1).write.parquet(in_dir + "/b1")
+    # batch 2: cross-batch dup of 'alpha' within the watermark + new text
+    spark.createDataFrame(
+        [(4, _t(10), "alpha"), (5, _t(11), "gamma")], SCHEMA
+    ).coalesce(1).write.parquet(in_dir + "/b2")
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir + "/*")
+    )
+    q = (
+        dedup_stream(stream, watermark="1 hour")
+        .writeStream.format("memory").queryName("dedup_out")
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT doc_id, text FROM dedup_out").collect()
+    kept = sorted((r.doc_id, r.text) for r in rows)
+    # first-seen doc per distinct text; cross-batch dup 4 suppressed
+    assert kept == [(1, "alpha"), (3, "beta"), (5, "gamma")]
+
+
+def test_windowed_counts_drop_late_data(spark, tmp_path):
+    """Sequential available-now drains against one checkpoint give strict
+    micro-batch ordering (a single drain can reorder files with equal
+    mtimes): on-time events → watermark-advancing event → a LATE event for
+    the long-closed window, which must be dropped."""
+    in_dir, ckpt, out = (str(tmp_path / x) for x in ("in", "ckpt", "out"))
+    SCHEMA = "event_id long, ts timestamp, event_type string, value double"
+
+    def drain(batch_rows, name):
+        spark.createDataFrame(batch_rows, SCHEMA).coalesce(1).write.parquet(
+            f"{in_dir}/{name}"
+        )
+        stream = spark.readStream.schema(SCHEMA).parquet(in_dir + "/*")
+        q = (
+            events_windowed_counts(stream, window="1 hour", watermark="2 hours")
+            .writeStream.format("parquet").option("path", out)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    drain([(1, _t(5), "click", 1.0), (2, _t(20), "click", 1.0)], "b1")
+    drain([(3, _t(0, hour=20), "click", 1.0)], "b2")   # advances watermark
+    drain([(4, _t(30), "click", 1.0)], "b3")           # late → dropped
+    rows = (
+        spark.read.parquet(out)
+        .selectExpr("window.start AS ws", "n_events")
+        .collect()
+    )
+    finalized = {r.ws: r.n_events for r in rows}
+    # the 10:00 window finalized with exactly the two on-time events;
+    # the late batch-3 event did not reopen or grow it
+    assert finalized[_t(0)] == 2

@@ -54,6 +54,9 @@ SUITE = (
     # round 2 additions
     "embedding_near_dups_banded", "retrieval_eval_by_query", "rerank_search",
     "chunk_documents", "chunk_search_hydrate", "json_export", "list_documents",
+    "simhash_near_pairs", "lsh_verified_pairs", "dup_clusters",
+    "embed_documents", "semantic_search_e2e", "pii_redaction",
+    "stratified_sample", "token_histogram",
 )
 
 

@@ -106,14 +106,23 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash16(text: Column) -> Column:
-    """16-bit SimHash over word tokens.
+def simhash_bits(text: Column, bits: int = 16) -> Column:
+    """``bits``-wide SimHash over word tokens (bits ≤ 32: one md5 hex digit
+    per bit position).
 
     Bit b's vote for a token is the high bit of hex nibble b of md5(token)
     (i.e. hex digit in [89a-f] → +1 else −1); signature bit b is 1 when the
     vote sum is >= 0. md5 hex digests are identical across engines, so the
-    DuckDB oracle reproduces this bit-for-bit.
+    DuckDB oracle reproduces this bit-for-bit. Lower bits are width-stable:
+    a 32-bit signature's low 16 bits ARE the 16-bit signature.
+
+    Width is the bucket-count dial: exact-signature clustering needs the
+    2^bits space to dwarf the corpus (16 bits saturates by ~10^5 docs —
+    size up to 32 at corpus scale, where expected random collisions per
+    pair drop below 10^-9·N²/2^32).
     """
+    if not 1 <= bits <= 32:
+        raise ValueError("simhash width must be 1..32 (md5 has 32 hex digits)")
     tokens = words_of(text)
 
     def vote(b: int):
@@ -121,11 +130,17 @@ def simhash16(text: Column) -> Column:
             F.substring(F.md5(t), b + 1, 1).rlike("[89a-f]"), F.lit(1)
         ).otherwise(F.lit(-1))
 
-    sig = F.lit(0)
-    for b in range(16):
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
         votes = F.aggregate(tokens, F.lit(0), vote(b))
-        sig = sig + F.when(votes >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = sig + F.when(votes >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
     return sig
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash (see :func:`simhash_bits`), kept 32-bit-int typed for
+    the existing oracle entries."""
+    return simhash_bits(text, 16).cast("int")
 
 
 def simhash_clusters(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -223,3 +223,13 @@ def test_verify_pairs_jaccard_on_candidates_only(spark, texts):
     assert out[(1, 2)] == 1.0
     assert out[(1, 4)] == 0.0
     assert (2, 5) not in out  # non-candidates are never scored
+
+
+def test_simhash_width_stable_low_bits(spark, texts):
+    out = texts.select(
+        dedup.simhash_bits(F.col("text"), 16).alias("s16"),
+        dedup.simhash_bits(F.col("text"), 32).alias("s32"),
+    ).collect()
+    for r in out:
+        assert r.s32 & 0xFFFF == r.s16   # low bits are width-stable
+        assert 0 <= r.s32 < 1 << 32

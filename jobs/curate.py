@@ -1,0 +1,201 @@
+"""Checkpoint-resumable training-data curation job — the second deployable
+stage (same resume model as jobs/extract.py, applied to the curation
+funnel: dedup → quality/language filter → PII redaction → deterministic
+sampling).
+
+    spark-submit --py-files dist.zip jobs/curate.py \\
+        --input warehouse.documents --output warehouse.curated \\
+        --lineage warehouse.lineage --metrics warehouse.metrics \\
+        --run-id c42 --buckets 4096 --min-quality 0.3 \\
+        --langs en,de --sample-fraction 0.5
+
+Resume model — why this funnel is bucket-resumable AT ALL: the bucket key
+is the CONTENT hash (pmod(hash(md5(text)), buckets)), so every copy of a
+duplicated text lands in the same bucket and per-bucket exact dedup is
+globally exact. Every other stage (quality, lang-id, redaction, hash
+sampling) is per-row. Buckets are therefore independent units of work:
+dynamic partition overwrite re-runs a bucket idempotently, lineage records
+one row per completed bucket with the per-stage FUNNEL counts (docs in /
+after dedup / after filters / kept), and a resume anti-joins completed
+buckets — identical mechanics to the extraction job.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def curate_bucket_plan(docs, min_quality: float, langs: list[str] | None,
+                       sample_fraction: float):
+    """The per-bucket curation funnel as one narrow-after-one-shuffle plan.
+    Returns a frame with a `_stage` classification per doc: 0=duplicate,
+    1=failed quality/lang filters, 2=sampled out, 3=kept — so funnel
+    counters are simple aggregates over one column."""
+    from doc_agent_spark.functions import textfns
+    from doc_agent_spark.operators import sampling
+
+    # exact dedup inside the bucket: content-hash bucketing makes this
+    # globally exact; keep the min doc_id (canonical survivor)
+    w = Window.partitionBy("text_md5").orderBy("doc_id")
+    dd = (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_dup", F.col("_rn") > 1)
+        .drop("_rn")
+    )
+    scored = dd.withColumn("quality", textfns.quality_score(F.col("text"))).withColumn(
+        "pred_lang", textfns.lang_id(F.col("text"))
+    )
+    keep_filter = F.col("quality") >= min_quality
+    if langs:
+        keep_filter = keep_filter & F.col("pred_lang").isin(langs)
+    flt = scored.withColumn("_filtered_out", ~keep_filter)
+    sampled = flt.withColumn(
+        "_sampled_out",
+        ~(
+            sampling._hash8(F.col("doc_id"), "curate")
+            < F.lit(sampling.hex_threshold(sample_fraction))
+        ),
+    )
+    return sampled.withColumn(
+        "_stage",
+        F.when(F.col("_dup"), 0)
+        .when(F.col("_filtered_out"), 1)
+        .when(F.col("_sampled_out"), 2)
+        .otherwise(3),
+    )
+
+
+def run_curate(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    lineage_path: str,
+    metrics_path: str,
+    run_id: str,
+    buckets: int = 64,
+    min_quality: float = 0.0,
+    langs: list[str] | None = None,
+    sample_fraction: float = 1.0,
+) -> dict:
+    from pyspark.sql import Observation
+
+    from doc_agent_spark.functions import redact
+    from doc_agent_spark.sinks.metrics import completed_partitions
+
+    t0 = time.time()
+    docs = (
+        spark.read.parquet(input_path) if "/" in input_path
+        else spark.read.table(input_path)
+    )
+    docs = docs.withColumn("text_md5", F.md5("text")).withColumn(
+        "bucket", F.pmod(F.hash("text_md5"), F.lit(buckets))
+    )
+    done = completed_partitions(spark, lineage_path, run_id, "curate")
+    if done:
+        docs = docs.filter(~F.col("bucket").isin(*sorted(done)))
+    docs = docs.repartition(max(buckets, spark.sparkContext.defaultParallelism), "bucket")
+
+    staged = curate_bucket_plan(docs, min_quality, langs, sample_fraction)
+
+    obs = Observation("curate_metrics")
+    staged = staged.observe(
+        obs,
+        F.count(F.lit(1)).alias("docs_in"),
+        F.sum((F.col("_stage") >= 1).cast("long")).alias("after_dedup"),
+        F.sum((F.col("_stage") >= 2).cast("long")).alias("after_filters"),
+        F.sum((F.col("_stage") == 3).cast("long")).alias("kept"),
+    )
+
+    out = (
+        staged.filter(F.col("_stage") == 3)
+        .withColumn("text", redact.redact_pii(F.col("text")))
+        .select("bucket", "doc_id", "text", "lang", "pred_lang", "quality",
+                "source", "n_chars", "text_md5")
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    out.write.mode("overwrite").partitionBy("bucket").parquet(output_path)
+    m = obs.get
+
+    # per-bucket lineage from the WRITTEN data (pruned read: partition dir
+    # + doc_id only; same crash-safe contract as jobs/extract.py). Lineage
+    # tracks bucket completion + kept counts; the full funnel totals ride
+    # the write via the Observation and land in the metrics table.
+    wall_ms = int((time.time() - t0) * 1000)
+    written = spark.read.parquet(output_path).select("bucket", "doc_id")
+    if done:
+        written = written.filter(~F.col("bucket").isin(*sorted(done)))
+    lineage = written.groupBy("bucket").agg(
+        F.lit(run_id).alias("run_id"),
+        F.lit("curate").alias("stage"),
+        F.lit("done").alias("status"),
+        F.count("*").alias("docs_in"),
+        F.count("*").alias("docs_out"),
+        F.count("*").alias("spans_out"),
+        F.lit(0).cast("long").alias("parse_failures"),
+        F.lit(wall_ms).cast("long").alias("wall_ms"),
+        F.current_timestamp().alias("finished_at"),
+    ).select(
+        "run_id", "stage", F.col("bucket").cast("int").alias("partition_id"),
+        "status", "docs_in", "docs_out", "spans_out", "parse_failures",
+        "wall_ms", "finished_at",
+    )
+    lineage.write.mode("append").parquet(lineage_path)
+
+    metrics_row = spark.createDataFrame(
+        [(
+            run_id, "curate", int(m["docs_in"] or 0), int(m["after_dedup"] or 0),
+            int(m["after_filters"] or 0), int(m["kept"] or 0),
+        )],
+        "run_id string, stage string, docs_in long, after_dedup long, "
+        "after_filters long, kept long",
+    )
+    metrics_row.write.mode("append").parquet(metrics_path)
+    return {
+        "docs_in": int(m["docs_in"] or 0),
+        "after_dedup": int(m["after_dedup"] or 0),
+        "after_filters": int(m["after_filters"] or 0),
+        "kept": int(m["kept"] or 0),
+        "resumed_buckets_skipped": len(done),
+        "wall_ms": wall_ms,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--lineage", required=True)
+    ap.add_argument("--metrics", required=True)
+    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--min-quality", type=float, default=0.0)
+    ap.add_argument("--langs", default=None,
+                    help="comma-separated predicted-language allowlist")
+    ap.add_argument("--sample-fraction", type=float, default=1.0)
+    args = ap.parse_args()
+
+    from extract import ship_package  # same zip+addPyFile bootstrap
+
+    from doc_agent_spark.session import get_spark
+
+    spark = get_spark(app=f"curate-{args.run_id}")
+    ship_package(spark)
+    stats = run_curate(
+        spark, args.input, args.output, args.lineage, args.metrics,
+        args.run_id, args.buckets, args.min_quality,
+        args.langs.split(",") if args.langs else None, args.sample_fraction,
+    )
+    print(stats)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

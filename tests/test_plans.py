@@ -116,6 +116,34 @@ def test_ivf_uses_broadcast_joins_not_literal_centroids(spark, sf_dir):
     assert "array_max" not in plan  # the old literal-argmax mechanism
 
 
+def test_curation_exprs_are_narrow_jvm_projections(spark, sf_dir):
+    """PII redaction, sampling, and token histogram input must stay pure
+    JVM projections — no shuffle before the (histogram) aggregation, no
+    Python anywhere."""
+    for name in ["pii_redaction", "stratified_sample"]:
+        plan = _plan(entrymod.queries()[name](spark, sf_dir))
+        assert "Exchange" not in plan, f"{name} shuffles"
+        assert "Python" not in plan, f"{name} fell off the JVM path"
+    plan = _plan(entrymod.token_histogram(spark, sf_dir))
+    assert "Python" not in plan
+    assert plan.count("HashAggregate") >= 2  # map-side partial agg
+
+
+def test_semantic_search_hydration_broadcasts(spark, sf_dir):
+    plan = _plan(entrymod.semantic_search_e2e(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan       # k-row results into chunk/doc joins
+    assert "TakeOrderedAndProject" in plan   # top-k never global-sorts
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_verified_pairs_all_equi_joins(spark, sf_dir):
+    """Generate-then-verify must stay equi-join shaped: no nested-loop or
+    cartesian fallback anywhere in candidate generation or verification."""
+    plan = _plan(entrymod.lsh_verified_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_exact_dedup_never_shuffles_text(spark, sf_dir):
     """The dedup shuffle key is the md5 — the optimized plan's exchange input
     must not carry the raw text column."""

@@ -330,6 +330,42 @@ def events_sessions(spark, sf_dir):
     )
 
 
+def asof_join_events(spark, sf_dir):
+    """As-of join (union + partitioned-window formulation — one shuffle,
+    no inequality join): each click gets the user's latest prior-or-equal
+    purchase. Oracle = DuckDB's native ASOF LEFT JOIN."""
+    from doc_agent_spark.operators import temporal
+
+    ev = load(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))  # unique per (key, ts)
+    )
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return temporal.asof_join(left, right)
+
+
+def range_join_events(spark, sf_dir):
+    """Range join via bin expansion (equi-join on time bin + residual
+    filter — never an inequality theta-join): events against 45-minute
+    maintenance intervals anchored at every 97th event."""
+    from doc_agent_spark.operators import temporal
+
+    ev = load(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    intervals = ev.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("end_ts"),
+    )
+    points = ev.select("event_id", "user_id", "ts")
+    return temporal.range_join_binned(points, intervals).select(
+        "event_id", "user_id", "ts", "interval_id", "start_ts", "end_ts"
+    )
+
+
 def mime_dispatch(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     ext = F.element_at(
@@ -851,6 +887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders": top_orders,
         "events_hourly": events_hourly,
         "events_sessions": events_sessions,
+        "asof_join_events": asof_join_events,
+        "range_join_events": range_join_events,
         "mime_dispatch": mime_dispatch,
         "filename_path_hash": filename_path_hash,
         "page_assembly": page_assembly,
@@ -1089,6 +1127,22 @@ SELECT user_id,
        CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM g GROUP BY user_id
+""",
+        "asof_join_events": """
+WITH r AS (SELECT user_id, ts, max(value) AS value
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT l.event_id, l.user_id, l.ts, l.value,
+       r.ts AS matched_ts, r.value AS matched_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+        "range_join_events": """
+WITH iv AS (SELECT event_id AS interval_id, ts AS start_ts,
+                   ts + INTERVAL 45 MINUTE AS end_ts
+            FROM events WHERE event_id % 97 = 0),
+p AS (SELECT event_id, user_id, ts FROM events)
+SELECT p.event_id, p.user_id, p.ts, iv.interval_id, iv.start_ts, iv.end_ts
+FROM p JOIN iv ON p.ts >= iv.start_ts AND p.ts <= iv.end_ts
 """,
         "mime_dispatch": """
 WITH p AS (

@@ -330,6 +330,52 @@ def events_sessions(spark, sf_dir):
     )
 
 
+def rollup_cascade(spark, sf_dir):
+    """Hypertable-style cascaded rollup: minute-grain aggregate once, then
+    hour and day grains fold the NEXT-FINER rollup instead of rescanning
+    raw events — at 100 TB the raw scan happens exactly once and each
+    coarser grain aggregates ~60× fewer rows. Returns the union of all
+    three grains tagged by grain."""
+    ev = load(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    minute = (
+        ev.groupBy(
+            F.date_trunc("minute", F.col("ts")).alias("bucket"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sv"))
+    )
+    hour = (
+        minute.groupBy(
+            F.date_trunc("hour", F.col("bucket")).alias("bucket"), "event_type"
+        )
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+    )
+    day = (
+        hour.groupBy(
+            F.date_trunc("day", F.col("bucket")).alias("bucket"), "event_type"
+        )
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+    )
+    out = (
+        minute.withColumn("grain", F.lit("minute"))
+        .unionByName(hour.withColumn("grain", F.lit("hour")))
+        .unionByName(day.withColumn("grain", F.lit("day")))
+    )
+    return out.select(
+        "grain", "bucket", "event_type", "n_events", F.round("sv", 4).alias("sum_value")
+    )
+
+
+def events_cube(spark, sf_dir):
+    """CUBE aggregation over (event_type, hour): all four grouping-set
+    combinations in one pass (partial-aggregated, one shuffle)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.cube("event_type", F.hour("ts").alias("hour_of_day"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
 def asof_join_events(spark, sf_dir):
     """As-of join (union + partitioned-window formulation — one shuffle,
     no inequality join): each click gets the user's latest prior-or-equal
@@ -889,6 +935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": events_sessions,
         "asof_join_events": asof_join_events,
         "range_join_events": range_join_events,
+        "rollup_cascade": rollup_cascade,
+        "events_cube": events_cube,
         "mime_dispatch": mime_dispatch,
         "filename_path_hash": filename_path_hash,
         "page_assembly": page_assembly,
@@ -1127,6 +1175,31 @@ SELECT user_id,
        CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM g GROUP BY user_id
+""",
+        "rollup_cascade": """
+WITH minute AS (
+  SELECT date_trunc('minute', ts) AS bucket, event_type,
+         count(*) AS n_events, sum(value) AS sv
+  FROM events GROUP BY 1, 2),
+hour AS (
+  SELECT date_trunc('hour', bucket) AS bucket, event_type,
+         CAST(sum(n_events) AS BIGINT) AS n_events, sum(sv) AS sv
+  FROM minute GROUP BY 1, 2),
+day AS (
+  SELECT date_trunc('day', bucket) AS bucket, event_type,
+         CAST(sum(n_events) AS BIGINT) AS n_events, sum(sv) AS sv
+  FROM hour GROUP BY 1, 2)
+SELECT 'minute' AS grain, bucket, event_type, n_events, round(sv, 4) AS sum_value FROM minute
+UNION ALL
+SELECT 'hour', bucket, event_type, n_events, round(sv, 4) FROM hour
+UNION ALL
+SELECT 'day', bucket, event_type, n_events, round(sv, 4) FROM day
+""",
+        "events_cube": """
+WITH e AS (SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour_of_day, value FROM events)
+SELECT event_type, hour_of_day,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM e GROUP BY CUBE (event_type, hour_of_day)
 """,
         "asof_join_events": """
 WITH r AS (SELECT user_id, ts, max(value) AS value

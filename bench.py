@@ -57,6 +57,7 @@ SUITE = (
     "simhash_near_pairs", "lsh_verified_pairs", "dup_clusters",
     "embed_documents", "semantic_search_e2e", "pii_redaction",
     "stratified_sample", "token_histogram",
+    "asof_join_events", "range_join_events", "rollup_cascade", "events_cube",
 )
 
 

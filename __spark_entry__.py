@@ -751,6 +751,14 @@ def ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(emb, list(q), k=10, centroid_stride=5, nprobe=2)
 
 
+def sq_cosine_topk(spark, sf_dir):
+    """Asymmetric int8-quantized vector search: corpus scalar-quantized
+    (4x smaller scan), query full precision."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0].embedding
+    return similarity.sq_cosine_topk(emb, list(q), k=10, dim=64)
+
+
 def media_metadata(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     media = multimodal.media_from_documents(docs)
@@ -970,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "list_documents": list_documents,
         "embedding_near_dups": embedding_near_dups,
         "ivf_topk": ivf_topk,
+        "sq_cosine_topk": sq_cosine_topk,
         "media_metadata": media_metadata,
         "retrieval_eval": retrieval_eval,
         "retrieval_eval_by_query": retrieval_eval_by_query,
@@ -1577,6 +1586,24 @@ probe AS (
 SELECT a.id, round({_cos_sql('a.v', 'q.qv')}, 6) AS score
 FROM assigned a JOIN probe p ON a.cid = p.cid CROSS JOIN q
 WHERE a.rn = 1
+ORDER BY score DESC, id ASC LIMIT 10
+""",
+        "sq_cosine_topk": f"""
+WITH stats AS (
+  SELECT [{', '.join(f'min(CAST(embedding[{i + 1}] AS DOUBLE))' for i in range(64))}] AS mins,
+         [{', '.join(f'max(CAST(embedding[{i + 1}] AS DOUBLE))' for i in range(64))}] AS maxs
+  FROM embeddings),
+s2 AS (SELECT mins, list_transform(range(1, 65), i -> maxs[i] - mins[i]) AS spans FROM stats),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+deq AS (
+  SELECT e.vec_id AS id,
+         list_transform(range(1, 65), i ->
+           mins[i] + (CASE WHEN spans[i] > 0
+                           THEN round((CAST(e.embedding[i] AS DOUBLE) - mins[i]) * 255.0 / spans[i], 0)
+                           ELSE 0 END) * spans[i] / 255.0) AS dv
+  FROM embeddings e CROSS JOIN s2)
+SELECT id, round({_cos_sql('dv', 'qv')}, 6) AS score
+FROM deq CROSS JOIN q
 ORDER BY score DESC, id ASC LIMIT 10
 """,
         "media_metadata": """

@@ -145,6 +145,78 @@ def ivf_topk(
     )
 
 
+def sq_quantize(
+    embeddings: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar (int8) quantization of an embedding column: per-dimension
+    affine codes ``round((x - min_d) * 255 / span_d)`` against corpus-wide
+    per-dimension min/max.
+
+    The stats are ONE aggregation pass folded to a single broadcast row —
+    at 100 TB the stored codes are 4× smaller than float32 (16× vs the
+    float64 oracle form), which is the difference between an in-memory and
+    a spilling ANN scan. Returns (id, codes array<int>, mins, spans) —
+    mins/spans ride along so downstream dequantization needs no second
+    stats join. Constant dimensions (span 0) code to 0 and dequantize to
+    the dimension's constant.
+    """
+    v = F.col(vec_col)
+    stats = embeddings.agg(
+        F.array(*[F.min(F.element_at(v, i + 1).cast("double")) for i in range(dim)]).alias("mins"),
+        F.array(*[F.max(F.element_at(v, i + 1).cast("double")) for i in range(dim)]).alias("maxs"),
+    ).select(
+        "mins",
+        F.zip_with("maxs", "mins", lambda a, b: a - b).alias("spans"),
+    )
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    code = lambda i: F.when(  # noqa: E731
+        F.element_at("spans", i + 1) > 0,
+        F.round(
+            (F.element_at(v, i + 1).cast("double") - F.element_at("mins", i + 1))
+            * 255.0 / F.element_at("spans", i + 1),
+            0,
+        ).cast("int"),
+    ).otherwise(F.lit(0))
+    return (
+        embeddings.crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col).alias("id"),
+            F.transform(idx, code).alias("codes"),
+            "mins",
+            "spans",
+        )
+    )
+
+
+def sq_cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric quantized search: the CORPUS is int8-coded (sq_quantize),
+    the query stays full precision; scores are cosine against the
+    dequantized codes, top-k via TakeOrderedAndProject. The standard
+    memory/recall trade: scan bandwidth drops 4×, scores shift by at most
+    span/510 per dimension."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sq = sq_quantize(embeddings, dim, id_col=id_col, vec_col=vec_col)
+    deq = F.expr(
+        "transform(codes, (c, i) -> element_at(mins, i + 1) + "
+        "c * element_at(spans, i + 1) / 255.0)"
+    )
+    return (
+        sq.select("id", F.round(cosine(deq, q), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
 def knn_join_brute(
     left: DataFrame,
     right: DataFrame,

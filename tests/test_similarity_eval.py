@@ -88,3 +88,29 @@ def test_hydrate_broadcast_join(spark, sf_dir):
     assert len(got[0].snippet) <= 80
     plan = search.hydrate(results, docs, id_col="doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_sq_quantization_error_bounded(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    vecs = [(i, [float(x) for x in rng.uniform(-2, 2, 16)]) for i in range(50)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    sq = similarity.sq_quantize(emb, dim=16)
+    rows = sq.collect()
+    orig = dict(vecs)
+    for r in rows:
+        deq = [m + c * s / 255.0 for c, m, s in zip(r.codes, r.mins, r.spans)]
+        err = max(abs(a - b) for a, b in zip(deq, orig[r.id]))
+        span = max(r.spans)
+        assert err <= span / 510 + 1e-6  # half a code step per dimension
+        assert all(0 <= c <= 255 for c in r.codes)
+
+
+def test_sq_topk_close_to_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = list(emb.filter(F.col("vec_id") == 0).collect()[0].embedding)
+    exact = [r.id for r in similarity.cosine_topk(emb, q, k=10).collect()]
+    approx = [r.id for r in similarity.sq_cosine_topk(emb, q, k=10, dim=64).collect()]
+    # int8 codes keep at least 8 of the true top-10 (recall@10 >= 0.8)
+    assert len(set(exact) & set(approx)) >= 8

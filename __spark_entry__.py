@@ -330,6 +330,63 @@ def events_sessions(spark, sf_dir):
     )
 
 
+def value_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles per event type (Spark percentile ==
+    DuckDB quantile_cont — both sort-based, order-independent)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+def conversion_funnel(spark, sf_dir):
+    """Ordered-event funnel: per user, first view → first later click →
+    first later purchase; counts users reaching each stage. One shuffle on
+    user_id; stage times via conditional min aggregates, not self-joins."""
+    ev = load(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", ts)).alias("t_view"),
+    )
+    # first click AFTER the first view, first purchase AFTER that click:
+    # conditional-min joins back on the broadcastable per-user stage times
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", ts.alias("c_ts")
+    )
+    stage2 = (
+        per_user.join(clicks, "user_id", "left")
+        .filter(F.col("c_ts") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("c_ts").alias("t_click"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", ts.alias("p_ts")
+    )
+    stage3 = (
+        stage2.join(purchases, "user_id", "left")
+        .filter(F.col("p_ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("t_purchase"))
+    )
+    return spark.createDataFrame(
+        [("view",), ("view>click",), ("view>click>purchase",)], "stage string"
+    ).join(
+        per_user.filter(F.col("t_view").isNotNull())
+        .agg(F.count(F.lit(1)).alias("n")).select(F.lit("view").alias("stage"), "n")
+        .unionByName(
+            stage2.agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("view>click").alias("stage"), "n")
+        )
+        .unionByName(
+            stage3.agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("view>click>purchase").alias("stage"), "n")
+        ),
+        "stage",
+    )
+
+
 def rollup_cascade(spark, sf_dir):
     """Hypertable-style cascaded rollup: minute-grain aggregate once, then
     hour and day grains fold the NEXT-FINER rollup instead of rescanning
@@ -945,6 +1002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_events": range_join_events,
         "rollup_cascade": rollup_cascade,
         "events_cube": events_cube,
+        "value_quantiles": value_quantiles,
+        "conversion_funnel": conversion_funnel,
         "mime_dispatch": mime_dispatch,
         "filename_path_hash": filename_path_hash,
         "page_assembly": page_assembly,
@@ -1184,6 +1243,31 @@ SELECT user_id,
        CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM g GROUP BY user_id
+""",
+        "value_quantiles": """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+""",
+        "conversion_funnel": """
+WITH pu AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM events GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, pu.t_view, min(e.ts) AS t_click
+  FROM pu JOIN events e ON e.user_id = pu.user_id
+  WHERE e.event_type = 'click' AND e.ts > pu.t_view
+  GROUP BY 1, 2),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM s2 JOIN events e ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+  GROUP BY 1)
+SELECT 'view' AS stage, count(*) AS n FROM pu WHERE t_view IS NOT NULL
+UNION ALL SELECT 'view>click', count(*) FROM s2
+UNION ALL SELECT 'view>click>purchase', count(*) FROM s3
 """,
         "rollup_cascade": """
 WITH minute AS (

@@ -58,7 +58,7 @@ SUITE = (
     "embed_documents", "semantic_search_e2e", "pii_redaction",
     "stratified_sample", "token_histogram",
     "asof_join_events", "range_join_events", "rollup_cascade", "events_cube",
-    "sq_cosine_topk",
+    "sq_cosine_topk", "value_quantiles", "conversion_funnel",
 )
 
 

@@ -330,6 +330,65 @@ def events_sessions(spark, sf_dir):
     )
 
 
+def q10_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape on the reduced schema: revenue lost to returned
+    items per customer over a quarter; dims broadcast, one agg shuffle."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1996-04-01")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            # decimal arithmetic: exact + associative, so the sum is
+            # identical regardless of partition/accumulation order (a
+            # double sum here rounds differently at the cents boundary)
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+                ),
+                2,
+            ).cast("double").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q4_priority_late_ship(spark, sf_dir):
+    """TPC-H Q4 shape adapted to the reduced schema: orders with any
+    lineitem shipped >90 days after the order date, counted per priority
+    (left-semi EXISTS; integer CASE sums cast to BIGINT for oracle type
+    parity)."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    late = li.alias("l").join(
+        orders.alias("o"),
+        (F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+        & (
+            F.to_date(F.col("l.l_shipdate"))
+            > F.date_add(F.to_date(F.col("o.o_orderdate")), 90)
+        ),
+        "left_semi",
+    ).select(F.col("l_orderkey")).distinct()
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
 def value_quantiles(spark, sf_dir):
     """Exact interpolated quantiles per event type (Spark percentile ==
     DuckDB quantile_cont — both sort-based, order-independent)."""
@@ -1004,6 +1063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": events_cube,
         "value_quantiles": value_quantiles,
         "conversion_funnel": conversion_funnel,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q4_priority_late_ship": q4_priority_late_ship,
         "mime_dispatch": mime_dispatch,
         "filename_path_hash": filename_path_hash,
         "page_assembly": page_assembly,
@@ -1243,6 +1304,27 @@ SELECT user_id,
        CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM g GROUP BY user_id
+""",
+        "q10_returned_revenue": """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+""",
+        "q4_priority_late_ship": """
+WITH late AS (
+  SELECT DISTINCT l.l_orderkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 90 DAY)
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM late)
+GROUP BY 1
 """,
         "value_quantiles": """
 SELECT event_type,

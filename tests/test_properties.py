@@ -132,3 +132,32 @@ def test_parse_money_tail(cents_units, cents, neg, grouped):
 @given(st.text(alphabet="abc $-.,", max_size=20))
 def test_parse_money_total_no_crash(s):
     spec._parse_money(s)  # never raises
+
+
+# --- curation functions ---------------------------------------------------
+
+from doc_agent_spark.functions.redact import PII_PATTERNS
+from doc_agent_spark.operators.sampling import hex_threshold
+
+
+@given(st.floats(0, 1), st.floats(0, 1))
+def test_hex_threshold_monotone(a, b):
+    lo, hi = sorted((a, b))
+    assert hex_threshold(lo) <= hex_threshold(hi)
+    assert hex_threshold(0.0) == "00000000"
+    assert hex_threshold(1.0) == "g"       # sorts above every hex prefix
+
+
+@given(st.text(alphabet="ab0123456789@.-+() <>ESNLACPHOT", max_size=60))
+def test_redact_chain_idempotent(s):
+    """Applying the PII pattern chain twice == once: placeholders contain
+    no digits or @, so no pattern can match its own replacement."""
+    import re
+
+    def apply(x):
+        for pat, rep in PII_PATTERNS:
+            x = re.sub(pat, rep, x)
+        return x
+
+    once = apply(s)
+    assert apply(once) == once

@@ -52,3 +52,50 @@ def test_output_identical_across_parallelism():
     h2 = _run("local[2]", 2)
     h8 = _run("local[8]", 8)
     assert h2 == h8
+
+
+_QUERY_RUN_SRC = r"""
+import hashlib, sys
+sys.path.insert(0, {repo!r})
+import __spark_entry__ as m
+from doc_agent_spark.session import get_spark
+
+spark = get_spark(app="determinism-q", master={master!r}, shuffle_partitions={parts})
+names = {names!r}
+out = []
+for name in names:
+    rows = m.queries()[name](spark, "/root/testdata/sf0.001").collect()
+    h = hashlib.sha256()
+    for r in sorted(repr(tuple(r)) for r in rows):
+        h.update(r.encode())
+    out.append(f"{{name}}={{h.hexdigest()}}")
+print("HASHES:" + ";".join(out))
+spark.stop()
+"""
+
+# round-2 operators with nontrivial distribution behavior: iterative
+# clustering, Arrow matmul argmax, banded LSH, hash sampling, window joins
+_DET_QUERIES = [
+    "dup_clusters", "ivf_topk", "embedding_near_dups_banded",
+    "stratified_sample", "chunk_search_hydrate", "asof_join_events",
+    "sq_cosine_topk", "rollup_cascade",
+]
+
+
+def _run_queries(master: str, parts: int) -> str:
+    src = _QUERY_RUN_SRC.format(repo=REPO, master=master, parts=parts, names=_DET_QUERIES)
+    proc = subprocess.run(
+        [sys.executable, "-c", src], capture_output=True, text=True, timeout=900
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    for line in proc.stdout.splitlines():
+        if line.startswith("HASHES:"):
+            return line[7:]
+    raise AssertionError(f"no hashes in output: {proc.stdout[-500:]}")
+
+
+def test_round2_operators_identical_across_parallelism():
+    a = _run_queries("local[2]", 2)
+    b = _run_queries("local[8]", 8)
+    for qa, qb in zip(a.split(";"), b.split(";")):
+        assert qa == qb, f"parallelism-dependent result: {qa.split('=')[0]}"

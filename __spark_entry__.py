@@ -93,6 +93,12 @@ SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
 
 _WORDS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
 
+def _kmv_users_sql() -> str:
+    from doc_agent_spark.operators.sketches import kmv_sql
+
+    return kmv_sql("user_id", k=256).format(table="events")
+
+
 def _embedding_sql(text_expr: str, dim: int) -> str:
     from doc_agent_spark.functions.embedder import embedding_sql
 
@@ -387,6 +393,16 @@ def q4_priority_late_ship(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+def kmv_distinct_users(spark, sf_dir):
+    """Mergeable KMV cardinality sketch over event users: deterministic
+    md5 uniforms make the sketch AND estimate bit-identical to the DuckDB
+    oracle — the per-task k-min reduction is the cluster merge shape."""
+    from doc_agent_spark.operators import sketches
+
+    ev = load(spark, sf_dir, "events")
+    return sketches.kmv_distinct_estimate(ev, "user_id", k=256)
 
 
 def value_quantiles(spark, sf_dir):
@@ -1065,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_funnel": conversion_funnel,
         "q10_returned_revenue": q10_returned_revenue,
         "q4_priority_late_ship": q4_priority_late_ship,
+        "kmv_distinct_users": kmv_distinct_users,
         "mime_dispatch": mime_dispatch,
         "filename_path_hash": filename_path_hash,
         "page_assembly": page_assembly,
@@ -1326,6 +1343,7 @@ SELECT o_orderpriority, count(*) AS n_orders
 FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM late)
 GROUP BY 1
 """,
+        "kmv_distinct_users": _kmv_users_sql(),
         "value_quantiles": """
 SELECT event_type,
        round(quantile_cont(value, 0.5), 6) AS p50,

@@ -59,7 +59,7 @@ SUITE = (
     "stratified_sample", "token_histogram",
     "asof_join_events", "range_join_events", "rollup_cascade", "events_cube",
     "sq_cosine_topk", "value_quantiles", "conversion_funnel",
-    "q10_returned_revenue", "q4_priority_late_ship",
+    "q10_returned_revenue", "q4_priority_late_ship", "kmv_distinct_users",
 )
 
 

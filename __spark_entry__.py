@@ -395,6 +395,32 @@ def q4_priority_late_ship(spark, sf_dir):
     )
 
 
+def incremental_reindex(spark, sf_dir):
+    """Change-data-capture re-index (the reference resets status='pending'
+    on upsert so changed docs re-embed — storage/src/index.ts:29-54): v2 of
+    the corpus modifies every 10th doc; the stale set is found by CONTENT
+    hash comparison (never text compare — 32-byte join keys), and only
+    stale docs re-embed. At 100 TB this is the difference between a full
+    re-embedding run and touching 0.1% of the corpus."""
+    from doc_agent_spark.functions import embedder
+
+    docs = load(spark, sf_dir, "documents")
+    v2 = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" updated"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    old_hash = docs.select("doc_id", F.md5("text").alias("h1"))
+    stale = (
+        v2.withColumn("h2", F.md5("text"))
+        .join(old_hash, "doc_id")
+        .filter(F.col("h2") != F.col("h1"))
+        .select("doc_id", "text")
+    )
+    return embedder.embed(stale, "doc_id", "text", dim=16)
+
+
 def kmv_distinct_users(spark, sf_dir):
     """Mergeable KMV cardinality sketch over event users: deterministic
     md5 uniforms make the sketch AND estimate bit-identical to the DuckDB
@@ -1082,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_revenue": q10_returned_revenue,
         "q4_priority_late_ship": q4_priority_late_ship,
         "kmv_distinct_users": kmv_distinct_users,
+        "incremental_reindex": incremental_reindex,
         "mime_dispatch": mime_dispatch,
         "filename_path_hash": filename_path_hash,
         "page_assembly": page_assembly,
@@ -1344,6 +1371,17 @@ FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM late)
 GROUP BY 1
 """,
         "kmv_distinct_users": _kmv_users_sql(),
+        "incremental_reindex": f"""
+WITH v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN text || ' updated' ELSE text END AS text
+  FROM documents),
+stale AS (
+  SELECT v2.doc_id, v2.text
+  FROM v2 JOIN documents d ON v2.doc_id = d.doc_id
+  WHERE md5(v2.text) <> md5(d.text))
+SELECT doc_id AS id, {_embedding_sql('text', 16)} AS embedding FROM stale
+""",
         "value_quantiles": """
 SELECT event_type,
        round(quantile_cont(value, 0.5), 6) AS p50,

@@ -63,6 +63,27 @@ def _search_documents(spark: SparkSession, input_path: str, query: str,
     return search.hydrate(search.topk(scores, limit), docs)
 
 
+def _semantic_search(spark: SparkSession, input_path: str, query: str,
+                     limit: int, words_per_chunk: int) -> DataFrame:
+    """The reference's full retrieval mode over chunks: chunk → embed
+    (deterministic provider) → cosine top-k vs the embedded query →
+    hydrate chunk + document metadata."""
+    from .functions import embedder
+    from .functions.vectors import cosine
+    from .operators import chunking, search
+
+    docs = spark.read.parquet(input_path)
+    chunks = chunking.chunk_documents(
+        docs, strategy="semantic", words_per_chunk=words_per_chunk
+    )
+    vecs = embedder.embed(chunks, "chunk_id", "content", dim=16)
+    qv = embedder.fake_embedding(F.lit(query), 16)
+    scores = vecs.select(
+        "id", F.round(cosine(F.col("embedding"), qv), 6).alias("score")
+    )
+    return chunking.hydrate_chunks(search.topk(scores, limit), chunks, docs)
+
+
 def _list_documents(spark: SparkSession, input_path: str, limit: int) -> DataFrame:
     docs = spark.read.parquet(input_path)
     order = [F.desc("created_at")] if "created_at" in docs.columns else []
@@ -84,6 +105,13 @@ OPERATIONS: dict[str, Operation] = {
             {"input_path": str, "query": str, "limit": int},
             {"limit": 10},
             fn=_search_documents,
+        ),
+        Operation(
+            "semantic_search",
+            "Chunk-grained vector search with document hydration",
+            {"input_path": str, "query": str, "limit": int, "words_per_chunk": int},
+            {"limit": 10, "words_per_chunk": 50},
+            fn=_semantic_search,
         ),
         Operation(
             "list_documents",

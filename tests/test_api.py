@@ -41,3 +41,15 @@ def test_param_validation(spark, corpus_path):
                     query="x", limit="ten")
     with pytest.raises(TypeError):
         api.execute(spark, "list_documents", input_path=corpus_path, bogus=1)
+
+
+def test_semantic_search_operation(spark, sf_dir):
+    out = api.execute(
+        spark, "semantic_search",
+        input_path=f"{sf_dir}/documents.parquet", query="spark join window",
+        limit=5, words_per_chunk=20,
+    )
+    rows = out.collect()
+    assert len(rows) == 5
+    assert {"chunk_id", "doc_id", "chunk_index", "score", "snippet", "doc_lang"} == set(out.columns)
+    assert all(r.snippet for r in rows)

@@ -76,3 +76,38 @@ def test_windowed_counts_drop_late_data(spark, tmp_path):
     # the 10:00 window finalized with exactly the two on-time events;
     # the late batch-3 event did not reopen or grow it
     assert finalized[_t(0)] == 2
+
+
+def test_events_stream_to_memory_matches_batch(spark, tmp_path):
+    """The readStream variant of the events aggregation must reproduce the
+    batch groupBy over the same files."""
+    from pyspark.sql import functions as F
+
+    from doc_agent_spark.streaming.pipeline import events_stream_to_memory
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    SCHEMA = ("event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    rows = [
+        (i, _t(i % 50), i % 7, ["click", "view"][i % 2], float(i), "{}")
+        for i in range(200)
+    ]
+    spark.createDataFrame(rows, SCHEMA).coalesce(2).write.parquet(in_dir)
+
+    q = events_stream_to_memory(spark, in_dir, ckpt, query_name="ev_counts")
+    q.awaitTermination(120)
+    got = {
+        (r.event_type, r.ws): (r.n_events, r.sum_value)
+        for r in spark.sql(
+            "SELECT event_type, window.start AS ws, n_events, sum_value FROM ev_counts"
+        ).collect()
+    }
+    batch = (
+        spark.read.parquet(in_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+        .collect()
+    )
+    expected = {(r.event_type, r.w.start): (r.n, r.sv) for r in batch}
+    assert got == expected

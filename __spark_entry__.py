@@ -828,6 +828,19 @@ def stratified_sample(spark, sf_dir):
     )
 
 
+def quality_weighted_sample(spark, sf_dir):
+    """Probability-proportional curation: each doc kept with probability =
+    its quality score — high-quality docs dominate the mix without a hard
+    cutoff. Deterministic per row at any cluster size."""
+    from doc_agent_spark.operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", textfns.quality_score(F.col("text")).alias("quality")
+    )
+    return sampling.sample_weighted(scored, F.col("quality"), key_col="doc_id")
+
+
 def token_histogram(spark, sf_dir):
     """Corpus token-length distribution: fixed-width (10-token) histogram
     over the BPE-ish token count — the shape check before training mixes."""
@@ -1137,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": pii_redaction,
         "dup_clusters": dup_clusters,
         "stratified_sample": stratified_sample,
+        "quality_weighted_sample": quality_weighted_sample,
         "token_histogram": token_histogram,
         "json_export": json_export,
         "list_documents": list_documents,
@@ -1725,6 +1739,25 @@ SELECT doc_id,
   4) AS quality,
   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
 FROM documents
+""",
+        "quality_weighted_sample": f"""
+WITH s AS (
+  SELECT doc_id, lang,
+  round(
+    (CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1.0
+          WHEN length(text) > 0 THEN 0.5 ELSE 0.0 END) * 0.4
+    + (CASE WHEN length(text) > 0
+        THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)
+        ELSE 0.0 END) * 0.3
+    + least(
+        (CASE WHEN len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) > 0
+          THEN CAST({hits(stop_en)} AS DOUBLE)
+               / len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+          ELSE 0.0 END) * 4.0, 1.0) * 0.3,
+  4) AS quality
+  FROM documents)
+SELECT doc_id, lang, quality FROM s
+WHERE {sampling.hash8_sql('doc_id')} < {sampling.weighted_threshold_sql('quality')}
 """,
         "extraction_flagship": f"""
 {_extraction_spans_sql(assembled_sql)}

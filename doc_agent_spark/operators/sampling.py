@@ -65,6 +65,31 @@ def sample_stratified(
     return df.filter(_hash8(F.col(key_col), seed) < thr)
 
 
+def sample_weighted(
+    df: DataFrame, weight: Column, key_col: str, seed: str = "s42"
+) -> DataFrame:
+    """Keep each row with probability = its weight column (clamped to
+    [0,1]) — probability-proportional curation (e.g. keep-rate = quality
+    score). Deterministic like the other samplers: the row's hash-uniform
+    is compared against the hex-encoded weight threshold, so re-runs and
+    cluster-size changes keep the identical sample. The weight→threshold
+    encoding is a pure expression (lpad(hex(weight·16^8))), no UDF."""
+    w = F.least(F.greatest(weight.cast("double"), F.lit(0.0)), F.lit(1.0))
+    thr = F.when(w >= 1.0, F.lit(_ALWAYS)).otherwise(
+        F.lpad(F.lower(F.hex(F.floor(w * F.lit(float(16 ** 8))).cast("long"))), 8, "0")
+    )
+    return df.filter(_hash8(F.col(key_col), seed) < thr)
+
+
 def hash8_sql(key_expr: str, seed: str = "s42") -> str:
     """DuckDB mirror of the hash prefix (md5 hex is engine-identical)."""
     return f"substr(md5('{seed}:' || CAST({key_expr} AS VARCHAR)), 1, 8)"
+
+
+def weighted_threshold_sql(weight_expr: str) -> str:
+    """DuckDB mirror of the weight→hex-threshold encoding."""
+    w = f"least(greatest(CAST({weight_expr} AS DOUBLE), 0.0), 1.0)"
+    return (
+        f"CASE WHEN {w} >= 1.0 THEN '{_ALWAYS}' "
+        f"ELSE lpad(lower(hex(CAST(floor({w} * {float(16 ** 8)!r}) AS BIGINT))), 8, '0') END"
+    )

@@ -85,3 +85,20 @@ def test_sampling_is_pushdown_friendly(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_weighted_sample_tracks_weight(spark):
+    from pyspark.sql import functions as F
+
+    from doc_agent_spark.operators import sampling
+
+    rows = [(i, 0.9 if i % 2 == 0 else 0.1) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    kept = sampling.sample_weighted(df, F.col("w"), key_col="doc_id")
+    counts = {r.w: r.n for r in kept.groupBy("w").agg(F.count("*").alias("n")).collect()}
+    assert 0.8 < counts[0.9] / 1000 <= 1.0   # ≈ 90% of the heavy stratum
+    assert 0.0 < counts[0.1] / 1000 < 0.2    # ≈ 10% of the light stratum
+    # weight 1.0 / 0.0 degenerate cases
+    edge = spark.createDataFrame([(1, 1.0), (2, 0.0)], "doc_id long, w double")
+    got = [r.doc_id for r in sampling.sample_weighted(edge, F.col("w"), "doc_id").collect()]
+    assert got == [1]

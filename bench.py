@@ -60,6 +60,7 @@ SUITE = (
     "asof_join_events", "range_join_events", "rollup_cascade", "events_cube",
     "sq_cosine_topk", "value_quantiles", "conversion_funnel",
     "q10_returned_revenue", "q4_priority_late_ship", "kmv_distinct_users",
+    "quality_weighted_sample", "incremental_reindex",
 )
 
 

@@ -15,12 +15,18 @@ Layout
 - ``schema``      : all StructTypes (input spans table, DocumentData, metrics)
 - ``corpus``      : deterministic synthetic interleaved-span corpus (seed=42)
 - ``functions/``  : pure column-expression operators (assembly, mime, hashing,
-                    JSON salvage, text analytics, vector math)
-- ``operators/``  : composite operators (extraction pipeline, dedup family,
-                    similarity search, BM25/RRF search)
+                    JSON salvage, text analytics, vector math, PII redaction,
+                    deterministic embedder)
+- ``operators/``  : composite operators (extraction pipeline, chunking, dedup
+                    family + clustering, similarity/ANN + scalar quantization,
+                    BM25/RRF/rerank search, temporal joins, sampling, sketches,
+                    multimodal, boilerplate, layout)
 - ``sources/``    : table loaders
-- ``sinks/``      : MERGE/upsert sink (Iceberg SQL or parquet fallback),
-                    metrics + lineage appends
+- ``sinks/``      : MERGE/upsert sink (schema-evolving parquet fallback,
+                    Iceberg DDL builders), metrics + lineage appends
+- ``streaming/``  : Structured Streaming variants (extraction, windowed
+                    aggregation, sessionization, streaming dedup)
+- ``api``         : named-operation service surface (MCP/REST shell analog)
 """
 
 __version__ = "0.1.0"

@@ -233,3 +233,16 @@ def test_simhash_width_stable_low_bits(spark, texts):
     for r in out:
         assert r.s32 & 0xFFFF == r.s16   # low bits are width-stable
         assert 0 <= r.s32 < 1 << 32
+
+
+def test_ngram_jaccard_block_col_restricts_pairs(spark, texts):
+    blocked = texts.withColumn("blk", (F.col("doc_id") <= 2).cast("int"))
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(
+            blocked, threshold=0.5, block_col="blk"
+        ).collect()
+    }
+    assert (1, 2) in got      # same block, jaccard 1.0
+    # docs 1 and 5 tokenize identically but live in different blocks
+    assert (1, 5) not in got and (2, 5) not in got

@@ -173,6 +173,28 @@ chunks AS (
 """.strip()
 
 
+def _explode_embedding(emb: DataFrame) -> DataFrame:
+    """(id, dim_idx, value) rows from an (id, embedding) frame.
+
+    The driver's correctness gate canonicalizes results by sorting column
+    values — raw ``array<double>`` columns crash its pandas factorization
+    ('unhashable type: list', CORRECTNESS_r02). Exploding to one scalar row
+    per component keeps EVERY vector component value-checked (stronger than
+    a digest) while staying gate-compatible. Narrow op, no shuffle."""
+    return emb.select(
+        "id", F.posexplode("embedding").alias("dim_idx", "value")
+    )
+
+
+def _explode_embedding_sql(inner_sql: str, dim: int) -> str:
+    """DuckDB mirror of :func:`_explode_embedding` over a subquery producing
+    (id, embedding)."""
+    return f"""
+SELECT id, CAST(i - 1 AS INTEGER) AS dim_idx, embedding[CAST(i AS INTEGER)] AS value
+FROM ({inner_sql}) CROSS JOIN range(1, {dim + 1}) AS r(i)
+""".strip()
+
+
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int) -> DataFrame:
     return (
         load(spark, sf_dir, "embeddings")
@@ -418,7 +440,7 @@ def incremental_reindex(spark, sf_dir):
         .filter(F.col("h2") != F.col("h1"))
         .select("doc_id", "text")
     )
-    return embedder.embed(stale, "doc_id", "text", dim=16)
+    return _explode_embedding(embedder.embed(stale, "doc_id", "text", dim=16))
 
 
 def kmv_distinct_users(spark, sf_dir):
@@ -444,47 +466,38 @@ def value_quantiles(spark, sf_dir):
 
 def conversion_funnel(spark, sf_dir):
     """Ordered-event funnel: per user, first view → first later click →
-    first later purchase; counts users reaching each stage. One shuffle on
-    user_id; stage times via conditional min aggregates, not self-joins."""
+    first later purchase; counts users reaching each stage.
+
+    ONE events scan, ONE shuffle (groupBy user_id), ONE linear DAG: stage
+    timestamps derive from per-user event-time arrays (first click after
+    the first view = array_min over the filtered click array), then a
+    single conditional-count aggregation unpivots to the three stage rows.
+    The round-2 version unioned three aggregation branches over shared
+    unmaterialized subframes — the whole funnel recomputed ~3× (27.9 s vs
+    <2 s for comparable event queries in BENCH_r02). Per-user arrays are
+    session-sized; a pathological bot user degrades this partition exactly
+    like any sessionization window would (salt or cap upstream)."""
     ev = load(spark, sf_dir, "events")
     ts = F.col("ts").cast("timestamp")
     per_user = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", ts)).alias("t_view"),
+        F.collect_list(F.when(F.col("event_type") == "click", ts)).alias("clicks"),
+        F.collect_list(F.when(F.col("event_type") == "purchase", ts)).alias("purchases"),
     )
-    # first click AFTER the first view, first purchase AFTER that click:
-    # conditional-min joins back on the broadcastable per-user stage times
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", ts.alias("c_ts")
+    staged = per_user.withColumn(
+        "t_click", F.array_min(F.filter("clicks", lambda c: c > F.col("t_view")))
+    ).withColumn(
+        "t_purchase", F.array_min(F.filter("purchases", lambda p: p > F.col("t_click")))
     )
-    stage2 = (
-        per_user.join(clicks, "user_id", "left")
-        .filter(F.col("c_ts") > F.col("t_view"))
-        .groupBy("user_id", "t_view")
-        .agg(F.min("c_ts").alias("t_click"))
+    counts = staged.agg(
+        F.count("t_view").alias("n1"),
+        F.count("t_click").alias("n2"),
+        F.count("t_purchase").alias("n3"),
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", ts.alias("p_ts")
-    )
-    stage3 = (
-        stage2.join(purchases, "user_id", "left")
-        .filter(F.col("p_ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("p_ts").alias("t_purchase"))
-    )
-    return spark.createDataFrame(
-        [("view",), ("view>click",), ("view>click>purchase",)], "stage string"
-    ).join(
-        per_user.filter(F.col("t_view").isNotNull())
-        .agg(F.count(F.lit(1)).alias("n")).select(F.lit("view").alias("stage"), "n")
-        .unionByName(
-            stage2.agg(F.count(F.lit(1)).alias("n"))
-            .select(F.lit("view>click").alias("stage"), "n")
-        )
-        .unionByName(
-            stage3.agg(F.count(F.lit(1)).alias("n"))
-            .select(F.lit("view>click>purchase").alias("stage"), "n")
-        ),
-        "stage",
+    return counts.select(
+        F.expr(
+            "stack(3, 'view', n1, 'view>click', n2, 'view>click>purchase', n3)"
+        ).alias("stage", "n")
     )
 
 
@@ -717,7 +730,7 @@ def embed_documents(spark, sf_dir):
     from doc_agent_spark.functions import embedder
 
     docs = load(spark, sf_dir, "documents")
-    return embedder.embed(docs, "doc_id", "text", dim=16)
+    return _explode_embedding(embedder.embed(docs, "doc_id", "text", dim=16))
 
 
 def semantic_search_e2e(spark, sf_dir):
@@ -1385,7 +1398,7 @@ FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM late)
 GROUP BY 1
 """,
         "kmv_distinct_users": _kmv_users_sql(),
-        "incremental_reindex": f"""
+        "incremental_reindex": _explode_embedding_sql(f"""
 WITH v2 AS (
   SELECT doc_id,
          CASE WHEN doc_id % 10 = 0 THEN text || ' updated' ELSE text END AS text
@@ -1395,7 +1408,7 @@ stale AS (
   FROM v2 JOIN documents d ON v2.doc_id = d.doc_id
   WHERE md5(v2.text) <> md5(d.text))
 SELECT doc_id AS id, {_embedding_sql('text', 16)} AS embedding FROM stale
-""",
+""", 16),
         "value_quantiles": """
 SELECT event_type,
        round(quantile_cont(value, 0.5), 6) AS p50,
@@ -1647,9 +1660,10 @@ SELECT id_a, id_b, jaccard FROM (
   FROM cand c JOIN sh A ON A.id = c.id_a JOIN sh B ON B.id = c.id_b)
 WHERE jaccard >= 0.6
 """,
-        "embed_documents": f"""
-SELECT doc_id AS id, {_embedding_sql('text', 16)} AS embedding FROM documents
-""",
+        "embed_documents": _explode_embedding_sql(
+            f"SELECT doc_id AS id, {_embedding_sql('text', 16)} AS embedding FROM documents",
+            16,
+        ),
         "semantic_search_e2e": f"""
 {_CHUNKS_SQL},
 vecs AS (SELECT chunk_id AS id, {_embedding_sql('content', 16)} AS v FROM chunks),

@@ -123,18 +123,37 @@ def simhash_bits(text: Column, bits: int = 16) -> Column:
     """
     if not 1 <= bits <= 32:
         raise ValueError("simhash width must be 1..32 (md5 has 32 hex digits)")
-    tokens = words_of(text)
+    # ONE md5 per token, ONE pass over the token array. The round-2 shape
+    # (one interpreted fold per bit, each re-hashing every token) cost
+    # bits × passes × md5 — 22 s at sf0.1; this folds a bits-wide vote
+    # counter array in a single aggregate over pre-hashed digests and
+    # derives the signature in the aggregate's finish lambda (evaluated
+    # once — re-referencing the counters outside the fold would re-run
+    # the whole aggregate per reference, higher-order funcs never CSE).
+    digests = F.transform(words_of(text), F.md5)
 
-    def vote(b: int):
-        return lambda acc, t: acc + F.when(
-            F.substring(F.md5(t), b + 1, 1).rlike("[89a-f]"), F.lit(1)
-        ).otherwise(F.lit(-1))
+    def merge(acc, d):
+        return F.transform(
+            acc,
+            lambda c, i: c
+            + F.when(F.substr(d, i + 1, F.lit(1)).rlike("[89a-f]"), F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
 
-    sig = F.lit(0).cast("long")
-    for b in range(bits):
-        votes = F.aggregate(tokens, F.lit(0), vote(b))
-        sig = sig + F.when(votes >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
-    return sig
+    def finish(acc):
+        return F.aggregate(
+            F.transform(
+                acc,
+                lambda c, i: F.when(
+                    c >= 0, F.pow(F.lit(2.0), i).cast("long")
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda s, v: s + v,
+        )
+
+    return F.aggregate(digests, F.array_repeat(F.lit(0), bits), merge, finish)
 
 
 def simhash16(text: Column) -> Column:
@@ -143,10 +162,48 @@ def simhash16(text: Column) -> Column:
     return simhash_bits(text, 16).cast("int")
 
 
+def simhash_sigs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """(id, sig) — the RELATIONAL SimHash formulation: explode tokens, hash
+    each ONCE in a codegen'd projection, then ``bits`` conditional sums in
+    one hash aggregate.
+
+    Identical values to :func:`simhash_bits` (same vote formula), but the
+    whole pipeline stays inside whole-stage codegen: the column-expression
+    form folds interpreted higher-order lambdas per row (measured ~20 s at
+    sf0.1), while here the token mass is collapsed by map-side partial
+    aggregation — only (id, 16 ints) per id crosses the exchange, the
+    100 TB shape. ``explode_outer`` keeps zero-token docs (null digest
+    votes 0, so their signature is all-ones like the fold's empty case).
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode_outer(words_of(F.col(text_col))).alias("t")
+    ).select("id", F.md5("t").alias("d"))
+    # hex digit ∈ [89a-f] ⟺ char >= '8' (md5 hex is lowercase [0-9a-f]):
+    # a plain string compare, no per-row regex machinery
+    aggs = [
+        F.sum(
+            F.when(F.col("d").isNull(), F.lit(0))
+            .when(F.substring("d", b + 1, 1) >= "8", F.lit(1))
+            .otherwise(F.lit(-1))
+        ).alias(f"_v{b}")
+        for b in range(bits)
+    ]
+    votes = ex.groupBy("id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"_v{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select("id", sig.cast("int").alias("sig"))
+
+
 def simhash_clusters(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact-signature SimHash buckets with >1 member."""
     return (
-        df.select(F.col(id_col).alias("id"), simhash16(F.col(text_col)).alias("simhash"))
+        simhash_sigs(df, id_col, text_col)
+        .withColumnRenamed("sig", "simhash")
         .groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min("id").alias("keep_id"))
         .filter(F.col("n_docs") > 1)
@@ -167,12 +224,29 @@ def verify_pairs_jaccard(
 
     Because candidates are a vanishing fraction of N², the verify is two
     equi-joins of the pair list against per-doc shingle arrays plus an
-    array_intersect per pair — no inverted-index self-join at all. At
-    100 TB this is the only affordable exact-verify shape: the shingle
-    mass is scanned twice but never self-joined.
+    array_intersect per pair — no inverted-index self-join at all.
+
+    Scale shape: docs are LEFT-SEMI pruned to pair PARTICIPANTS before any
+    shingling — candidates are a vanishing fraction of the corpus, so at
+    100 TB this turns "shingle everything twice" into "shingle only the
+    docs some candidate names" (the round-2 version shingled the whole
+    corpus and shuffled the full shingle mass into the pair join).
     """
-    sh = df.select(
-        F.col(id_col).alias("_vid"), word_ngrams(F.col(text_col), ngram).alias("_sh")
+    # the pair list branches three ways (two participant projections + the
+    # verify join); without materialization Spark re-runs the candidate
+    # GENERATOR's whole DAG per branch (measured 3× the banding cost).
+    # Candidates are the small side by construction — checkpoint them.
+    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    participants = (
+        pairs.select(F.col("id_a").alias("_vid"))
+        .unionByName(pairs.select(F.col("id_b").alias("_vid")))
+        .distinct()
+    )
+    sh = (
+        df.join(participants, F.col(id_col) == F.col("_vid"), "left_semi")
+        .select(
+            F.col(id_col).alias("_vid"), word_ngrams(F.col(text_col), ngram).alias("_sh")
+        )
     )
     a = sh.select(F.col("_vid").alias("id_a"), F.col("_sh").alias("sha"))
     b = sh.select(F.col("_vid").alias("id_b"), F.col("_sh").alias("shb"))
@@ -207,7 +281,10 @@ def simhash_near_pairs(
     100 TB-safe shape (generalizes to distance d via flips of ≤d bits).
     Output: (id_a, id_b, hamming).
     """
-    s = df.select(F.col(id_col).alias("id"), simhash16(F.col(text_col)).alias("sig"))
+    # the signature frame feeds BOTH the variant explosion and the core
+    # side of the join — materialize it once (N tiny rows; the cluster
+    # analog is persisting the signature table before the bucket join)
+    s = simhash_sigs(df, id_col, text_col).localCheckpoint(eager=True)
     variants = s.select(
         "id",
         "sig",
@@ -298,7 +375,8 @@ def embedding_near_dups(
                 )
                 yield pd.DataFrame({"id_a": pdf["id_a"], "id_b": pdf["id_b"], "c": c})
 
-        scored = paired.mapInPandas(score, "id_a long, id_b long, c double")
+        id_type = base.schema["id"].dataType.simpleString()
+        scored = paired.mapInPandas(score, f"id_a {id_type}, id_b {id_type}, c double")
         scored = scored.select("id_a", "id_b", F.round("c", 6).alias("cosine"))
     else:
         scored = paired.select(
@@ -324,6 +402,14 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
     Singleton nodes never appear in ``pairs`` and so are absent from the
     output (they are their own cluster by definition).
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_iter`` rounds (a component with diameter > max_iter — e.g. a long
+    chain rather than an LSH near-clique): returning the unconverged labels
+    would silently split one duplicate cluster into several and corrupt
+    downstream keep/drop decisions. Raise max_iter (rounds are cheap: one
+    join + one partial-agg groupBy each) or pre-contract chains with the
+    large-star/small-star variant.
     """
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -333,6 +419,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
+    changed = 1
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.src == labels.id)
@@ -354,6 +441,13 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         if changed == 0:
             break
         labels = labels.localCheckpoint(eager=True)  # cut the growing lineage
+    if changed != 0:
+        raise RuntimeError(
+            f"dup_clusters did not converge within max_iter={max_iter} rounds: "
+            "a component's diameter exceeds the round budget, and unconverged "
+            "labels would split one duplicate cluster into several. "
+            "Increase max_iter."
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
@@ -401,7 +495,10 @@ def _banded_buckets_arrow(base: DataFrame, n_planes: int, n_tables: int,
                 "bucket": buckets.reshape(-1).astype(np.int32),
             })
 
-    return base.mapInPandas(gen, "id long, tbl int, bucket int")
+    # derive the id field's type from the input so non-long id columns work
+    # on this vectorized path exactly like on the expression path
+    id_type = base.schema["id"].dataType.simpleString()
+    return base.mapInPandas(gen, f"id {id_type}, tbl int, bucket int")
 
 
 def ngram_jaccard_pairs(

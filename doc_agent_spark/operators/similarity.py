@@ -40,16 +40,45 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     n_planes: int = 4,
     dim: int | None = None,
+    seed: int = 42,
 ) -> DataFrame:
-    """LSH-bucketed approximate top-k: score only the query's bucket."""
+    """LSH-bucketed approximate top-k: score only the query's bucket.
+
+    With ``dim`` known, corpus bucketing is the Arrow-batched matmul path
+    shared with the banded dedup (dedup._banded_buckets_arrow) — the
+    round-2 per-plane interpreted folds over all N rows were the suite's
+    worst regression (11.7 s vs 1.8 s at sf0.1). The single query vector's
+    bucket is computed driver-side with the SAME plane_signs formula
+    (sequential fold, matching the oracle's list_aggregate order)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    if dim is not None:
+        from .dedup import _banded_buckets_arrow
+        from ..functions.vectors import plane_signs
+
+        base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        buckets = _banded_buckets_arrow(base, n_planes, 1, seed, dim)
+        qb = 0
+        for j in range(n_planes):
+            signs = plane_signs(seed, j, dim)
+            proj = 0.0
+            for x, s in zip(query_vec, signs):
+                proj += float(x) * s
+            if proj >= 0:
+                qb |= 1 << j
+        cand = buckets.filter(F.col("bucket") == qb).select("id")
+        return (
+            base.join(cand, "id")
+            .select("id", F.round(cosine(F.col("v"), q), 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("id"))
+            .limit(k)
+        )
     with_bucket = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        lsh_bucket(F.col(vec_col), n_planes=n_planes, dim=dim).alias("bucket"),
+        lsh_bucket(F.col(vec_col), n_planes=n_planes, seed=seed).alias("bucket"),
     )
     qdf = embeddings.sparkSession.range(1).select(
-        lsh_bucket(q, n_planes=n_planes, dim=dim).alias("qbucket")
+        lsh_bucket(q, n_planes=n_planes, seed=seed).alias("qbucket")
     )
     return (
         with_bucket.join(F.broadcast(qdf), F.col("bucket") == F.col("qbucket"))

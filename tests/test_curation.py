@@ -47,6 +47,19 @@ def test_dup_clusters_long_chain_converges(spark):
     assert set(out.values()) == {0} and len(out) == n + 1
 
 
+def test_dup_clusters_raises_when_diameter_exceeds_max_iter(spark):
+    # a 9-edge chain needs >3 min-label rounds: silent unconverged output
+    # would split the one real cluster — the contract is to raise instead
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dup_clusters(pairs, max_iter=3)
+    # and a budget >= diameter succeeds on the same input
+    out = {r.id: r.cluster_id for r in dedup.dup_clusters(pairs, max_iter=12).collect()}
+    assert set(out.values()) == {0}
+
+
 def _expected_keep(key, fraction, seed="s42"):
     h = hashlib.md5(f"{seed}:{key}".encode()).hexdigest()[:8]
     return h < sampling.hex_threshold(fraction)

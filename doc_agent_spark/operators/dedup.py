@@ -535,6 +535,11 @@ def ngram_jaccard_pairs(
         *has_blk,
     )
     if max_shingle_df is not None:
+        # the shingle frame feeds BOTH the hot-set aggregation and the
+        # capped projection — materialize it once instead of shingling the
+        # corpus twice (the cluster analog: the inverted index is built
+        # once and persisted before the df-cap and self-join read it)
+        base = base.localCheckpoint(eager=True)
         hot = (
             base.select(F.explode("sh").alias("s"))
             .groupBy("s")

@@ -1,0 +1,134 @@
+"""Runnable transport shell over the operation registry (api.py).
+
+The reference exposes its engine through two thin fronts: a commander CLI
+(/root/reference/packages/cli/src/cli.ts:22-68 — `extract <file>`,
+`--dry-run` JSON printing) and an MCP stdio server
+(/root/reference/packages/cli/src/mcp/server.ts:12-60 — named tools with
+typed parameter schemas, newline-framed requests on stdin). This module is
+the Spark analog of both, and deliberately nothing more: parse → dispatch
+to ``api.execute`` → pick a sink (print JSON rows, or write parquet). No
+plan logic lives here.
+
+CLI mode (one operation per process, like `doc-agent extract`):
+
+    python -m doc_agent_spark.serve extract_document --input-path corpus/ --limit 5
+    python -m doc_agent_spark.serve search_documents --input-path corpus/ \
+        --query "spark join" --output /tmp/hits.parquet
+
+stdio mode (long-lived server, one JSON request per line, like the MCP
+server; the session is created once and reused across requests):
+
+    python -m doc_agent_spark.serve --stdio
+    > {"id": 1, "op": "list_operations"}
+    < {"id": 1, "ok": true, "operations": [...]}
+    > {"id": 2, "op": "search_documents", "params": {"input_path": "...", "query": "spark"}}
+    < {"id": 2, "ok": true, "rows": [...]}
+
+Errors never kill the server: a bad request gets ``{"ok": false, "error"}``
+(the MCP error-result convention) and the loop continues.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from . import api
+
+
+def _op_schemas() -> list[dict]:
+    return [
+        {
+            "name": op.name,
+            "description": op.description,
+            "params": {p: t.__name__ for p, t in op.params.items()},
+            "defaults": op.defaults,
+        }
+        for op in api.OPERATIONS.values()
+    ]
+
+
+def _run_op(spark, op: str, params: dict, row_limit: int) -> list[dict]:
+    df = api.execute(spark, op, **params)
+    return [json.loads(s) for s in df.limit(row_limit).toJSON().collect()]
+
+
+def _serve_stdio(spark, inp, out) -> None:
+    for line in inp:
+        line = line.strip()
+        if not line:
+            continue
+        rid = None
+        try:
+            req = json.loads(line)
+            rid = req.get("id")
+            op = req["op"]
+            if op == "list_operations":
+                resp = {"id": rid, "ok": True, "operations": _op_schemas()}
+            else:
+                rows = _run_op(spark, op, req.get("params", {}),
+                               int(req.get("row_limit", 100)))
+                resp = {"id": rid, "ok": True, "rows": rows}
+        except BrokenPipeError:
+            raise
+        except Exception as e:  # bad request ≠ dead server
+            resp = {"id": rid, "ok": False, "error": f"{type(e).__name__}: {e}"}
+        out.write(json.dumps(resp) + "\n")
+        out.flush()
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="python -m doc_agent_spark.serve",
+        description="CLI / stdio front over the doc_agent_spark operation registry",
+    )
+    ap.add_argument("operation", nargs="?",
+                    help=f"one of: {', '.join(api.OPERATIONS)} (omit with --stdio)")
+    ap.add_argument("--stdio", action="store_true",
+                    help="serve newline-delimited JSON requests on stdin")
+    ap.add_argument("--input-path", help="input corpus (parquet dir)")
+    ap.add_argument("--query", help="search query string")
+    ap.add_argument("--limit", type=int, help="result limit (operation param)")
+    ap.add_argument("--words-per-chunk", type=int, help="chunking window")
+    ap.add_argument("--row-limit", type=int, default=100,
+                    help="max rows printed as JSON (CLI mode; default 100)")
+    ap.add_argument("--output", help="write full result to this parquet path "
+                                     "instead of printing JSON rows")
+    ap.add_argument("--master", help="spark master (default $SPARK_GRAFT_CPUS local)")
+    args = ap.parse_args(argv)
+
+    if not args.stdio and not args.operation:
+        ap.error("an operation name (or --stdio) is required")
+
+    from .session import get_spark
+
+    spark = get_spark(app="doc-agent-serve", master=args.master)
+    try:
+        if args.stdio:
+            _serve_stdio(spark, sys.stdin, sys.stdout)
+            return 0
+        params = {
+            k: v
+            for k, v in {
+                "input_path": args.input_path,
+                "query": args.query,
+                "limit": args.limit,
+                "words_per_chunk": args.words_per_chunk,
+            }.items()
+            if v is not None
+        }
+        df = api.execute(spark, args.operation, **params)
+        if args.output:
+            df.write.mode("overwrite").parquet(args.output)
+            print(json.dumps({"ok": True, "output": args.output}))
+        else:
+            for s in df.limit(args.row_limit).toJSON().collect():
+                print(s)
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

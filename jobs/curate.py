@@ -124,21 +124,26 @@ def run_curate(
     out.write.mode("overwrite").partitionBy("bucket").parquet(output_path)
     m = obs.get
 
-    # per-bucket lineage from the WRITTEN data (pruned read: partition dir
-    # + doc_id only; same crash-safe contract as jobs/extract.py). Lineage
-    # tracks bucket completion + kept counts; the full funnel totals ride
-    # the write via the Observation and land in the metrics table.
+    # Per-bucket lineage from the STAGED frame (pre-kept-filter), written
+    # only AFTER the output write commits — same crash-safe ordering as
+    # jobs/extract.py (die between the two writes ⇒ no lineage row ⇒ the
+    # bucket re-runs idempotently under dynamic partition overwrite).
+    # Deriving lineage from the written output (the round-2 shape) lost
+    # every bucket whose docs were ALL deduped/filtered/sampled out: no
+    # parquet partition ⇒ no lineage row ⇒ the bucket re-ran on every
+    # resume, and docs_in falsely recorded the kept count. Here docs_in is
+    # the bucket's true input count and empty-output buckets are marked
+    # done. The second action re-executes the funnel, but it reuses the
+    # bucket repartition's shuffle files (same lineage, same context) and
+    # aggregates only (bucket, _stage).
     wall_ms = int((time.time() - t0) * 1000)
-    written = spark.read.parquet(output_path).select("bucket", "doc_id")
-    if done:
-        written = written.filter(~F.col("bucket").isin(*sorted(done)))
-    lineage = written.groupBy("bucket").agg(
+    lineage = staged.groupBy("bucket").agg(
         F.lit(run_id).alias("run_id"),
         F.lit("curate").alias("stage"),
         F.lit("done").alias("status"),
         F.count("*").alias("docs_in"),
-        F.count("*").alias("docs_out"),
-        F.count("*").alias("spans_out"),
+        F.sum((F.col("_stage") == 3).cast("long")).alias("docs_out"),
+        F.sum((F.col("_stage") == 3).cast("long")).alias("spans_out"),
         F.lit(0).cast("long").alias("parse_failures"),
         F.lit(wall_ms).cast("long").alias("wall_ms"),
         F.current_timestamp().alias("finished_at"),

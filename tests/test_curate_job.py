@@ -70,6 +70,31 @@ def test_output_is_redacted_and_scored(spark, curated):
     assert df.filter(F.col("quality") < 0.1).count() == 0
 
 
+def test_all_filtered_buckets_still_marked_done(spark, docs_path, tmp_path_factory):
+    """A bucket whose docs are ALL filtered out writes no output partition,
+    but must still get a lineage row (docs_out=0) — otherwise every resume
+    re-processes it forever. docs_in must record the bucket's true input
+    count, not the kept count."""
+    df, _ = docs_path
+    d = tmp_path_factory.mktemp("curate_empty")
+    in_p = str(d / "in.parquet")
+    df.write.parquet(in_p)
+    out, lin, met = (str(d / x) for x in ("out", "lineage", "metrics"))
+    r1 = run_curate(
+        spark, in_p, out, lin, met, run_id="ce", buckets=8,
+        min_quality=1.1,  # impossible bar: every doc filtered out
+    )
+    assert r1["kept"] == 0 and r1["docs_in"] == N + 10
+    lineage = spark.read.parquet(lin)
+    assert lineage.count() == 8                       # every bucket marked done
+    assert lineage.agg(F.sum("docs_in")).collect()[0][0] == N + 10
+    assert lineage.agg(F.sum("docs_out")).collect()[0][0] == 0
+    r2 = run_curate(
+        spark, in_p, out, lin, met, run_id="ce", buckets=8, min_quality=1.1,
+    )
+    assert r2["resumed_buckets_skipped"] == 8 and r2["docs_in"] == 0
+
+
 def test_resume_skips_completed_buckets(spark, curated):
     stats, out, lin, met, in_p = curated
     r2 = run_curate(

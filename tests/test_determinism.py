@@ -64,7 +64,7 @@ spark = get_spark(app="determinism-q", master={master!r}, shuffle_partitions={pa
 names = {names!r}
 out = []
 for name in names:
-    rows = m.queries()[name](spark, "/root/testdata/sf0.001").collect()
+    rows = getattr(m, name)(spark, "/root/testdata/sf0.001").collect()
     h = hashlib.sha256()
     for r in sorted(repr(tuple(r)) for r in rows):
         h.update(r.encode())

@@ -63,7 +63,7 @@ def test_relational_queries_stay_jvm_side(spark, sf_dir):
     for name in ["q1_pricing_summary", "q3_shipping_priority", "q5_nation_revenue",
                  "events_sessions", "page_assembly", "dedup_exact", "cosine_topk",
                  "minhash_lsh_pairs", "lang_id_counts", "quality_tokens"]:
-        plan = _plan(entrymod.queries()[name](spark, sf_dir))
+        plan = _plan(getattr(entrymod, name)(spark, sf_dir))
         assert "Python" not in plan, f"{name} fell off the JVM path"
         assert "BatchEvalPython" not in plan, f"{name} uses row-at-a-time Python"
 
@@ -94,7 +94,7 @@ def test_rrf_and_eval_have_no_global_window(spark, sf_dir):
     list. The top_n RRF form and the single-list eval now rank via
     TakeOrderedAndProject + bounded self-join — no Window node at all."""
     for name in ["rrf_fusion", "retrieval_eval"]:
-        plan = _plan(entrymod.queries()[name](spark, sf_dir))
+        plan = _plan(getattr(entrymod, name)(spark, sf_dir))
         assert "Window" not in plan, f"{name} regressed to a global window"
         assert "TakeOrderedAndProject" in plan
 
@@ -121,7 +121,7 @@ def test_curation_exprs_are_narrow_jvm_projections(spark, sf_dir):
     JVM projections — no shuffle before the (histogram) aggregation, no
     Python anywhere."""
     for name in ["pii_redaction", "stratified_sample"]:
-        plan = _plan(entrymod.queries()[name](spark, sf_dir))
+        plan = _plan(getattr(entrymod, name)(spark, sf_dir))
         assert "Exchange" not in plan, f"{name} shuffles"
         assert "Python" not in plan, f"{name} fell off the JVM path"
     plan = _plan(entrymod.token_histogram(spark, sf_dir))

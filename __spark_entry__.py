@@ -1163,12 +1163,16 @@ def exact_fingerprint_dups(spark, sf_dir):
 
 def minhash_verified_pairs(spark, sf_dir):
     """MinHash-LSH banding candidates AND the Jaccard-verified survivors in
-    one entry (the generate half and the generate-then-verify composition)."""
-    a = minhash_lsh_pairs(spark, sf_dir).select(
+    one entry (the generate half and the generate-then-verify composition).
+    The banding DAG runs ONCE: the checkpointed candidate list feeds both
+    the candidate arm and the participant-pruned verify."""
+    corpus = _spread(_dup_corpus(spark, sf_dir))
+    cand = dedup.minhash_lsh_pairs(corpus, k=8, bands=4).localCheckpoint(eager=True)
+    a = cand.select(
         F.lit("candidate").alias("variant"), "id_a", "id_b",
         F.col("n_bands").cast("double").alias("metric"),
     )
-    b = lsh_verified_pairs(spark, sf_dir).select(
+    b = dedup.verify_pairs_jaccard(cand, corpus, threshold=0.6).select(
         F.lit("verified").alias("variant"), "id_a", "id_b",
         F.col("jaccard").alias("metric"),
     )
@@ -1177,14 +1181,25 @@ def minhash_verified_pairs(spark, sf_dir):
 
 def simhash_dedup(spark, sf_dir):
     """Exact-signature SimHash clusters AND Hamming-distance-1 near pairs
-    (bit-flip bucketing), union-tagged over a (key_a, key_b, metric) frame."""
-    a = simhash_clusters(spark, sf_dir).select(
-        F.lit("cluster").alias("variant"),
-        F.col("simhash").cast("long").alias("key_a"),
-        F.col("keep_id").cast("long").alias("key_b"),
-        F.col("n_docs").cast("long").alias("metric"),
+    (bit-flip bucketing), union-tagged over a (key_a, key_b, metric) frame.
+    ONE signature pass feeds both variants (checkpointed (id, sig) frame —
+    the persisted-signature-table shape)."""
+    sigs = dedup.simhash_sigs(
+        _spread(_dup_corpus(spark, sf_dir))
+    ).localCheckpoint(eager=True)
+    a = (
+        sigs.withColumnRenamed("sig", "simhash")
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+        .select(
+            F.lit("cluster").alias("variant"),
+            F.col("simhash").cast("long").alias("key_a"),
+            F.col("keep_id").cast("long").alias("key_b"),
+            F.col("n_docs").cast("long").alias("metric"),
+        )
     )
-    b = simhash_near_pairs(spark, sf_dir).select(
+    b = dedup.simhash_near_pairs_from_sigs(sigs).select(
         F.lit("near_pair").alias("variant"),
         F.col("id_a").cast("long").alias("key_a"),
         F.col("id_b").cast("long").alias("key_b"),
@@ -1304,6 +1319,23 @@ def semi_anti_join(spark, sf_dir):
     return a.unionByName(b)
 
 
+def graph_ann_topk(spark, sf_dir):
+    """HNSW-analog graph ANN (operators/graph_ann.py): LSH-built kNN graph,
+    broadcast index, beam search distributed over the query batch. The beam
+    search is iterative with data-dependent control flow — genuinely
+    non-SQL-expressible, so this entry registers WITHOUT an oracle mirror
+    (the gate records rows-only); correctness is pinned by
+    tests/test_graph_ann.py (recall@10 vs brute force, determinism across
+    parallelism, graph shape invariants)."""
+    from doc_agent_spark.operators import graph_ann
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return graph_ann.graph_ann_topk(emb, q, k=10, dim=64)
+
+
 def rerank_hydrate(spark, sf_dir):
     """J1 result hydration and the deterministic rerank stage union-tagged;
     score columns absent from a variant are typed NULLs."""
@@ -1333,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never gate-checked before round 3, or new/consolidated ---
         "vector_topk_methods": vector_topk_methods,
+        "graph_ann_topk": graph_ann_topk,
         "retrieval_eval": retrieval_eval_all,
         "rerank_hydrate": rerank_hydrate,
         "chunk_documents": chunk_documents,

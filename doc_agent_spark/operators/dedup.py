@@ -285,6 +285,12 @@ def simhash_near_pairs(
     # side of the join — materialize it once (N tiny rows; the cluster
     # analog is persisting the signature table before the bucket join)
     s = simhash_sigs(df, id_col, text_col).localCheckpoint(eager=True)
+    return simhash_near_pairs_from_sigs(s)
+
+
+def simhash_near_pairs_from_sigs(s: DataFrame) -> DataFrame:
+    """Hamming-≤1 pairs from a PRECOMPUTED (id, sig) frame — lets callers
+    that also need exact-signature clustering share one signature pass."""
     variants = s.select(
         "id",
         "sig",

@@ -85,9 +85,14 @@ def _semantic_search(spark: SparkSession, input_path: str, query: str,
 
 
 def _list_documents(spark: SparkSession, input_path: str, limit: int) -> DataFrame:
+    from .functions.format import format_bytes
+
     docs = spark.read.parquet(input_path)
     order = [F.desc("created_at")] if "created_at" in docs.columns else []
-    return docs.drop("text").orderBy(*order, F.asc("doc_id")).limit(limit)
+    out = docs.drop("text").orderBy(*order, F.asc("doc_id")).limit(limit)
+    if "n_chars" in out.columns:  # F15: the reference CLI shows sizes humanized
+        out = out.withColumn("size_h", format_bytes(F.col("n_chars")))
+    return out
 
 
 OPERATIONS: dict[str, Operation] = {
@@ -129,3 +134,44 @@ def execute(spark: SparkSession, operation: str, **params) -> DataFrame:
     shell would call. Raises KeyError for unknown operations (the registry
     IS the capability list, like the reference's tool registration)."""
     return OPERATIONS[operation](spark, **params)
+
+
+def capability_available(installed: list[str], requested: str) -> bool:
+    """P5 — the reference's model-containment check (ollama.ts:137-146):
+    an installed name MATCHES when it CONTAINS the requested string
+    (`m.name.includes(model)` — 'llama3.2' matches 'llama3.2:latest').
+    Environment-management in the reference; exposed here so a deployment
+    preflight can apply the same fuzzy-containment rule to any capability
+    list (operations, codecs, table names)."""
+    return any(requested in name for name in installed)
+
+
+def preflight(spark: SparkSession, operation: str, input_path: str) -> dict:
+    """`ensureOllamaReady` analog (extract.ts:41-68): validate the
+    operation exists and the input is readable with the columns the
+    operation needs, BEFORE launching a cluster job — fail in seconds, not
+    after the first stage. Returns {ok, operation_known, input_readable,
+    missing_columns}; never raises."""
+    required = {
+        "extract_document": set(),            # spans OR text (derived)
+        "search_documents": {"doc_id", "text"},
+        "semantic_search": {"doc_id", "text"},
+        "list_documents": {"doc_id"},
+    }
+    known = operation in OPERATIONS
+    out = {"ok": False, "operation_known": known,
+           "input_readable": False, "missing_columns": []}
+    if not known:
+        return out
+    try:
+        cols = set(spark.read.parquet(input_path).columns)
+        out["input_readable"] = True
+    except Exception:
+        return out
+    need = required.get(operation, set())
+    if operation == "extract_document" and not ({"spans"} <= cols or {"text"} <= cols):
+        out["missing_columns"] = ["spans|text"]
+    else:
+        out["missing_columns"] = sorted(need - cols)
+    out["ok"] = not out["missing_columns"]
+    return out

@@ -43,6 +43,45 @@ def test_param_validation(spark, corpus_path):
         api.execute(spark, "list_documents", input_path=corpus_path, bogus=1)
 
 
+def test_format_bytes_matches_reference_goldens(spark):
+    """F15 goldens from formatBytes (extract.ts:34-39): 1024 thresholds,
+    toFixed(1), integer bytes under 1 KB."""
+    from pyspark.sql import functions as F
+
+    from doc_agent_spark.functions.format import format_bytes
+
+    cases = [
+        (0, "0 B"), (512, "512 B"), (1023, "1023 B"),
+        (1024, "1.0 KB"), (1536, "1.5 KB"), (10239, "10.0 KB"),
+        (1048576, "1.0 MB"), (5767168, "5.5 MB"),
+        (1073741824, "1.0 GB"), (3972844749, "3.7 GB"),
+    ]
+    df = spark.createDataFrame([(b,) for b, _ in cases], "b long")
+    got = [r.h for r in df.select(format_bytes(F.col("b")).alias("h"))
+           .orderBy("b").collect()]
+    assert got == [h for _, h in sorted(cases)]
+
+
+def test_capability_containment_rule(spark):
+    """P5 (ollama.ts:137-146): installed name matches when it CONTAINS the
+    requested string."""
+    installed = ["llama3.2:latest", "qwen2.5vl:7b"]
+    assert api.capability_available(installed, "llama3.2")
+    assert api.capability_available(installed, "qwen2.5vl:7b")
+    assert not api.capability_available(installed, "mistral")
+
+
+def test_preflight(spark, corpus_path, tmp_path):
+    ok = api.preflight(spark, "extract_document", corpus_path)
+    assert ok["ok"] and ok["input_readable"] and not ok["missing_columns"]
+    # spans-only corpus lacks the text column search needs
+    bad = api.preflight(spark, "search_documents", corpus_path)
+    assert not bad["ok"] and bad["missing_columns"] == ["text"]
+    assert not api.preflight(spark, "no_such_op", corpus_path)["operation_known"]
+    unread = api.preflight(spark, "list_documents", str(tmp_path / "missing"))
+    assert not unread["ok"] and not unread["input_readable"]
+
+
 def test_semantic_search_operation(spark, sf_dir):
     out = api.execute(
         spark, "semantic_search",

@@ -88,10 +88,11 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
-    failures = []
+    failures, checked = [], 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
@@ -135,7 +136,8 @@ def main():
             print(f"FAIL {name}: values differ; first diffs: {str(diff)[:500]}")
         else:
             print(f"PASS {name}: {len(srows)} rows")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+    print(f"\n{checked - len(failures)}/{checked} checked queries pass"
+          f" ({len(qs)} registered)")
     spark.stop()
     return 1 if failures else 0
 

@@ -73,12 +73,16 @@ print("HASHES:" + ";".join(out))
 spark.stop()
 """
 
-# round-2 operators with nontrivial distribution behavior: iterative
-# clustering, Arrow matmul argmax, banded LSH, hash sampling, window joins
+# operators with nontrivial distribution behavior: iterative clustering,
+# Arrow matmul argmax, banded LSH, hash sampling, window joins, beam search
+# over a broadcast graph, and the round-3 union-tagged gate entries
 _DET_QUERIES = [
     "dup_clusters", "ivf_topk", "embedding_near_dups_banded",
     "stratified_sample", "chunk_search_hydrate", "asof_join_events",
     "sq_cosine_topk", "rollup_cascade",
+    # round 3
+    "graph_ann_topk", "simhash_dedup", "minhash_verified_pairs",
+    "conversion_funnel",
 ]
 
 

@@ -144,6 +144,31 @@ def test_lsh_verified_pairs_all_equi_joins(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ann_lsh_and_graph_build_stay_equi_join_shaped(spark, sf_dir):
+    """Round-3 Arrow-bucketed paths: candidate generation must remain an
+    equi-join on (tbl, bucket) — no cartesian/nested-loop fallback — and the
+    ANN top-k must finish with TakeOrderedAndProject."""
+    from doc_agent_spark.operators import graph_ann
+    from doc_agent_spark.sources.tables import load
+
+    plan = _plan(entrymod.ann_lsh_topk(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    g = graph_ann.build_knn_graph(load(spark, sf_dir, "embeddings"), m=4, dim=64)
+    gplan = _plan(g)
+    assert "CartesianProduct" not in gplan
+    assert "BroadcastNestedLoopJoin" not in gplan
+
+
+def test_conversion_funnel_single_aggregation_pass(spark, sf_dir):
+    """The funnel must scan events once: exactly one pair of partial/final
+    HashAggregates over the events scan (plus the final 1-row agg), no
+    self-joins of events against itself."""
+    plan = _plan(entrymod.conversion_funnel(spark, sf_dir))
+    assert "Join" not in plan  # stage times come from arrays, not self-joins
+    assert plan.count("Scan parquet") == 1
+
+
 def test_exact_dedup_never_shuffles_text(spark, sf_dir):
     """The dedup shuffle key is the md5 — the optimized plan's exchange input
     must not carry the raw text column."""

@@ -73,14 +73,47 @@ def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(data, columns=list(_RESULT_COLS))
 
 
-def extract(documents: DataFrame) -> DataFrame:
+def extract_batches_arrow(batches):
+    """mapInArrow worker: same spec, but the result batch is built as TYPED
+    pyarrow arrays (explicit schema, C++ builders) instead of pandas object
+    columns — skips pandas' per-row type inference over the two nested
+    array<struct> columns (items, out_spans), which round-2 profiling
+    identified as the serialization tax between the pure-python spec
+    ceiling and the in-stage throughput."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    schema = to_arrow_schema(EXTRACTION_RESULT)
+    extract_document = spec.extract_document
+    for batch in batches:
+        doc_ids = batch.column(0).to_pylist()
+        spans = batch.column(1).to_pylist()
+        results = [
+            extract_document(str(d), _spans_to_list(s))
+            for d, s in zip(doc_ids, spans)
+        ]
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([r[f.name] for r in results], type=f.type)
+                for f in schema
+            ],
+            schema=schema,
+        )
+
+
+def extract(documents: DataFrame, engine: str = "arrow") -> DataFrame:
     """Run the deterministic extractor over a (doc_id, spans) DataFrame.
 
     Returns the doc-level EXTRACTION_RESULT frame (docdata + out_spans).
+    ``engine='arrow'`` (default) uses mapInArrow with explicit-typed array
+    builders; ``engine='pandas'`` keeps the original mapInPandas stage
+    (identical values — pinned by tests/test_extractor.py).
     """
-    return documents.select("doc_id", "spans").mapInPandas(
-        extract_batch, schema=EXTRACTION_RESULT
-    )
+    cols = documents.select("doc_id", "spans")
+    if engine == "arrow":
+        return cols.mapInArrow(extract_batches_arrow, schema=EXTRACTION_RESULT)
+    return cols.mapInPandas(extract_batch, schema=EXTRACTION_RESULT)
 
 
 def extracted_spans(documents: DataFrame) -> DataFrame:

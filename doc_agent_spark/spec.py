@@ -311,6 +311,8 @@ _RE_RESERVED = re.compile(
     r"^\s*(?:sub\s?total|total|tax|sales\s+tax|credit|cash|card|visa|mastercard|amex|debit|change"
     r"|payment|tender|amount\s+due|total\s+due|balance\s+due|ending\s+balance|beginning\s+balance"
     r"|closing\s+balance|opening\s+balance|account\b)", re.I)
+# initials of every _RE_RESERVED alternative — the cheap first-char gate
+_RESERVED_FIRST = frozenset("stcvmadpbeo")
 
 
 def _parse_money(s: str) -> float | None:
@@ -328,14 +330,30 @@ def _parse_money(s: str) -> float | None:
 
 def classify(text: str) -> str:
     """Prompt classification rules (ollama.ts:90-93), priority:
-    bank_statement > invoice > receipt > other."""
-    if _RE_ACCOUNT.search(text) or _RE_BALANCE.search(text):
+    bank_statement > invoice > receipt > other.
+
+    Guarded evaluation: each regex requires a literal keyword, so a single
+    lowercase pass + substring containment gates it (a guard failure means
+    the case-insensitive pattern CANNOT match — boolean-identical, just
+    cheaper; this loop is the extraction hot path)."""
+    low = text.lower()
+    if ("account" in low and _RE_ACCOUNT.search(text)) or (
+        "balance" in low and _RE_BALANCE.search(text)
+    ):
         return "bank_statement"
-    if _RE_INVOICE.search(text) or _RE_DUE.search(text):
+    if ("invoice" in low and _RE_INVOICE.search(text)) or (
+        "due" in low and _RE_DUE.search(text)
+    ):
         return "invoice"
     lns = text.split("\n")
-    has_total = any(_RE_TOTAL_LINE.match(ln) for ln in lns)
-    has_sub_or_tax = any(_RE_SUBTOTAL.match(ln) or _RE_TAX.match(ln) for ln in lns)
+    has_total = any(
+        _RE_TOTAL_LINE.match(ln) for ln in lns if ln.lstrip()[:1] in "tT"
+    )
+    has_sub_or_tax = has_total and any(
+        (ln.lstrip()[:1] in "sS" and _RE_SUBTOTAL.match(ln))
+        or (ln.lstrip()[:1] in "sStT" and _RE_TAX.match(ln))
+        for ln in lns
+    )
     if has_total and has_sub_or_tax:
         return "receipt"
     return "other"
@@ -391,11 +409,22 @@ def extract_fields(lines: list[PageLine], doc_type: str) -> dict:
 
     for pl in lines:
         s = pl.line
-        reserved = _RE_RESERVED.match(s)
-        due = _RE_DUE.search(s)
-        m_txn = _RE_TXN.match(s)
-        m_qty = _RE_ITEM_QTY.match(s)
-        m_plain = _RE_ITEM_PLAIN.match(s)
+        # Guarded regex evaluation (the per-line regex battery was ~40% of
+        # end-to-end extraction CPU): each guard is a NECESSARY condition of
+        # its pattern, so guard-failure ⇒ no match — boolean-identical.
+        #   reserved: ^\s*<keyword> ⇒ first non-ws char ∈ keyword initials
+        #   due:      needs literal case-insensitive "due"
+        #   txn/qty:  ^\s*\d ... \.\d{2}\s*$ ⇒ digit start AND 2-dec money tail
+        #   plain:    ... \.\d{2}\s*$ ⇒ money tail
+        first = s.lstrip()[:1]
+        rst = s.rstrip()
+        money_tail = bool(rst) and rst[-1].isdigit() and "." in rst
+        reserved = _RE_RESERVED.match(s) if first.lower() in _RESERVED_FIRST else None
+        due = _RE_DUE.search(s) if "due" in s.lower() else None
+        digit_start = first.isdigit()
+        m_txn = _RE_TXN.match(s) if money_tail and digit_start else None
+        m_qty = _RE_ITEM_QTY.match(s) if money_tail and digit_start else None
+        m_plain = _RE_ITEM_PLAIN.match(s) if money_tail else None
 
         if vendor is None:
             st = s.strip()
@@ -423,9 +452,14 @@ def extract_fields(lines: list[PageLine], doc_type: str) -> dict:
             if m:
                 account = (m.group(1), pl.media_ref)
 
-        # amount by type (ollama.ts:94-103)
+        # amount by type (ollama.ts:94-103); ^\s*total ⇒ first char t
         if doc_type == "receipt":
-            if _RE_TOTAL_LINE.match(s) and not _RE_SUBTOTAL.match(s) and not _RE_PAYMENT.match(s):
+            if (
+                first in "tT"
+                and _RE_TOTAL_LINE.match(s)
+                and not _RE_SUBTOTAL.match(s)
+                and not _RE_PAYMENT.match(s)
+            ):
                 v = _parse_money(s)
                 if v is not None:
                     amount = (v, pl.media_ref)  # last total line wins
@@ -435,12 +469,12 @@ def extract_fields(lines: list[PageLine], doc_type: str) -> dict:
                 if v is not None:
                     amount = (v, pl.media_ref)
         elif doc_type == "bank_statement":
-            if amount is None and _RE_ENDING_BAL.search(s):
+            if amount is None and "balance" in s.lower() and _RE_ENDING_BAL.search(s):
                 v = _parse_money(s)
                 if v is not None:
                     amount = (v, pl.media_ref)
         else:  # other: the main total amount shown (last)
-            if _RE_TOTAL_LINE.match(s):
+            if first in "tT" and _RE_TOTAL_LINE.match(s):
                 v = _parse_money(s)
                 if v is not None:
                     amount = (v, pl.media_ref)

@@ -34,11 +34,11 @@ def test_q5_broadcasts_small_dims(spark, sf_dir):
 
 def test_extraction_pipeline_is_narrow(docs):
     """The flagship extraction plan must contain NO shuffle: scan →
-    derive spans (exprs) → ArrowEvalPython/mapInPandas. Partition count in
-    == partition count out; nothing exchanges."""
+    derive spans (exprs) → one Arrow-batched Python stage. Partition count
+    in == partition count out; nothing exchanges."""
     plan = _plan(extractor.extract(spans_from_documents(docs)))
     assert "Exchange" not in plan
-    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "MapInArrow" in plan or "MapInPandas" in plan or "ArrowEvalPython" in plan
 
 
 def test_filter_pushdown_reaches_scan(docs):

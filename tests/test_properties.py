@@ -161,3 +161,59 @@ def test_redact_chain_idempotent(s):
 
     once = apply(s)
     assert apply(once) == once
+
+
+# --- guarded regex evaluation (spec.py hot path) --------------------------
+# Each guard in classify/extract_fields must be a NECESSARY condition of its
+# pattern: guard False ⇒ pattern cannot match. The adversarial alphabet mixes
+# every guard-relevant class: keyword fragments, unicode whitespace/digits,
+# money tails, case flips.
+
+_GUARD_ALPHABET = (
+    "total subtax due account balance invoice x@ \t  　"
+    "0123456789٠۱.,-$TSDAB\ninv"
+)
+
+_GUARD_PAIRS = [
+    # (pattern, guard) — mirror the guards in spec.classify/extract_fields
+    (spec._RE_RESERVED, lambda s: s.lstrip()[:1].lower() in spec._RESERVED_FIRST),
+    (spec._RE_DUE, lambda s: "due" in s.lower()),
+    (spec._RE_TOTAL_LINE, lambda s: s.lstrip()[:1] in "tT"),
+    (spec._RE_SUBTOTAL, lambda s: s.lstrip()[:1] in "sS"),
+    (spec._RE_TAX, lambda s: s.lstrip()[:1] in "sStT"),
+    (spec._RE_ACCOUNT, lambda s: "account" in s.lower()),
+    (spec._RE_BALANCE, lambda s: "balance" in s.lower()),
+    (spec._RE_INVOICE, lambda s: "invoice" in s.lower()),
+    (spec._RE_ENDING_BAL, lambda s: "balance" in s.lower()),
+    (
+        spec._RE_TXN,
+        lambda s: s.lstrip()[:1].isdigit()
+        and bool(s.rstrip())
+        and s.rstrip()[-1].isdigit()
+        and "." in s.rstrip(),
+    ),
+    (
+        spec._RE_ITEM_QTY,
+        lambda s: s.lstrip()[:1].isdigit()
+        and bool(s.rstrip())
+        and s.rstrip()[-1].isdigit()
+        and "." in s.rstrip(),
+    ),
+    (
+        spec._RE_ITEM_PLAIN,
+        lambda s: bool(s.rstrip()) and s.rstrip()[-1].isdigit() and "." in s.rstrip(),
+    ),
+]
+
+
+@given(st.text(alphabet=_GUARD_ALPHABET, max_size=40))
+def test_regex_guards_are_necessary_conditions(s):
+    """Guard False ⇒ regex no-match, for every guarded pattern in the
+    extraction hot path (spec.py). The search/match distinction matches the
+    call sites: line-anchored patterns use match, containment ones search."""
+    for pat, guard in _GUARD_PAIRS:
+        if guard(s):
+            continue  # guard passed: the regex runs, nothing to prove
+        anchored = pat.pattern.startswith("^")
+        hit = pat.match(s) if anchored else pat.search(s)
+        assert hit is None, (pat.pattern, s)

@@ -1172,7 +1172,9 @@ def minhash_verified_pairs(spark, sf_dir):
         F.lit("candidate").alias("variant"), "id_a", "id_b",
         F.col("n_bands").cast("double").alias("metric"),
     )
-    b = dedup.verify_pairs_jaccard(cand, corpus, threshold=0.6).select(
+    b = dedup.verify_pairs_jaccard(
+        cand, corpus, threshold=0.6, checkpoint_pairs=False
+    ).select(
         F.lit("verified").alias("variant"), "id_a", "id_b",
         F.col("jaccard").alias("metric"),
     )
@@ -1187,17 +1189,11 @@ def simhash_dedup(spark, sf_dir):
     sigs = dedup.simhash_sigs(
         _spread(_dup_corpus(spark, sf_dir))
     ).localCheckpoint(eager=True)
-    a = (
-        sigs.withColumnRenamed("sig", "simhash")
-        .groupBy("simhash")
-        .agg(F.count("*").alias("n_docs"), F.min("id").alias("keep_id"))
-        .filter(F.col("n_docs") > 1)
-        .select(
-            F.lit("cluster").alias("variant"),
-            F.col("simhash").cast("long").alias("key_a"),
-            F.col("keep_id").cast("long").alias("key_b"),
-            F.col("n_docs").cast("long").alias("metric"),
-        )
+    a = dedup.simhash_clusters_from_sigs(sigs).select(
+        F.lit("cluster").alias("variant"),
+        F.col("simhash").cast("long").alias("key_a"),
+        F.col("keep_id").cast("long").alias("key_b"),
+        F.col("n_docs").cast("long").alias("metric"),
     )
     b = dedup.simhash_near_pairs_from_sigs(sigs).select(
         F.lit("near_pair").alias("variant"),
@@ -1354,9 +1350,13 @@ def rerank_hydrate(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """49 registry entries ≤ the gate's 50-row window, so EVERY entry lands
-    a correctness row. Entries that have never had a gate row (or are new /
-    consolidated this round) lead the dict as defense-in-depth. Operators
+    """Exactly 50 registry entries — the gate's 50-row window with ZERO
+    slack, so EVERY entry lands a correctness row but one more appended
+    entry would silently fall outside the verified window: add a new
+    operator by merging it into an existing union-tagged entry (or
+    replacing one), never by appending a 51st key. Entries that have never
+    had a gate row (or are new / consolidated this round) lead the dict as
+    defense-in-depth. Operators
     dropped as standalone entries are covered inside consolidated ones:
     ngram_jaccard ⊂ ngram_jaccard_capped (same results, plus the df-cap);
     embedding_near_dups' toy single-table config is retired for the banded

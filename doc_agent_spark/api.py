@@ -26,6 +26,12 @@ class Operation:
     params: dict[str, type]          # name -> python type (the z.object analog)
     defaults: dict[str, Any] = field(default_factory=dict)
     fn: Callable[..., DataFrame] = None
+    # input columns preflight() validates before launching a cluster job.
+    # Alternative column sets are a frozenset of "a|b" strings (any one of
+    # the |-joined names satisfies the requirement). Declared HERE so a new
+    # Operation cannot silently skip validation — preflight has no shadow
+    # per-op table to forget.
+    required_cols: frozenset = frozenset()
 
     def __call__(self, spark: SparkSession, **kwargs) -> DataFrame:
         args = {**self.defaults, **kwargs}
@@ -103,6 +109,7 @@ OPERATIONS: dict[str, Operation] = {
             "Extract structured span sequences from a document corpus",
             {"input_path": str},
             fn=_extract_document,
+            required_cols=frozenset({"spans|text"}),
         ),
         Operation(
             "search_documents",
@@ -110,6 +117,7 @@ OPERATIONS: dict[str, Operation] = {
             {"input_path": str, "query": str, "limit": int},
             {"limit": 10},
             fn=_search_documents,
+            required_cols=frozenset({"doc_id", "text"}),
         ),
         Operation(
             "semantic_search",
@@ -117,6 +125,7 @@ OPERATIONS: dict[str, Operation] = {
             {"input_path": str, "query": str, "limit": int, "words_per_chunk": int},
             {"limit": 10, "words_per_chunk": 50},
             fn=_semantic_search,
+            required_cols=frozenset({"doc_id", "text"}),
         ),
         Operation(
             "list_documents",
@@ -124,6 +133,7 @@ OPERATIONS: dict[str, Operation] = {
             {"input_path": str, "limit": int},
             {"limit": 25},
             fn=_list_documents,
+            required_cols=frozenset({"doc_id"}),
         ),
     )
 }
@@ -152,12 +162,6 @@ def preflight(spark: SparkSession, operation: str, input_path: str) -> dict:
     operation needs, BEFORE launching a cluster job — fail in seconds, not
     after the first stage. Returns {ok, operation_known, input_readable,
     missing_columns}; never raises."""
-    required = {
-        "extract_document": set(),            # spans OR text (derived)
-        "search_documents": {"doc_id", "text"},
-        "semantic_search": {"doc_id", "text"},
-        "list_documents": {"doc_id"},
-    }
     known = operation in OPERATIONS
     out = {"ok": False, "operation_known": known,
            "input_readable": False, "missing_columns": []}
@@ -168,10 +172,10 @@ def preflight(spark: SparkSession, operation: str, input_path: str) -> dict:
         out["input_readable"] = True
     except Exception:
         return out
-    need = required.get(operation, set())
-    if operation == "extract_document" and not ({"spans"} <= cols or {"text"} <= cols):
-        out["missing_columns"] = ["spans|text"]
-    else:
-        out["missing_columns"] = sorted(need - cols)
-    out["ok"] = not out["missing_columns"]
+    missing = []
+    for need in sorted(OPERATIONS[operation].required_cols):
+        if not any(alt in cols for alt in need.split("|")):
+            missing.append(need)
+    out["missing_columns"] = missing
+    out["ok"] = not missing
     return out

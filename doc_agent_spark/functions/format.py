@@ -16,10 +16,13 @@ _KB, _MB, _GB = 1024.0, 1024.0 ** 2, 1024.0 ** 3
 
 
 def _fixed1(x: Column) -> Column:
-    # toFixed(1) analog WITHOUT format_number's thousands separators:
-    # round to 1 decimal, render, and guarantee exactly one decimal digit
-    s = F.round(x, 1).cast("string")
-    return F.when(s.contains("."), s).otherwise(F.concat(s, F.lit(".0")))
+    # toFixed(1) analog WITHOUT format_number's thousands separators.
+    # format_string/%.1f (java.util.Formatter) rounds HALF_UP on the exact
+    # double value — same as toFixed — and NEVER switches to scientific
+    # notation, unlike double→string casts which emit '1.0E7' at ≥1e7
+    # (toFixed stays positional until 1e21, so a cast-based render breaks
+    # parity for ≥ ~10 PB inputs on the no-TB-unit reference scale).
+    return F.format_string("%.1f", x)
 
 
 def format_bytes(b: Column) -> Column:

@@ -199,15 +199,22 @@ def simhash_sigs(
     return votes.select("id", sig.cast("int").alias("sig"))
 
 
-def simhash_clusters(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Exact-signature SimHash buckets with >1 member."""
+def simhash_clusters_from_sigs(s: DataFrame) -> DataFrame:
+    """Exact-signature SimHash buckets with >1 member, from a PRECOMPUTED
+    (id, sig) frame — the single home of the cluster rule (count + min-id
+    keeper + >1 filter), shared by :func:`simhash_clusters` and callers
+    that reuse one signature pass for clustering AND near-pair mining."""
     return (
-        simhash_sigs(df, id_col, text_col)
-        .withColumnRenamed("sig", "simhash")
+        s.withColumnRenamed("sig", "simhash")
         .groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min("id").alias("keep_id"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+def simhash_clusters(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact-signature SimHash buckets with >1 member."""
+    return simhash_clusters_from_sigs(simhash_sigs(df, id_col, text_col))
 
 
 def verify_pairs_jaccard(
@@ -217,10 +224,14 @@ def verify_pairs_jaccard(
     text_col: str = "text",
     ngram: int = 3,
     threshold: float = 0.8,
+    checkpoint_pairs: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard on an ALREADY-GENERATED candidate pair set —
     the verify half of the generate-then-verify dedup pattern (pairs from
-    MinHash banding / SimHash flips / embedding LSH).
+    MinHash banding / SimHash flips / embedding LSH). Pass
+    ``checkpoint_pairs=False`` when the caller already materialized the
+    pair list (e.g. via its own eager localCheckpoint) — re-checkpointing
+    an already-cut DAG pays a full task-launch round-trip for nothing.
 
     Because candidates are a vanishing fraction of N², the verify is two
     equi-joins of the pair list against per-doc shingle arrays plus an
@@ -236,7 +247,9 @@ def verify_pairs_jaccard(
     # verify join); without materialization Spark re-runs the candidate
     # GENERATOR's whole DAG per branch (measured 3× the banding cost).
     # Candidates are the small side by construction — checkpoint them.
-    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    pairs = pairs.select("id_a", "id_b")
+    if checkpoint_pairs:
+        pairs = pairs.localCheckpoint(eager=True)
     participants = (
         pairs.select(F.col("id_a").alias("_vid"))
         .unionByName(pairs.select(F.col("id_b").alias("_vid")))

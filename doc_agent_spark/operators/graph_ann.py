@@ -125,19 +125,27 @@ def graph_ann_topk(
     if graph is None:
         graph = build_knn_graph(emb, id_col, vec_col, m=m, dim=dim, **build_kw)
 
+    id_type = emb.schema[id_col].dataType.simpleString()
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    out_schema = f"query_id {qid_type}, id {id_type}, score double"
+
     rows = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).collect()
+    if not rows:  # empty corpus: top-k of nothing is nothing
+        return emb.sparkSession.createDataFrame([], out_schema)
     rows.sort(key=lambda r: r.id)
-    ids = np.array([r.id for r in rows], dtype=np.int64)
+    # ids stay raw (long OR string — the index is id-type-agnostic, like
+    # build_knn_graph); only the vectors become a dense matrix
+    ids = [r.id for r in rows]
     V = np.array([np.asarray(r.v, dtype=np.float64) for r in rows])
     V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
-    pos = {int(i): p for p, i in enumerate(ids)}
-    adj: dict[int, list[int]] = {}
+    pos = {i: p for p, i in enumerate(ids)}
+    adj: dict = {}
     for r in graph.select("src", "dst").collect():
-        adj.setdefault(int(r.src), []).append(int(r.dst))
+        adj.setdefault(r.src, []).append(r.dst)
     for v in adj.values():
         v.sort()
     stride = max(len(ids) // max(n_entries, 1), 1)
-    entries = [int(i) for i in ids[::stride][:n_entries]]
+    entries = ids[::stride][:n_entries]
 
     sc = emb.sparkSession.sparkContext
     bc = sc.broadcast((ids, V, pos, adj, entries))
@@ -186,7 +194,6 @@ def graph_ann_topk(
                 out_s.extend(round(sc_, 6) for sc_, _ in top)
             yield pd.DataFrame({"query_id": out_q, "id": out_id, "score": out_s})
 
-    qid_type = queries.schema[query_id_col].dataType.simpleString()
     return queries.select(query_id_col, query_vec_col).mapInPandas(
-        search, f"query_id {qid_type}, id long, score double"
+        search, out_schema
     )

@@ -333,25 +333,31 @@ def classify(text: str) -> str:
     bank_statement > invoice > receipt > other.
 
     Guarded evaluation: each regex requires a literal keyword, so a single
-    lowercase pass + substring containment gates it (a guard failure means
-    the case-insensitive pattern CANNOT match — boolean-identical, just
-    cheaper; this loop is the extraction hot path)."""
-    low = text.lower()
-    if ("account" in low and _RE_ACCOUNT.search(text)) or (
-        "balance" in low and _RE_BALANCE.search(text)
+    lowercase pass + substring containment gates it — but ONLY for pure-ASCII
+    text. re.IGNORECASE folds Unicode equivalents that str.lower() misses
+    (U+0131 'ı' matches 'i', U+017F 'ſ' matches 's', U+212A 'K' matches 'k'),
+    so on non-ASCII input the guards are NOT necessary conditions and every
+    regex runs unguarded. Within ASCII the equivalence is exact: ASCII
+    pattern literals under re.I fold only with their ASCII counterparts."""
+    asc = text.isascii()
+    low = text.lower() if asc else ""
+    if ((not asc or "account" in low) and _RE_ACCOUNT.search(text)) or (
+        (not asc or "balance" in low) and _RE_BALANCE.search(text)
     ):
         return "bank_statement"
-    if ("invoice" in low and _RE_INVOICE.search(text)) or (
-        "due" in low and _RE_DUE.search(text)
+    if ((not asc or "invoice" in low) and _RE_INVOICE.search(text)) or (
+        (not asc or "due" in low) and _RE_DUE.search(text)
     ):
         return "invoice"
     lns = text.split("\n")
     has_total = any(
-        _RE_TOTAL_LINE.match(ln) for ln in lns if ln.lstrip()[:1] in "tT"
+        _RE_TOTAL_LINE.match(ln)
+        for ln in lns
+        if not asc or ln.lstrip()[:1] in "tT"
     )
     has_sub_or_tax = has_total and any(
-        (ln.lstrip()[:1] in "sS" and _RE_SUBTOTAL.match(ln))
-        or (ln.lstrip()[:1] in "sStT" and _RE_TAX.match(ln))
+        ((not asc or ln.lstrip()[:1] in "sS") and _RE_SUBTOTAL.match(ln))
+        or ((not asc or ln.lstrip()[:1] in "sStT") and _RE_TAX.match(ln))
         for ln in lns
     )
     if has_total and has_sub_or_tax:
@@ -410,17 +416,27 @@ def extract_fields(lines: list[PageLine], doc_type: str) -> dict:
     for pl in lines:
         s = pl.line
         # Guarded regex evaluation (the per-line regex battery was ~40% of
-        # end-to-end extraction CPU): each guard is a NECESSARY condition of
-        # its pattern, so guard-failure ⇒ no match — boolean-identical.
+        # end-to-end extraction CPU): for pure-ASCII lines each guard is a
+        # NECESSARY condition of its pattern, so guard-failure ⇒ no match —
+        # boolean-identical. Non-ASCII lines skip the guards entirely:
+        # re.IGNORECASE folds ı/ſ/K onto i/s/k, which the str.lower()
+        # first-char / substring gates cannot see (and \d/\s stay safe in
+        # both directions — checked exhaustively over Unicode in
+        # tests/test_properties.py).
         #   reserved: ^\s*<keyword> ⇒ first non-ws char ∈ keyword initials
         #   due:      needs literal case-insensitive "due"
         #   txn/qty:  ^\s*\d ... \.\d{2}\s*$ ⇒ digit start AND 2-dec money tail
         #   plain:    ... \.\d{2}\s*$ ⇒ money tail
+        asc = s.isascii()
         first = s.lstrip()[:1]
         rst = s.rstrip()
         money_tail = bool(rst) and rst[-1].isdigit() and "." in rst
-        reserved = _RE_RESERVED.match(s) if first.lower() in _RESERVED_FIRST else None
-        due = _RE_DUE.search(s) if "due" in s.lower() else None
+        reserved = (
+            _RE_RESERVED.match(s)
+            if not asc or first.lower() in _RESERVED_FIRST
+            else None
+        )
+        due = _RE_DUE.search(s) if not asc or "due" in s.lower() else None
         digit_start = first.isdigit()
         m_txn = _RE_TXN.match(s) if money_tail and digit_start else None
         m_qty = _RE_ITEM_QTY.match(s) if money_tail and digit_start else None
@@ -455,7 +471,7 @@ def extract_fields(lines: list[PageLine], doc_type: str) -> dict:
         # amount by type (ollama.ts:94-103); ^\s*total ⇒ first char t
         if doc_type == "receipt":
             if (
-                first in "tT"
+                (not asc or first in "tT")
                 and _RE_TOTAL_LINE.match(s)
                 and not _RE_SUBTOTAL.match(s)
                 and not _RE_PAYMENT.match(s)
@@ -469,12 +485,16 @@ def extract_fields(lines: list[PageLine], doc_type: str) -> dict:
                 if v is not None:
                     amount = (v, pl.media_ref)
         elif doc_type == "bank_statement":
-            if amount is None and "balance" in s.lower() and _RE_ENDING_BAL.search(s):
+            if (
+                amount is None
+                and (not asc or "balance" in s.lower())
+                and _RE_ENDING_BAL.search(s)
+            ):
                 v = _parse_money(s)
                 if v is not None:
                     amount = (v, pl.media_ref)
         else:  # other: the main total amount shown (last)
-            if first in "tT" and _RE_TOTAL_LINE.match(s):
+            if (not asc or first in "tT") and _RE_TOTAL_LINE.match(s):
                 v = _parse_money(s)
                 if v is not None:
                     amount = (v, pl.media_ref)

@@ -55,8 +55,11 @@ def test_format_bytes_matches_reference_goldens(spark):
         (1024, "1.0 KB"), (1536, "1.5 KB"), (10239, "10.0 KB"),
         (1048576, "1.0 MB"), (5767168, "5.5 MB"),
         (1073741824, "1.0 GB"), (3972844749, "3.7 GB"),
+        # toFixed(1) stays positional far past 1e7 GB — a double→string cast
+        # would emit scientific notation here and break parity
+        (1.2e16, "11175870.9 GB"), (1e19, "9313225746.2 GB"),
     ]
-    df = spark.createDataFrame([(b,) for b, _ in cases], "b long")
+    df = spark.createDataFrame([(float(b),) for b, _ in cases], "b double")
     got = [r.h for r in df.select(format_bytes(F.col("b")).alias("h"))
            .orderBy("b").collect()]
     assert got == [h for _, h in sorted(cases)]

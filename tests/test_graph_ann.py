@@ -72,3 +72,27 @@ def test_deterministic_across_query_partitioning(emb, graph):
     b = sorted(map(tuple, graph_ann.graph_ann_topk(
         emb, q.repartition(7), k=10, dim=64, graph=graph).collect()))
     assert a == b
+
+
+def test_string_ids_and_empty_corpus(spark):
+    """The index is id-type-agnostic: string ids flow through build + search
+    (the mapInPandas schemas are derived, not hardcoded), and an empty
+    corpus returns an empty typed frame instead of crashing."""
+    emb_s = spark.createDataFrame(
+        [(f"doc-{i}", [float((i * 7 + j) % 5) for j in range(4)]) for i in range(20)],
+        "vec_id string, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [("q0", [1.0, 2.0, 3.0, 4.0])], "query_id string, qv array<double>"
+    )
+    out = graph_ann.graph_ann_topk(emb_s, q, k=3, m=4, dim=4, n_entries=4)
+    rows = out.collect()
+    assert out.schema["id"].dataType.simpleString() == "string"
+    assert len(rows) == 3 and all(r.id.startswith("doc-") for r in rows)
+
+    empty = spark.createDataFrame([], "vec_id string, embedding array<double>")
+    empty_graph = spark.createDataFrame(
+        [], "src string, dst string, cosine double"
+    )
+    out0 = graph_ann.graph_ann_topk(empty, q, k=3, dim=4, graph=empty_graph)
+    assert out0.collect() == []

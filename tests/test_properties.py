@@ -163,28 +163,35 @@ def test_redact_chain_idempotent(s):
     assert apply(once) == once
 
 
+
 # --- guarded regex evaluation (spec.py hot path) --------------------------
 # Each guard in classify/extract_fields must be a NECESSARY condition of its
-# pattern: guard False ⇒ pattern cannot match. The adversarial alphabet mixes
-# every guard-relevant class: keyword fragments, unicode whitespace/digits,
-# money tails, case flips.
+# pattern AS APPLIED: keyword guards are gated on str.isascii() (re.IGNORECASE
+# folds \u0131/\u017f/\u212a onto i/s/k, which str.lower() containment cannot
+# see), while the digit/whitespace-shape guards hold over all of Unicode
+# (\s == str.isspace and \d subset of str.isdigit — verified exhaustively
+# below). The adversarial alphabet mixes keyword fragments, unicode
+# whitespace/digits, money tails, case flips, and the three fold traps.
 
 _GUARD_ALPHABET = (
-    "total subtax due account balance invoice x@ \t  　"
-    "0123456789٠۱.,-$TSDAB\ninv"
+    "total subtax due account balance invoice x@ \t \u00a0\u3000"
+    "0123456789\u0660\u06f1.,-$TSDAB\ninv"
+    "\u0131\u017f\u212a"  # dotless-i, long-s, Kelvin K
 )
 
+# Keyword guards exactly as applied in spec.py: non-ASCII input bypasses them.
 _GUARD_PAIRS = [
-    # (pattern, guard) — mirror the guards in spec.classify/extract_fields
-    (spec._RE_RESERVED, lambda s: s.lstrip()[:1].lower() in spec._RESERVED_FIRST),
-    (spec._RE_DUE, lambda s: "due" in s.lower()),
-    (spec._RE_TOTAL_LINE, lambda s: s.lstrip()[:1] in "tT"),
-    (spec._RE_SUBTOTAL, lambda s: s.lstrip()[:1] in "sS"),
-    (spec._RE_TAX, lambda s: s.lstrip()[:1] in "sStT"),
-    (spec._RE_ACCOUNT, lambda s: "account" in s.lower()),
-    (spec._RE_BALANCE, lambda s: "balance" in s.lower()),
-    (spec._RE_INVOICE, lambda s: "invoice" in s.lower()),
-    (spec._RE_ENDING_BAL, lambda s: "balance" in s.lower()),
+    (spec._RE_RESERVED,
+     lambda s: not s.isascii() or s.lstrip()[:1].lower() in spec._RESERVED_FIRST),
+    (spec._RE_DUE, lambda s: not s.isascii() or "due" in s.lower()),
+    (spec._RE_TOTAL_LINE, lambda s: not s.isascii() or s.lstrip()[:1] in "tT"),
+    (spec._RE_SUBTOTAL, lambda s: not s.isascii() or s.lstrip()[:1] in "sS"),
+    (spec._RE_TAX, lambda s: not s.isascii() or s.lstrip()[:1] in "sStT"),
+    (spec._RE_ACCOUNT, lambda s: not s.isascii() or "account" in s.lower()),
+    (spec._RE_BALANCE, lambda s: not s.isascii() or "balance" in s.lower()),
+    (spec._RE_INVOICE, lambda s: not s.isascii() or "invoice" in s.lower()),
+    (spec._RE_ENDING_BAL, lambda s: not s.isascii() or "balance" in s.lower()),
+    # Shape guards: safe unconditionally (see test_shape_guard_unicode_safety).
     (
         spec._RE_TXN,
         lambda s: s.lstrip()[:1].isdigit()
@@ -208,7 +215,7 @@ _GUARD_PAIRS = [
 
 @given(st.text(alphabet=_GUARD_ALPHABET, max_size=40))
 def test_regex_guards_are_necessary_conditions(s):
-    """Guard False ⇒ regex no-match, for every guarded pattern in the
+    """Guard False => regex no-match, for every guarded pattern in the
     extraction hot path (spec.py). The search/match distinction matches the
     call sites: line-anchored patterns use match, containment ones search."""
     for pat, guard in _GUARD_PAIRS:
@@ -217,3 +224,30 @@ def test_regex_guards_are_necessary_conditions(s):
         anchored = pat.pattern.startswith("^")
         hit = pat.match(s) if anchored else pat.search(s)
         assert hit is None, (pat.pattern, s)
+
+
+def test_shape_guard_unicode_safety():
+    """The money-tail/digit-start guards lean on two set relations that must
+    hold over ALL of Unicode (no ASCII gate protects them): every char
+    matched by regex \\s is str.isspace (lstrip/rstrip strip at least what
+    \\s* would skip), and every char matched by \\d is str.isdigit."""
+    import re as _re
+
+    rs, rd = _re.compile(r"\s"), _re.compile(r"\d")
+    assert not any(
+        rs.match(chr(c)) and not chr(c).isspace() for c in range(0x110000)
+    )
+    assert not any(
+        rd.match(chr(c)) and not chr(c).isdigit() for c in range(0x110000)
+    )
+
+
+def test_classify_unicode_case_folding_not_defeated_by_guards():
+    """Regression: re.IGNORECASE matches '\u0131nvoice'/'\u017fubtotal'
+    (dotless-i, long-s) but str.lower() substring guards do not — classify
+    must take the unguarded path for non-ASCII text and still see them."""
+    assert spec.classify("\u0131nvoice No: A-17\nTotal  5.00") == "invoice"
+    # long-s subtotal counts as the sub-or-tax signal for receipt shape
+    assert spec.classify("Total  5.00\n\u017fubtotal  4.00") == "receipt"
+    # non-matching non-ASCII text still classifies as other
+    assert spec.classify("\u212aiosk snacks") == "other"

@@ -89,9 +89,16 @@ def extract_batches_arrow(batches):
     for batch in batches:
         doc_ids = batch.column(0).to_pylist()
         spans = batch.column(1).to_pylist()
+        # to_pylist() yields fresh dicts carrying every schema key, so the
+        # only normalization _spans_to_list would add is offset None→0 —
+        # done in place instead of rebuilding each span dict (the rebuild
+        # measured ~1/4 of worker time beside ~3/4 spec compute)
+        for sp in spans:
+            for d in sp:
+                if d["offset"] is None:
+                    d["offset"] = 0
         results = [
-            extract_document(str(d), _spans_to_list(s))
-            for d, s in zip(doc_ids, spans)
+            extract_document(str(d), s) for d, s in zip(doc_ids, spans)
         ]
         yield pa.RecordBatch.from_arrays(
             [

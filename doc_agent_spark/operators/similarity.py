@@ -153,9 +153,12 @@ def ivf_topk(
             cell = cids_[np.argmax(V @ M_.T, axis=1)]
             yield pd.DataFrame({"id": pdf["id"], "cell": cell})
 
+    # derive the id field's type from the input so non-long id columns work
+    # (same contract as dedup._banded_buckets_arrow / verify-pairs scoring)
+    id_type = embeddings.schema[id_col].dataType.simpleString()
     assigned = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).mapInPandas(assign, "id long, cell long")
+    ).mapInPandas(assign, f"id {id_type}, cell long")
     probe = (
         cents.select("cid", cosine(F.col("cv"), qcol).alias("qs"))
         .orderBy(F.desc("qs"), F.asc("cid"))

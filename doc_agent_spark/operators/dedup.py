@@ -430,11 +430,16 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     join + one partial-agg groupBy each) or pre-contract chains with the
     large-star/small-star variant.
     """
+    # Materialize the edge list ONCE: ``pairs`` is typically the tail of a
+    # heavy candidate-generation DAG (shingle → minhash → band → verify),
+    # and every fixpoint round references edges from two actions (the
+    # neighbor-min join and the changed-count probe) — without the cut the
+    # generator pipeline re-executes O(iterations) times.
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
@@ -445,10 +450,13 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nlabel"))
         )
+        # checkpoint BEFORE the changed-count probe so the round's join +
+        # groupBy executes once (the probe and the next round both read the
+        # materialized result); also cuts the growing lineage
         new_labels = (
             labels.join(neighbor_min, "id", "left")
             .select("id", F.least("label", "nlabel").alias("label"))
-        )
+        ).localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -459,7 +467,6 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-        labels = labels.localCheckpoint(eager=True)  # cut the growing lineage
     if changed != 0:
         raise RuntimeError(
             f"dup_clusters did not converge within max_iter={max_iter} rounds: "

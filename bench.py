@@ -33,6 +33,7 @@ cached under .bench/corpus_<n>.parquet.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import shutil
@@ -152,6 +153,13 @@ def phase_suite(cpus: int, sf_dir: str) -> dict:
     out = {}
     for name in qmap:
         out[name] = round(run_noop(lambda: qmap[name](spark, sf_dir)), 3)
+        # drop python-side refs so the ContextCleaner can unpersist the
+        # previous query's localCheckpoint blocks / broadcasts before the
+        # next measurement — 50 queries share this JVM, and lingering
+        # blocks measured a 5.7x in-suite slowdown on checkpoint-heavy
+        # entries (dup_clusters 85s in-suite vs 15s isolated)
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
     spark.stop()
     return out
 

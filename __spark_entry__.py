@@ -827,10 +827,22 @@ def pii_redaction(spark, sf_dir):
 
 
 def dup_clusters(spark, sf_dir):
-    """Connected components over the MinHash-LSH candidate pairs: the
-    keep/drop cluster map that pairwise dedup feeds at scale."""
-    pairs = dedup.minhash_lsh_pairs(_spread(_dup_corpus(spark, sf_dir)), k=8, bands=4)
-    return dedup.dup_clusters(pairs.select("id_a", "id_b"))
+    """Connected components over the MinHash-LSH candidate pairs, by BOTH
+    fixpoint drivers union-tagged: min-label propagation (O(diameter)
+    rounds — right for LSH's near-clique components) and large-star/
+    small-star contraction (O(log n) rounds — the extreme-scale path).
+    The banding DAG runs once; the checkpointed pair list feeds both, and
+    the gate hash requires the two algorithms to agree row-for-row."""
+    pairs = dedup.minhash_lsh_pairs(
+        _spread(_dup_corpus(spark, sf_dir)), k=8, bands=4
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
+    a = dedup.dup_clusters(pairs).select(
+        F.lit("minlabel").alias("algo"), "id", "cluster_id"
+    )
+    b = dedup.dup_clusters_star(pairs).select(
+        F.lit("star").alias("algo"), "id", "cluster_id"
+    )
+    return a.unionByName(b)
 
 
 def stratified_sample(spark, sf_dir):
@@ -2030,8 +2042,10 @@ edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
 reach AS (
   SELECT src AS id, src AS label FROM edges
   UNION
-  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
-SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+cc AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
+SELECT 'minlabel' AS algo, id, cluster_id FROM cc
+UNION ALL SELECT 'star' AS algo, id, cluster_id FROM cc
 """,
         "stratified_sample": f"""
 SELECT doc_id, lang, n_chars FROM documents

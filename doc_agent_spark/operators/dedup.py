@@ -477,6 +477,103 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
+def _canon_edges(df: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (u > v), self-loops dropped, deduped."""
+    return (
+        df.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def dup_clusters_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction — the extreme-scale variant of :func:`dup_clusters`.
+
+    Same contract as ``dup_clusters``: (id, cluster_id) with cluster_id =
+    min id of the component, every node appearing in ``pairs`` present,
+    singletons absent. The difference is the round bound: min-label
+    propagation needs O(component diameter) rounds, which is fine for the
+    near-clique components LSH banding emits but degenerates on chain-shaped
+    components (a path of n dups takes n rounds). Star contraction converges
+    in O(log n) rounds regardless of shape (Kiveris et al., "Connected
+    Components in MapReduce and Beyond" — public algorithm):
+
+    - large-star: every node u computes m = min(N(u) ∪ {u}) over its full
+      neighborhood and re-points each strictly-larger neighbor v > u at m;
+    - small-star: on the canonical (u > v) direction, every node u re-points
+      its smaller neighbors (and itself) at m = min(N⁻(u) ∪ {u}).
+
+    Both steps are one equi-join + one partial-aggregated groupBy on the
+    same key — identical shuffle shape to the min-label rounds, just fewer
+    of them. At fixpoint the edge set IS the answer: a star per component
+    with every non-min node pointing directly at the component min.
+
+    Raises ``RuntimeError`` if not converged within ``max_iter`` (with the
+    O(log n) bound, 50 rounds covers any feasible component).
+    """
+    edges = _canon_edges(
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    ).localCheckpoint(eager=True)
+    n_edges = edges.count()
+    converged = False
+    for _ in range(max_iter):
+        # large-star over the bidirectional adjacency
+        bidir = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m_full = bidir.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = _canon_edges(
+            bidir.join(m_full, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # small-star on the canonical direction (v < u by construction)
+        m_small = large.groupBy("u").agg(F.min("v").alias("m"))
+        new_edges = _canon_edges(
+            large.join(m_small, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m_small.select("u", F.col("m").alias("v")))
+        ).localCheckpoint(eager=True)
+        new_n = new_edges.count()
+        # equal counts + empty one-sided difference ⟹ equal sets (both
+        # distinct), so one anti-join probe suffices for the fixpoint test
+        if n_edges == new_n and (
+            new_edges.join(edges, ["u", "v"], "left_anti").limit(1).count() == 0
+        ):
+            edges = new_edges
+            converged = True
+            break
+        edges, n_edges = new_edges, new_n
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters_star did not converge within max_iter={max_iter} "
+            "rounds — with the O(log n) star-contraction bound this indicates "
+            "a bug or an astronomically large component. Increase max_iter."
+        )
+    # fixpoint edge set is a star per component: u → component min, plus the
+    # min itself (present as some star's v) mapping to itself
+    non_min = edges.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
+    mins = (
+        edges.select(F.col("v").alias("id")).distinct()
+        .join(non_min.select("id"), "id", "left_anti")
+        .select("id", F.col("id").alias("cluster_id"))
+    )
+    labeled = non_min.unionByName(mins)
+    # parity with dup_clusters on degenerate input: a node appearing ONLY in
+    # self-loop pairs has no canonical edge but is still its own cluster
+    orphans = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+        .join(labeled.select("id"), "id", "left_anti")
+        .select("id", F.col("id").alias("cluster_id"))
+    )
+    return labeled.unionByName(orphans)
+
+
 def _banded_buckets_arrow(base: DataFrame, n_planes: int, n_tables: int,
                           seed: int, dim: int) -> DataFrame:
     """(id, tbl, bucket) for every table, via one Arrow-batched matmul.

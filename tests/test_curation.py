@@ -60,6 +60,39 @@ def test_dup_clusters_raises_when_diameter_exceeds_max_iter(spark):
     assert set(out.values()) == {0}
 
 
+def test_star_matches_minlabel_on_varied_graph_shapes(spark):
+    # large-star/small-star contraction must produce the exact min-label
+    # cluster map on every component shape: chains (worst case for
+    # min-label), cliques (the LSH-banding common case), hubs, random
+    # sparse graphs with self-loops, and degenerate self-loop-only nodes
+    import random
+
+    rng = random.Random(7)
+    cases = {
+        "chain": [(i, i + 1) for i in range(40)],
+        "cliques": [(i, j) for i in range(5) for j in range(i + 1, 5)]
+        + [(10 + i, 10 + j) for i in range(4) for j in range(i + 1, 4)],
+        "hub": [(0, i) for i in range(1, 20)],
+        "random": [(rng.randrange(100), rng.randrange(100)) for _ in range(80)],
+        "selfloop_only": [(5, 5), (9, 9), (5, 9), (42, 42)],
+    }
+    for name, edges in cases.items():
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        a = sorted(map(tuple, dedup.dup_clusters(df, max_iter=100).collect()))
+        b = sorted(map(tuple, dedup.dup_clusters_star(df).collect()))
+        assert a == b, f"{name}: star disagrees with min-label"
+
+
+def test_star_converges_logarithmically_on_chains(spark):
+    # a 60-edge chain needs 60+ min-label rounds but only O(log n) star
+    # rounds — the reason the star variant is the extreme-scale path
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    out = {r.id: r.cluster_id for r in dedup.dup_clusters_star(pairs, max_iter=10).collect()}
+    assert set(out.values()) == {0} and len(out) == 61
+
+
 def _expected_keep(key, fraction, seed="s42"):
     h = hashlib.md5(f"{seed}:{key}".encode()).hexdigest()[:8]
     return h < sampling.hex_threshold(fraction)

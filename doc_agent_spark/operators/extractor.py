@@ -74,32 +74,41 @@ def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def extract_batches_arrow(batches):
-    """mapInArrow worker: same spec, but the result batch is built as TYPED
-    pyarrow arrays (explicit schema, C++ builders) instead of pandas object
-    columns — skips pandas' per-row type inference over the two nested
-    array<struct> columns (items, out_spans), which round-2 profiling
-    identified as the serialization tax between the pure-python spec
-    ceiling and the in-stage throughput."""
+    """mapInArrow worker: decodes the span struct COLUMN-WISE and builds the
+    result batch as TYPED pyarrow arrays (explicit schema, C++ builders).
+
+    Input decode never materializes a Python dict per span: the list<struct>
+    column is flattened once and each needed field converts as a flat
+    primitive list (``flatten().field(..).to_pylist()``), which measured 3×
+    faster than ``to_pylist()``'s dict building (1.00 s → 0.33 s / 20k docs)
+    — and the ``kind`` field is skipped entirely because extraction never
+    reads it. Per-doc slices feed ``spec.extract_document_cols`` (bit-exact
+    twin of the dict path, pinned by tests/test_extractor.py). Output-side,
+    typed builders skip pandas' per-row type inference over the two nested
+    array<struct> columns (items, out_spans) — the round-2 finding."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from pyspark.sql.pandas.types import to_arrow_schema
 
     schema = to_arrow_schema(EXTRACTION_RESULT)
-    extract_document = spec.extract_document
+    extract_cols = spec.extract_document_cols
     for batch in batches:
         doc_ids = batch.column(0).to_pylist()
-        spans = batch.column(1).to_pylist()
-        # to_pylist() yields fresh dicts carrying every schema key, so the
-        # only normalization _spans_to_list would add is offset None→0 —
-        # done in place instead of rebuilding each span dict (the rebuild
-        # measured ~1/4 of worker time beside ~3/4 spec compute)
-        for sp in spans:
-            for d in sp:
-                if d["offset"] is None:
-                    d["offset"] = 0
-        results = [
-            extract_document(str(d), s) for d, s in zip(doc_ids, spans)
-        ]
+        col = batch.column(1)
+        flat = col.flatten()
+        texts = flat.field("text").to_pylist()
+        refs = flat.field("media_ref").to_pylist()
+        offs = [0 if o is None else o for o in flat.field("offset").to_pylist()]
+        lens = pc.list_value_length(col).to_pylist()
+        results = []
+        start = 0
+        for did, n in zip(doc_ids, lens):
+            end = start + n
+            results.append(
+                extract_cols(str(did), texts[start:end], refs[start:end], offs[start:end])
+            )
+            start = end
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array([r[f.name] for r in results], type=f.type)

@@ -567,6 +567,40 @@ def extract_document(doc_id: str, spans: list[dict]) -> dict:
     raw_text = assemble_pages(pages)
     doc_type = classify(raw_text) if raw_text else "other"
     lines = _doc_lines(spans)
+    return _finish_document(doc_id, raw_text, doc_type, lines)
+
+
+def extract_document_cols(
+    doc_id: str,
+    texts: list[str | None],
+    media_refs: list[str | None],
+    offsets: list[int],
+) -> dict:
+    """Columnar twin of :func:`extract_document` — same extraction, but the
+    span fields arrive as parallel lists instead of per-span dicts, so the
+    Arrow worker can decode the struct fields straight to primitive lists
+    (``flatten().field(..).to_pylist()``) and never build a Python dict per
+    span. The span ``kind`` field is not an input because extraction never
+    reads it (media spans carry empty text and are dropped by the
+    whitespace filter). Bit-exact equality with the dict path is pinned by
+    tests/test_extractor.py::test_cols_path_bit_exact.
+    """
+    order = sorted(range(len(texts)), key=offsets.__getitem__)
+    raw_text = assemble_pages([texts[i] for i in order])
+    doc_type = classify(raw_text) if raw_text else "other"
+    lines = []
+    for page_num, i in enumerate(order, 1):
+        t = (texts[i] or "").strip()
+        if not t:
+            continue
+        ref = media_refs[i] or ""
+        off = offsets[i]
+        for ln in t.split("\n"):
+            lines.append(PageLine(off, ref, page_num, ln))
+    return _finish_document(doc_id, raw_text, doc_type, lines)
+
+
+def _finish_document(doc_id: str, raw_text: str, doc_type: str, lines: list[PageLine]) -> dict:
     fields = extract_fields(lines, doc_type)
 
     # Route through the Zod-exact normalizer for parity with the reference's

@@ -89,3 +89,34 @@ def test_deterministic_across_parallelism(spark, docs):
     one = collect_spans(extractor.extracted_spans(docs.coalesce(1)))
     eight = collect_spans(extractor.extracted_spans(docs.repartition(8)))
     assert one == eight
+
+
+def test_cols_path_bit_exact():
+    """spec.extract_document_cols (the Arrow worker's columnar entry) must be
+    bit-exact with the dict path on every corpus shape, including media spans,
+    null-ish offsets, and whitespace-only pages."""
+    for d in corpus.gen_docs(600):
+        spans = d["spans"]
+        a = spec.extract_document(d["doc_id"], [dict(s) for s in spans])
+        b = spec.extract_document_cols(
+            d["doc_id"],
+            [s["text"] for s in spans],
+            [s["media_ref"] for s in spans],
+            [0 if s["offset"] is None else s["offset"] for s in spans],
+        )
+        assert a == b, d["doc_id"]
+
+
+def test_engines_identical(spark, docs):
+    arrow = collect_spans(extractor.extracted_spans(docs))
+    res_pd = extractor.extract(docs, engine="pandas")
+    pd_spans = collect_spans(
+        res_pd.select("doc_id", F.explode("out_spans").alias("s")).select(
+            "doc_id",
+            F.col("s.order").alias("order"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+        )
+    )
+    assert arrow == pd_spans

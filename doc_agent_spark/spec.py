@@ -601,8 +601,15 @@ def extract_document_cols(
 
 
 def _finish_document(doc_id: str, raw_text: str, doc_type: str, lines: list[PageLine]) -> dict:
-    fields = extract_fields(lines, doc_type)
+    return finish_fields(doc_id, raw_text, doc_type, extract_fields(lines, doc_type))
 
+
+def finish_fields(doc_id: str, raw_text: str, doc_type: str, fields: dict) -> dict:
+    """Normalize extracted fields and render the golden span sequence.
+
+    Shared tail of the scalar path and the vectorized batch path
+    (:mod:`doc_agent_spark.specvec`) — everything downstream of the
+    per-line battery is identical by construction."""
     # Route through the Zod-exact normalizer for parity with the reference's
     # validate step (ollama.ts:232): build the "model JSON" equivalent.
     model_doc: dict = {"type": doc_type}

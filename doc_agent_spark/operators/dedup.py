@@ -18,7 +18,7 @@ deterministic, engine-portable (DuckDB has identical md5), no RNG state.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..functions.textfns import word_ngrams, words_of
@@ -450,20 +450,24 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nlabel"))
         )
-        # checkpoint BEFORE the changed-count probe so the round's join +
-        # groupBy executes once (the probe and the next round both read the
-        # materialized result); also cuts the growing lineage
+        # ONE action per round: the changed-label count rides the eager
+        # localCheckpoint job as an observed metric (a label changes iff
+        # nlabel < label), instead of a second join-and-count probe —
+        # halves the fixpoint's job count, and the checkpoint still cuts
+        # the growing lineage before the next round
+        obs = Observation()
         new_labels = (
             labels.join(neighbor_min, "id", "left")
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum(F.when(F.col("nlabel") < F.col("label"), 1).otherwise(0)),
+                    F.lit(0),
+                ).alias("changed"),
+            )
             .select("id", F.least("label", "nlabel").alias("label"))
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        changed = obs.get["changed"]
         labels = new_labels
         if changed == 0:
             break
@@ -512,10 +516,11 @@ def dup_clusters_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     Raises ``RuntimeError`` if not converged within ``max_iter`` (with the
     O(log n) bound, 50 rounds covers any feasible component).
     """
+    obs0 = Observation()
     edges = _canon_edges(
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-    ).localCheckpoint(eager=True)
-    n_edges = edges.count()
+    ).observe(obs0, F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+    n_edges = obs0.get["n"]
     converged = False
     for _ in range(max_iter):
         # large-star over the bidirectional adjacency
@@ -530,14 +535,17 @@ def dup_clusters_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
-        # small-star on the canonical direction (v < u by construction)
+        # small-star on the canonical direction (v < u by construction);
+        # the edge count rides the checkpoint job as an observed metric
+        # (one action per round instead of checkpoint + count)
         m_small = large.groupBy("u").agg(F.min("v").alias("m"))
+        obs = Observation()
         new_edges = _canon_edges(
             large.join(m_small, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(m_small.select("u", F.col("m").alias("v")))
-        ).localCheckpoint(eager=True)
-        new_n = new_edges.count()
+        ).observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+        new_n = obs.get["n"]
         # equal counts + empty one-sided difference ⟹ equal sets (both
         # distinct), so one anti-join probe suffices for the fixpoint test
         if n_edges == new_n and (

@@ -1435,15 +1435,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 def _minhash_sig_sql(k: int = 8) -> str:
+    """One-hash + k affine permutations, mirroring dedup.minhash_lsh_pairs:
+    base hash = first 15 md5 hex chars as a 60-bit integer, permutation p =
+    (a_p·h + b_p) mod 2³¹−1 with the same fixed constants. Documents with no
+    shingles drop out (unnest of an empty list emits no rows — matching the
+    Spark explode)."""
+    from doc_agent_spark.operators.dedup import _MINHASH_PRIME, minhash_perm_consts
+
     mins = ", ".join(
-        f"coalesce(list_aggregate(list_transform(sh, s -> md5('{p}:' || s)), 'min'), md5('{p}:'))"
-        for p in range(k)
+        f"min(({a} * h + {b}) % {_MINHASH_PRIME})"
+        for a, b in minhash_perm_consts(k)
     )
     return f"""
 words AS (SELECT doc_id AS id, {_WORDS_SQL} AS w FROM corpus),
 sh AS (SELECT id, list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM words),
-sig AS (SELECT id, [{mins}] AS sig FROM sh)
+shex AS (SELECT id, unnest(sh) AS s FROM sh),
+shh AS (SELECT id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {_MINHASH_PRIME} AS h FROM shex),
+sig AS (SELECT id, [{mins}] AS sig FROM shh GROUP BY id)
 """.strip()
 
 
@@ -1821,7 +1830,7 @@ FROM corpus GROUP BY 1 HAVING count(*) > 1
 WITH corpus AS ({_DUP_CORPUS_SQL}),
 {_minhash_sig_sql(8)},
 bands AS (
-  SELECT id, b.band, md5(sig[b.band * 2 + 1] || '|' || sig[b.band * 2 + 2]) AS bucket
+  SELECT id, b.band, md5(CAST(sig[b.band * 2 + 1] AS VARCHAR) || '|' || CAST(sig[b.band * 2 + 2] AS VARCHAR)) AS bucket
   FROM sig, (VALUES (0), (1), (2), (3)) AS b(band))
 SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_bands
 FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
@@ -1898,7 +1907,7 @@ FROM v a JOIN s c ON a.var = c.sig AND a.id < c.id
 WITH corpus AS ({_DUP_CORPUS_SQL}),
 {_minhash_sig_sql(8)},
 bands AS (
-  SELECT id, b.band, md5(sig[b.band * 2 + 1] || '|' || sig[b.band * 2 + 2]) AS bucket
+  SELECT id, b.band, md5(CAST(sig[b.band * 2 + 1] AS VARCHAR) || '|' || CAST(sig[b.band * 2 + 2] AS VARCHAR)) AS bucket
   FROM sig, (VALUES (0), (1), (2), (3)) AS b(band)),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -2032,7 +2041,7 @@ SELECT * FROM spans
 WITH RECURSIVE corpus AS ({_DUP_CORPUS_SQL}),
 {_minhash_sig_sql(8)},
 bands AS (
-  SELECT id, b.band, md5(sig[b.band * 2 + 1] || '|' || sig[b.band * 2 + 2]) AS bucket
+  SELECT id, b.band, md5(CAST(sig[b.band * 2 + 1] AS VARCHAR) || '|' || CAST(sig[b.band * 2 + 2] AS VARCHAR)) AS bucket
   FROM sig, (VALUES (0), (1), (2), (3)) AS b(band)),
 pairs AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b

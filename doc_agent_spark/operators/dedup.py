@@ -38,32 +38,13 @@ def exact_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     )
 
 
-def minhash_from_shingles(shingles: Column, k: int = 8) -> Column:
-    """array<string> of k lexicographic-min md5(perm:shingle) digests over an
-    ALREADY-MATERIALIZED shingle array column.
-
-    Keep shingle construction in its own projection: inlining word_ngrams
-    here would replicate its transform/slice tree k times in the plan
-    (Catalyst doesn't CSE across the k signature elements), which showed up
-    as a 30× slowdown in bench.
-
-    Empty shingle sets yield md5(perm:) so signatures are total (no nulls).
-    """
-    def perm_hash(p: int):
-        prefix = f"{p}:"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
-
-    sig = []
-    for p in range(k):
-        hashed = F.transform(shingles, perm_hash(p))
-        sig.append(F.coalesce(F.array_min(hashed), F.md5(F.lit(f"{p}:"))))
-    return F.array(*sig)
+_MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne prime)
 
 
-def minhash_signature(text: Column, k: int = 8, ngram: int = 3) -> Column:
-    """Convenience wrapper: shingle + hash in one expression (prefer
-    materializing word_ngrams first for wide plans, see above)."""
-    return minhash_from_shingles(word_ngrams(text, ngram), k)
+def minhash_perm_consts(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a_p, b_p) for the k affine permutations — fixed
+    constants, no RNG state, identical in the DuckDB oracle."""
+    return [(1000003 + 7919 * p, 12345 + 104729 * p) for p in range(k)]
 
 
 def minhash_lsh_pairs(
@@ -73,26 +54,54 @@ def minhash_lsh_pairs(
     k: int = 8,
     bands: int = 4,
 ) -> DataFrame:
-    """Candidate near-dup pairs via LSH banding: (id_a, id_b, n_bands).
+    """Candidate near-dup pairs via MinHash LSH banding: (id_a, id_b, n_bands).
 
     k minhashes split into `bands` bands of k/bands rows; docs sharing any
     band bucket become a candidate pair. Self-join is ON the band bucket
     hash (equi-join → shuffle on tiny keys; AQE handles bucket skew).
+
+    Signature computation is fully relational (the round-2/3 lesson applied
+    to its own origin): explode shingles, hash each shingle ONCE with a
+    codegen'd md5 projection, and take the k permutation minima as k
+    conditional ``min`` aggregates in one map-side-partial groupBy — the
+    classic one-hash + k affine permutations scheme (Broder's min-wise
+    permutations over h_p(x) = (a_p·x + b_p) mod 2³¹−1, public algorithm).
+    The previous form ran k interpreted ``transform``/``array_min`` folds
+    with k md5 calls per shingle — never entering codegen and re-hashing
+    every shingle 8×. The base hash is the first 15 hex chars of md5 read
+    as a 60-bit integer (``conv(.., 16, 10)``) so the DuckDB oracle computes
+    the identical value via ``CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)``.
+
+    Documents with no shingles emit NO candidates: empty/near-empty text is
+    exact-dedup territory, and the old constant-signature fallback made all
+    empty documents one mutual candidate clique — O(E²) pairs, a genuine
+    quadratic trap at corpus scale.
     """
     rows = k // bands
-    sig = (
-        df.select(F.col(id_col).alias("id"), word_ngrams(F.col(text_col), 3).alias("sh"))
-        .select("id", minhash_from_shingles(F.col("sh"), k=k).alias("sig"))
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(F.col(text_col), 3)).alias("s"),
     )
+    h = ex.select(
+        "id",
+        (F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
+         % F.lit(_MINHASH_PRIME)).alias("h"),
+    )
+    sig = h.groupBy("id").agg(*[
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MINHASH_PRIME)).alias(f"s{p}")
+        for p, (a, b) in enumerate(minhash_perm_consts(k))
+    ])
     banded = sig.select(
         "id",
         F.explode(
             F.array(*[
                 F.struct(
-                    F.lit(b).alias("band"),
-                    F.md5(F.concat_ws("|", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)])).alias("bucket"),
+                    F.lit(bd).alias("band"),
+                    F.md5(F.concat_ws("|", *[
+                        F.col(f"s{bd * rows + r}").cast("string") for r in range(rows)
+                    ])).alias("bucket"),
                 )
-                for b in range(bands)
+                for bd in range(bands)
             ])
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))

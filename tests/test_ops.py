@@ -57,6 +57,20 @@ def test_minhash_exact_dups_share_all_bands(spark, texts):
     assert pairs.get((1, 3), 0) >= 0  # near-dup may or may not band-collide
 
 
+def test_minhash_shingleless_docs_emit_no_candidates(spark):
+    """Docs with fewer than 3 words have no 3-gram shingles and must NOT
+    pair — the old constant-signature fallback made every empty doc a
+    mutual candidate (a quadratic clique at corpus scale); empty/near-empty
+    text belongs to exact dedup."""
+    rows = [
+        (1, ""), (2, ""), (3, "   "), (4, "one two"),
+        (5, "the quick brown fox jumps"), (6, "the quick brown fox jumps"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(df, k=8, bands=4).collect()}
+    assert pairs == {(5, 6)}
+
+
 def test_simhash_identical_for_same_tokens(spark, texts):
     sig = texts.select("doc_id", dedup.simhash16(F.col("text")).alias("s"))
     vals = {r.doc_id: r.s for r in sig.collect()}

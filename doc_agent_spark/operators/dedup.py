@@ -12,8 +12,9 @@ All variants are shuffle-conscious:
   bucket (Hamming-adjacent lookups can OR over bit-flip buckets).
 - n-gram Jaccard: exact verification on candidate pairs only.
 
-MinHash uses md5(perm || shingle) with LEXICOGRAPHIC min over hex digests —
-deterministic, engine-portable (DuckDB has identical md5), no RNG state.
+MinHash hashes each shingle ONCE (md5 prefix as a 60-bit integer) and takes
+k affine-permutation minima as relational min-aggregates — deterministic,
+engine-portable (DuckDB computes the identical value), no RNG state.
 """
 
 from __future__ import annotations

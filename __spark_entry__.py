@@ -791,14 +791,35 @@ def lang_id_counts(spark, sf_dir):
 
 
 def quality_tokens(spark, sf_dir):
+    """Per-document quality/repetition profile (training-data filter row):
+    token counts, blended quality score, fingerprint, plus the Gopher-style
+    repetition signals — duplicate-line fraction (count- and char-weighted)
+    and top-2-gram character fraction. testdata text is single-line, so the
+    line signals run over a deterministically woven multi-line page
+    (header/footer boilerplate keyed off doc_id — same construction in the
+    DuckDB oracle, the pii_redaction precedent); the bigram signal runs on
+    the raw text, whose small vocabulary repeats bigrams heavily."""
     docs = _spread(load(spark, sf_dir, "documents"))
-    return docs.select(
+    page = F.concat_ws(
+        "\n",
+        F.lit("STATEMENT HEADER"),
+        F.col("text"),
+        F.lit("Page 1 of 1"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("STATEMENT HEADER"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("Page 1 of 1"))
+        .otherwise(F.concat(F.lit("ref "), F.col("doc_id").cast("string"))),
+    )
+    base = docs.select(
         "doc_id",
         textfns.token_count(F.col("text")).alias("n_ws_tokens"),
         textfns.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
         textfns.quality_score(F.col("text")).alias("quality"),
         textfns.fingerprint(F.col("text")).alias("fp"),
+        textfns.dup_line_fraction(page).alias("dup_line_frac"),
+        textfns.dup_line_char_fraction(page).alias("dup_line_char_frac"),
     )
+    top2 = textfns.top_bigram_char_fraction(docs, "doc_id", "text")
+    return base.join(top2, "doc_id")
 
 
 def pii_redaction(spark, sf_dir):
@@ -1995,7 +2016,28 @@ p AS (
 SELECT pred_lang, count(*) AS n_docs FROM p GROUP BY pred_lang
 """,
         "quality_tokens": f"""
-SELECT doc_id,
+WITH pg AS (
+  SELECT doc_id, text,
+    'STATEMENT HEADER' || chr(10) || text || chr(10) || 'Page 1 of 1' || chr(10) ||
+    (CASE WHEN doc_id % 4 = 0 THEN 'STATEMENT HEADER'
+          WHEN doc_id % 4 = 1 THEN 'Page 1 of 1'
+          ELSE 'ref ' || CAST(doc_id AS VARCHAR) END) AS page
+  FROM documents
+),
+ln AS (
+  SELECT doc_id, text,
+    list_filter(list_transform(string_split(page, chr(10)), l -> trim(l)), l -> l <> '') AS lines
+  FROM pg
+),
+grams AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len({_WORDS_SQL})), i ->
+      {_WORDS_SQL}[i] || ' ' || {_WORDS_SQL}[i+1])) AS gram
+  FROM documents
+),
+gc AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram),
+top AS (SELECT doc_id, max(c * length(gram)) AS top2_chars FROM gc GROUP BY doc_id)
+SELECT ln.doc_id,
   CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS INTEGER) AS n_ws_tokens,
   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
   round(
@@ -2010,8 +2052,18 @@ SELECT doc_id,
                / len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
           ELSE 0.0 END) * 4.0, 1.0) * 0.3,
   4) AS quality,
-  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
-FROM documents
+  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+  CASE WHEN len(lines) > 0
+    THEN round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines), 4)
+    ELSE 0.0 END AS dup_line_frac,
+  CASE WHEN coalesce(list_aggregate(list_transform(lines, l -> length(l)), 'sum'), 0) > 0
+    THEN round(
+      CAST(list_aggregate(list_transform(lines, l -> length(l)), 'sum')
+         - list_aggregate(list_transform(list_distinct(lines), l -> length(l)), 'sum') AS DOUBLE)
+      / list_aggregate(list_transform(lines, l -> length(l)), 'sum'), 4)
+    ELSE 0.0 END AS dup_line_char_frac,
+  coalesce(round(CAST(top2_chars AS DOUBLE) / length(text), 4), 0.0) AS top2gram_char_frac
+FROM ln LEFT JOIN top ON ln.doc_id = top.doc_id
 """,
         "quality_weighted_sample": f"""
 WITH s AS (

@@ -71,9 +71,99 @@ def quality_score(text: Column) -> Column:
     return F.round(len_band * 0.4 + alpha_ratio * 0.3 + F.least(sw_ratio * F.lit(4.0), F.lit(1.0)) * 0.3, 4)
 
 
+def lines_of(text: Column) -> Column:
+    """Non-empty trimmed lines (split on newline)."""
+    return F.filter(
+        F.transform(F.split(text, "\n"), lambda ln: F.trim(ln)),
+        lambda ln: ln != "",
+    )
+
+
+def dup_line_fraction(text: Column) -> Column:
+    """Gopher-style repetition signal: fraction of lines that repeat an
+    earlier line — ``1 - distinct_lines / total_lines`` over the non-empty
+    trimmed lines. 0.0 for line-less text. Pure array expressions, no
+    shuffle; the per-line fold is cheap (documents have few lines, unlike
+    the per-char folds this repo avoids — BASELINE.md §4)."""
+    lines = lines_of(text)
+    n = F.size(lines)
+    return F.when(
+        n > 0,
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n.cast("double"), 4
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_line_char_fraction(text: Column) -> Column:
+    """Companion weight to :func:`dup_line_fraction`: fraction of line
+    characters belonging to repeat occurrences — ``(Σ len(line) −
+    Σ len(distinct line)) / Σ len(line)``. Catches the "one huge duplicated
+    block" page that the unweighted line count understates."""
+    lines = lines_of(text)
+    total = F.aggregate(lines, F.lit(0), lambda acc, ln: acc + F.length(ln))
+    uniq = F.aggregate(
+        F.array_distinct(lines), F.lit(0), lambda acc, ln: acc + F.length(ln)
+    )
+    return F.when(
+        total > 0,
+        F.round((total - uniq).cast("double") / total.cast("double"), 4),
+    ).otherwise(F.lit(0.0))
+
+
+def word_bigrams_all(text: Column) -> Column:
+    """All word bigrams WITH multiplicity (unlike :func:`word_ngrams`, which
+    is distinct-only for shingling) — the counting input for top-n-gram
+    repetition fractions."""
+    w = words_of(text)
+    return F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of whitespace-collapsed lowercase text."""
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+def top_bigram_char_fraction(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style top-2-gram repetition: per document, the fraction of
+    text characters covered by the most frequent word bigram —
+    ``max over bigrams of (count × len(bigram)) / len(text)`` (the
+    count×len argmax needs no tie-break: ties give the same metric).
+
+    Relational shape (the scale path — never a per-row O(k²) fold):
+    explode bigrams carrying ONLY (id, bigram) so the text column never
+    rides the explosion, two-level aggregation with map-side partials
+    (count per (id, bigram), then max per id), and one equi-join back to
+    the id frame. Documents with <2 words get 0.0 via the left join.
+
+    Returns a DataFrame ``(id_col, top2gram_char_frac)``.
+    """
+    grams = df.select(
+        id_col, F.explode(word_bigrams_all(F.col(text_col))).alias("gram")
+    )
+    top = (
+        grams.groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max(F.col("c") * F.length("gram")).alias("top2_chars"))
+    )
+    return (
+        df.select(id_col, F.length(text_col).alias("_n_chars"))
+        .join(top, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.round(F.col("top2_chars").cast("double") / F.col("_n_chars").cast("double"), 4),
+                F.lit(0.0),
+            ).alias("top2gram_char_frac"),
+        )
+    )
 
 
 def char_ngrams(text: Column, n: int = 3) -> Column:

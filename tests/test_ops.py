@@ -138,6 +138,63 @@ def test_token_counts(spark):
     assert r.bpe == 7
 
 
+def test_dup_line_fractions(spark):
+    rows = [
+        # 5 non-empty trimmed lines, 3 distinct → 1 - 3/5; chars 23 total,
+        # 14 distinct → 9/23 (the blank and padded lines normalize away)
+        (1, "alpha\nbeta\nalpha\n\n  beta  \ngamma"),
+        (2, "single line only"),
+        (3, ""),
+        (4, "  \n  "),
+        # one long duplicated line dominates by chars, not by line count
+        (5, "aaaaaaaaaa\naaaaaaaaaa\nb"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.lf, r.cf)
+        for r in df.select(
+            "doc_id",
+            textfns.dup_line_fraction(F.col("text")).alias("lf"),
+            textfns.dup_line_char_fraction(F.col("text")).alias("cf"),
+        ).collect()
+    }
+    assert out[1] == (round(1 - 3 / 5, 4), round(9 / 23, 4))
+    assert out[2] == (0.0, 0.0)
+    assert out[3] == (0.0, 0.0)
+    assert out[4] == (0.0, 0.0)
+    lf5, cf5 = out[5]
+    assert lf5 == round(1 - 2 / 3, 4)
+    assert cf5 == round(10 / 21, 4)
+    assert cf5 > lf5  # char weighting catches the big duplicated block
+
+
+def test_word_bigrams_keep_multiplicity(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "solo"), (3, "")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.g
+        for r in df.select(
+            "doc_id", textfns.word_bigrams_all(F.col("text")).alias("g")
+        ).collect()
+    }
+    assert out[1] == ["a b", "b a", "a b", "b a"]  # unlike word_ngrams: not distinct
+    assert out[2] == [] and out[3] == []
+
+
+def test_top_bigram_char_fraction(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "hello"), (3, "")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.top2gram_char_frac
+        for r in textfns.top_bigram_char_fraction(df).collect()
+    }
+    # "a b" occurs 3× (len 3) over 11 chars; "b a" only 2×
+    assert out[1] == round(9 / 11, 4)
+    assert out[2] == 0.0 and out[3] == 0.0  # <2 words → left-join null → 0.0
+
+
 def test_lsh_bucket_deterministic(spark):
     rows = [(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0, 3.0]), (2, [-1.0, -2.0, -3.0])]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")

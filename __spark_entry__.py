@@ -93,6 +93,32 @@ SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
 
 _WORDS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
 
+
+def _page_weave() -> F.Column:
+    """Deterministic multi-line page woven from (doc_id, text): header/footer
+    boilerplate shared across docs + a per-doc tail keyed off doc_id%4.
+    testdata text is single-line; line-granularity operators (dup-line
+    fractions, boilerplate line dedup) run over this page — identical
+    construction in the DuckDB oracle (_PAGE_WEAVE_SQL), the pii_redaction
+    precedent for weaving structure both engines can reproduce."""
+    return F.concat_ws(
+        "\n",
+        F.lit("STATEMENT HEADER"),
+        F.col("text"),
+        F.lit("Page 1 of 1"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("STATEMENT HEADER"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("Page 1 of 1"))
+        .otherwise(F.concat(F.lit("ref "), F.col("doc_id").cast("string"))),
+    )
+
+
+_PAGE_WEAVE_SQL = """
+'STATEMENT HEADER' || chr(10) || text || chr(10) || 'Page 1 of 1' || chr(10) ||
+    (CASE WHEN doc_id % 4 = 0 THEN 'STATEMENT HEADER'
+          WHEN doc_id % 4 = 1 THEN 'Page 1 of 1'
+          ELSE 'ref ' || CAST(doc_id AS VARCHAR) END)
+""".strip()
+
 def _kmv_users_sql() -> str:
     from doc_agent_spark.operators.sketches import kmv_sql
 
@@ -800,15 +826,7 @@ def quality_tokens(spark, sf_dir):
     DuckDB oracle, the pii_redaction precedent); the bigram signal runs on
     the raw text, whose small vocabulary repeats bigrams heavily."""
     docs = _spread(load(spark, sf_dir, "documents"))
-    page = F.concat_ws(
-        "\n",
-        F.lit("STATEMENT HEADER"),
-        F.col("text"),
-        F.lit("Page 1 of 1"),
-        F.when(F.col("doc_id") % 4 == 0, F.lit("STATEMENT HEADER"))
-        .when(F.col("doc_id") % 4 == 1, F.lit("Page 1 of 1"))
-        .otherwise(F.concat(F.lit("ref "), F.col("doc_id").cast("string"))),
-    )
+    page = _page_weave()
     base = docs.select(
         "doc_id",
         textfns.token_count(F.col("text")).alias("n_ws_tokens"),
@@ -1181,8 +1199,18 @@ def vector_topk_methods(spark, sf_dir):
     return out
 
 
+def line_boilerplate_dups(spark, sf_dir):
+    """Cross-document duplicated-line detection (C4/CCNet boilerplate
+    signal) over the page-woven dup corpus: the header/footer lines hit
+    every document, the re-keyed dup docs' text lines hit exactly two."""
+    corpus = _dup_corpus(spark, sf_dir).select("doc_id", _page_weave().alias("text"))
+    return dedup.line_dups(_spread(corpus))
+
+
 def exact_fingerprint_dups(spark, sf_dir):
-    """Exact (md5) and normalized-fingerprint dup groups, union-tagged."""
+    """Exact (md5), normalized-fingerprint, and cross-document duplicated-
+    LINE dup groups, union-tagged — document-, normalized-document-, and
+    line-granularity exact dedup in one gate row."""
     a = dedup_exact(spark, sf_dir).select(
         F.lit("md5").alias("variant"), F.col("text_md5").alias("key"),
         "keep_id", "dup_count",
@@ -1191,7 +1219,11 @@ def exact_fingerprint_dups(spark, sf_dir):
         F.lit("fingerprint").alias("variant"), F.col("fp").alias("key"),
         "keep_id", "dup_count",
     )
-    return a.unionByName(b)
+    c = line_boilerplate_dups(spark, sf_dir).select(
+        F.lit("line").alias("variant"), F.col("line_md5").alias("key"),
+        "keep_id", "dup_count",
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def minhash_verified_pairs(spark, sf_dir):
@@ -1847,6 +1879,16 @@ SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
        min(doc_id) AS keep_id, count(*) AS dup_count
 FROM corpus GROUP BY 1 HAVING count(*) > 1
 """,
+        "line_boilerplate_dups": f"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+pg AS (SELECT doc_id, {_PAGE_WEAVE_SQL} AS page FROM corpus),
+ln AS (SELECT doc_id,
+  unnest(list_distinct(list_filter(
+    list_transform(string_split(page, chr(10)), l -> trim(l)), l -> l <> ''))) AS line
+  FROM pg)
+SELECT md5(line) AS line_md5, min(doc_id) AS keep_id, count(*) AS dup_count
+FROM ln GROUP BY 1 HAVING count(*) > 1
+""",
         "minhash_lsh_pairs": f"""
 WITH corpus AS ({_DUP_CORPUS_SQL}),
 {_minhash_sig_sql(8)},
@@ -2017,11 +2059,7 @@ SELECT pred_lang, count(*) AS n_docs FROM p GROUP BY pred_lang
 """,
         "quality_tokens": f"""
 WITH pg AS (
-  SELECT doc_id, text,
-    'STATEMENT HEADER' || chr(10) || text || chr(10) || 'Page 1 of 1' || chr(10) ||
-    (CASE WHEN doc_id % 4 = 0 THEN 'STATEMENT HEADER'
-          WHEN doc_id % 4 = 1 THEN 'Page 1 of 1'
-          ELSE 'ref ' || CAST(doc_id AS VARCHAR) END) AS page
+  SELECT doc_id, text, {_PAGE_WEAVE_SQL} AS page
   FROM documents
 ),
 ln AS (
@@ -2407,6 +2445,8 @@ SELECT 'md5' AS variant, text_md5 AS key, keep_id, dup_count
 FROM ({base['dedup_exact']})
 UNION ALL
 SELECT 'fingerprint', fp, keep_id, dup_count FROM ({base['fingerprint_dups']})
+UNION ALL
+SELECT 'line', line_md5, keep_id, dup_count FROM ({base['line_boilerplate_dups']})
 """,
         "temporal_joins": f"""
 SELECT 'asof' AS variant, event_id, user_id, ts, CAST(NULL AS BIGINT) AS ref_id,

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
-from ..functions.textfns import word_ngrams, words_of
+from ..functions.textfns import lines_of, word_ngrams, words_of
 
 
 def exact_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -36,6 +36,89 @@ def exact_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
         .groupBy("text_md5")
         .agg(F.min("id").alias("keep_id"), F.count("*").alias("dup_count"))
         .filter(F.col("dup_count") > 1)
+    )
+
+
+def line_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Cross-document duplicated lines (the C4/CCNet boilerplate signal):
+    ``(line_md5, keep_id, dup_count)`` for every normalized line that occurs
+    in more than one document; ``dup_count`` is the DOCUMENT frequency
+    (per-doc repeats collapse via array_distinct before the explode) and
+    ``keep_id`` the smallest containing doc id.
+
+    Scale shape mirrors :func:`exact_dups` one level down: lines are
+    md5-hashed in the projection, so the explode+groupBy shuffles ~32-byte
+    keys, never line text; partial aggregation absorbs the head of the
+    Zipfian line-frequency skew map-side.
+    """
+    per_doc = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(lines_of(F.col(text_col)))).alias("line"),
+    )
+    return (
+        per_doc.select("id", F.md5("line").alias("line_md5"))
+        .groupBy("line_md5")
+        .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def strip_duplicated_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Inter-document boilerplate removal: drop every line whose document
+    frequency is ≥ ``min_docs`` and reassemble the survivors in original
+    order. Returns ``(id_col, text_clean, n_lines_kept, n_lines_removed)``;
+    documents with no lines (or all lines removed) keep an empty
+    ``text_clean``.
+
+    Shape: posexplode (id, pos, line), left-anti equi-join on the line md5
+    against the ≥min_docs line set (AQE broadcasts it when small — at web
+    scale the boilerplate head is exactly the part that stays small relative
+    to the corpus), then a window-free reassembly: groupBy id, sort the
+    (pos, line) structs in the aggregated array, concat. Line text rides
+    exactly two narrow stages (explode and reassembly) and never a wide key.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(lines_of(F.col(text_col))).alias("pos", "line"),
+    ).withColumn("line_md5", F.md5("line"))
+    boiler = (
+        lines.select("id", "line_md5")
+        .distinct()
+        .groupBy("line_md5")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+        .filter(F.col("df_count") >= min_docs)
+        .select("line_md5")
+    )
+    kept = lines.join(boiler, "line_md5", "left_anti")
+    reassembled = kept.groupBy("id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.size(lines_of(F.col(text_col))).alias("_n_lines"),
+        )
+        .join(reassembled, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
+            (F.col("_n_lines") - F.coalesce("n_lines_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_lines_removed"),
+        )
     )
 
 

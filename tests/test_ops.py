@@ -195,6 +195,40 @@ def test_top_bigram_char_fraction(spark):
     assert out[2] == 0.0 and out[3] == 0.0  # <2 words → left-join null → 0.0
 
 
+@pytest.fixture(scope="module")
+def paged(spark):
+    rows = [
+        (1, "HEADER\nunique one\nFOOTER"),
+        (2, "HEADER\nunique two\nFOOTER"),
+        (3, "HEADER\nunique three"),
+        (4, "standalone"),
+        (5, "HEADER\nFOOTER"),          # all boilerplate
+        (6, "z last\nHEADER\na first"),  # order must survive reassembly
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_line_dups_document_frequency(spark, paged):
+    out = {r.line_md5: r for r in dedup.line_dups(paged).collect()}
+    by_count = sorted((r.dup_count, r.keep_id) for r in out.values())
+    # FOOTER in docs {1,2,5}; HEADER in docs {1,2,3,5,6}
+    assert by_count == [(3, 1), (5, 1)]
+
+
+def test_strip_duplicated_lines(spark, paged):
+    out = {
+        r.doc_id: r for r in dedup.strip_duplicated_lines(paged, min_docs=2).collect()
+    }
+    assert len(out) == 6  # line-less/emptied docs are kept with empty text
+    assert (out[1].text_clean, out[1].n_lines_kept, out[1].n_lines_removed) == (
+        "unique one", 1, 2,
+    )
+    assert out[3].text_clean == "unique three"
+    assert (out[4].text_clean, out[4].n_lines_removed) == ("standalone", 0)
+    assert (out[5].text_clean, out[5].n_lines_kept, out[5].n_lines_removed) == ("", 0, 2)
+    assert out[6].text_clean == "z last\na first"  # original order, not sorted
+
+
 def test_lsh_bucket_deterministic(spark):
     rows = [(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0, 3.0]), (2, [-1.0, -2.0, -3.0])]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")

@@ -178,3 +178,36 @@ def test_exact_dedup_never_shuffles_text(spark, sf_dir):
     assert exchange_idx != -1
     below = plan[exchange_idx:]
     assert "text_md5" in below and ", text" not in below
+
+
+def test_quality_tokens_bigram_agg_stays_jvm_and_partial(spark, sf_dir):
+    """The repetition-signal additions must not introduce Python stages, a
+    Window, or a cartesian product: the top-bigram path is explode →
+    partial-agg groupBy → equi-join back."""
+    plan = _plan(entrymod.quality_tokens(spark, sf_dir))
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "Window", "CartesianProduct"):
+        assert bad not in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_line_strip_shuffles_hashes_not_lines(spark, sf_dir):
+    """strip_duplicated_lines: the boilerplate-set aggregation and the
+    anti-join key is the 32-byte line md5; the raw line text must not ride
+    any exchange, and the reassembly needs no Window."""
+    from doc_agent_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", entrymod._page_weave().alias("text")
+    )
+    plan = _plan(dd.strip_duplicated_lines(docs))
+    assert "Window" not in plan and "CartesianProduct" not in plan
+    first_exchange = plan.find("Exchange")
+    assert first_exchange != -1
+    # the distinct→groupBy exchanges below the boilerplate-set agg carry
+    # only (id, line_md5) — never the line text column
+    df_agg = plan.find("df_count")
+    assert df_agg != -1
+    below = plan[df_agg:]
+    ex = below.find("Exchange")
+    assert ex != -1
+    assert "line_md5" in below[ex : ex + 400]

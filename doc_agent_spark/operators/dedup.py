@@ -63,11 +63,36 @@ def line_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
+def boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """The boilerplate line set: ``(line_md5)`` for every normalized line
+    whose document frequency is ≥ ``min_docs``. Materialize this ONCE per
+    corpus (it's a deterministic corpus statistic — jobs/curate.py persists
+    it as a checkpoint artifact) and reuse it across shards/resumes; at web
+    scale the ≥k-docs head is small relative to the corpus."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(lines_of(F.col(text_col)))).alias("line"),
+        )
+        .select("id", F.md5("line").alias("line_md5"))
+        .groupBy("line_md5")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+        .filter(F.col("df_count") >= min_docs)
+        .select("line_md5")
+    )
+
+
 def strip_duplicated_lines(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     min_docs: int = 2,
+    boiler: DataFrame | None = None,
 ) -> DataFrame:
     """Inter-document boilerplate removal: drop every line whose document
     frequency is ≥ ``min_docs`` and reassemble the survivors in original
@@ -81,20 +106,19 @@ def strip_duplicated_lines(
     to the corpus), then a window-free reassembly: groupBy id, sort the
     (pos, line) structs in the aggregated array, concat. Line text rides
     exactly two narrow stages (explode and reassembly) and never a wide key.
+
+    Pass ``boiler`` (a ``(line_md5)`` frame from :func:`boilerplate_lines`,
+    possibly persisted) to apply a precomputed line set — the two-stage
+    shape the resumable curation job uses; by default the set is derived
+    from ``df`` itself.
     """
     lines = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(lines_of(F.col(text_col))).alias("pos", "line"),
     ).withColumn("line_md5", F.md5("line"))
-    boiler = (
-        lines.select("id", "line_md5")
-        .distinct()
-        .groupBy("line_md5")
-        .agg(F.count(F.lit(1)).alias("df_count"))
-        .filter(F.col("df_count") >= min_docs)
-        .select("line_md5")
-    )
-    kept = lines.join(boiler, "line_md5", "left_anti")
+    if boiler is None:
+        boiler = boilerplate_lines(df, id_col, text_col, min_docs)
+    kept = lines.join(boiler.select("line_md5"), "line_md5", "left_anti")
     reassembled = kept.groupBy("id").agg(
         F.concat_ws(
             "\n",

@@ -1,13 +1,23 @@
 """Checkpoint-resumable training-data curation job — the second deployable
 stage (same resume model as jobs/extract.py, applied to the curation
-funnel: dedup → quality/language filter → PII redaction → deterministic
-sampling).
+funnel: [boilerplate-line strip] → dedup → quality/language filter →
+PII redaction → deterministic sampling).
 
     spark-submit --py-files dist.zip jobs/curate.py \\
         --input warehouse.documents --output warehouse.curated \\
         --lineage warehouse.lineage --metrics warehouse.metrics \\
         --run-id c42 --buckets 4096 --min-quality 0.3 \\
-        --langs en,de --sample-fraction 0.5
+        --langs en,de --sample-fraction 0.5 --strip-min-docs 100
+
+Boilerplate-line stripping (``--strip-min-docs N > 0``) is the one stage
+that needs a CORPUS-level statistic (per-line document frequency), so it
+runs as a separate checkpointed pass: the ≥N-docs line set is computed once
+per run, persisted to parquet (``--boilerplate-lines`` path, default
+``<output>_boilerplate_lines``), and every bucket — including re-runs after
+a resume — anti-joins against the same persisted artifact. The set is a
+deterministic function of the input, so a crash before the artifact commits
+just rebuilds it identically; stripping happens BEFORE content-hash
+bucketing so dedup sees the cleaned text.
 
 Resume model — why this funnel is bucket-resumable AT ALL: the bucket key
 is the CONTENT hash (pmod(hash(md5(text)), buckets)), so every copy of a
@@ -73,6 +83,22 @@ def curate_bucket_plan(docs, min_quality: float, langs: list[str] | None,
     )
 
 
+def _load_or_build_boilerplate(spark, docs, path: str, min_docs: int):
+    """Corpus-stat checkpoint: the ≥min_docs line set, computed once and
+    persisted; a resume (or a second shard of the same run) reads the
+    committed artifact instead of rescanning the corpus. Deterministic
+    function of the input ⇒ a crash before the parquet commit rebuilds the
+    identical set."""
+    from doc_agent_spark.operators.dedup import boilerplate_lines
+
+    try:
+        return spark.read.parquet(path), True
+    except Exception:
+        pass
+    boilerplate_lines(docs, min_docs=min_docs).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path), False
+
+
 def run_curate(
     spark: SparkSession,
     input_path: str,
@@ -84,10 +110,13 @@ def run_curate(
     min_quality: float = 0.0,
     langs: list[str] | None = None,
     sample_fraction: float = 1.0,
+    strip_min_docs: int = 0,
+    boilerplate_path: str | None = None,
 ) -> dict:
     from pyspark.sql import Observation
 
     from doc_agent_spark.functions import redact
+    from doc_agent_spark.operators import dedup as dedup_ops
     from doc_agent_spark.sinks.metrics import completed_partitions
 
     t0 = time.time()
@@ -95,6 +124,29 @@ def run_curate(
         spark.read.parquet(input_path) if "/" in input_path
         else spark.read.table(input_path)
     )
+    boiler_reused = None
+    if strip_min_docs > 0:
+        bpath = boilerplate_path or (output_path.rstrip("/") + "_boilerplate_lines")
+        boiler, boiler_reused = _load_or_build_boilerplate(
+            spark, docs, bpath, strip_min_docs
+        )
+        stripped = dedup_ops.strip_duplicated_lines(
+            docs, min_docs=strip_min_docs, boiler=boiler
+        )
+        docs = (
+            docs.drop("text", "n_chars")
+            .join(
+                stripped.select(
+                    "doc_id",
+                    F.col("text_clean").alias("text"),
+                    "n_lines_removed",
+                ),
+                "doc_id",
+            )
+            .withColumn("n_chars", F.length("text").cast("long"))
+        )
+    else:
+        docs = docs.withColumn("n_lines_removed", F.lit(0).cast("long"))
     docs = docs.withColumn("text_md5", F.md5("text")).withColumn(
         "bucket", F.pmod(F.hash("text_md5"), F.lit(buckets))
     )
@@ -112,6 +164,7 @@ def run_curate(
         F.sum((F.col("_stage") >= 1).cast("long")).alias("after_dedup"),
         F.sum((F.col("_stage") >= 2).cast("long")).alias("after_filters"),
         F.sum((F.col("_stage") == 3).cast("long")).alias("kept"),
+        F.sum("n_lines_removed").alias("lines_removed"),
     )
 
     out = (
@@ -168,6 +221,8 @@ def run_curate(
         "after_dedup": int(m["after_dedup"] or 0),
         "after_filters": int(m["after_filters"] or 0),
         "kept": int(m["kept"] or 0),
+        "lines_removed": int(m["lines_removed"] or 0),
+        "boilerplate_artifact_reused": boiler_reused,
         "resumed_buckets_skipped": len(done),
         "wall_ms": wall_ms,
     }
@@ -185,6 +240,11 @@ def main() -> None:
     ap.add_argument("--langs", default=None,
                     help="comma-separated predicted-language allowlist")
     ap.add_argument("--sample-fraction", type=float, default=1.0)
+    ap.add_argument("--strip-min-docs", type=int, default=0,
+                    help="remove lines occurring in >= N docs (0 = off)")
+    ap.add_argument("--boilerplate-lines", default=None,
+                    help="path for the persisted boilerplate line set "
+                         "(default <output>_boilerplate_lines)")
     args = ap.parse_args()
 
     from extract import ship_package  # same zip+addPyFile bootstrap
@@ -197,6 +257,7 @@ def main() -> None:
         spark, args.input, args.output, args.lineage, args.metrics,
         args.run_id, args.buckets, args.min_quality,
         args.langs.split(",") if args.langs else None, args.sample_fraction,
+        args.strip_min_docs, args.boilerplate_lines,
     )
     print(stats)
     spark.stop()

@@ -1381,20 +1381,29 @@ def semi_anti_join(spark, sf_dir):
 
 
 def graph_ann_topk(spark, sf_dir):
-    """HNSW-analog graph ANN (operators/graph_ann.py): LSH-built kNN graph,
-    broadcast index, beam search distributed over the query batch. The beam
-    search is iterative with data-dependent control flow — genuinely
+    """HNSW-analog graph ANN (operators/graph_ann.py), both serve paths
+    union-tagged: `broadcast` (whole index rides the node, beam search
+    distributed over the query batch) and `sharded` (IVF-cell cogroup —
+    no global broadcast, the 10^12-row shape). The beam search is
+    iterative with data-dependent control flow — genuinely
     non-SQL-expressible, so this entry registers WITHOUT an oracle mirror
     (the gate records rows-only); correctness is pinned by
-    tests/test_graph_ann.py (recall@10 vs brute force, determinism across
-    parallelism, graph shape invariants)."""
+    tests/test_graph_ann.py (recall@10 vs brute force, sharded recall vs
+    exact-IVF at the same probes, determinism across parallelism, graph
+    shape invariants)."""
     from doc_agent_spark.operators import graph_ann
 
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    return graph_ann.graph_ann_topk(emb, q, k=10, dim=64)
+    a = graph_ann.graph_ann_topk(emb, q, k=10, dim=64).select(
+        F.lit("broadcast").alias("variant"), "query_id", "id", "score"
+    )
+    b = graph_ann.graph_ann_topk_sharded(
+        emb, q, k=10, dim=64, centroid_stride=50, nprobe=2
+    ).select(F.lit("sharded").alias("variant"), "query_id", "id", "score")
+    return a.unionByName(b)
 
 
 def rerank_hydrate(spark, sf_dir):

@@ -74,6 +74,67 @@ def test_deterministic_across_query_partitioning(emb, graph):
     assert a == b
 
 
+def test_sharded_matches_exact_ivf_at_same_probes(spark, emb):
+    """The cell-cogrouped serve (no global broadcast) must not lose recall
+    INSIDE the probed cells: vs an exact scan of the same cells (ivf_topk
+    with the identical codebook + nprobe) recall@10 must be ≥ 0.9. The
+    routing loss itself is IVF's own documented trade, owned by ivf_topk."""
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    rows = graph_ann.graph_ann_topk_sharded(
+        emb, q, k=10, dim=64, centroid_stride=50, nprobe=2
+    ).collect()
+    got: dict[int, set] = {}
+    for r in rows:
+        got.setdefault(r.query_id, set()).add(r.id)
+    hits, total = 0, 0
+    for qid in range(5):
+        qv = emb.filter(F.col("vec_id") == qid).collect()[0].embedding
+        ivf = {
+            r.id
+            for r in similarity.ivf_topk(
+                emb, list(qv), k=10, centroid_stride=50, nprobe=2
+            ).collect()
+        }
+        hits += len(got.get(qid, set()) & ivf)
+        total += len(ivf)
+    assert hits / total >= 0.9, f"recall@10 vs exact-IVF = {hits/total:.2f}"
+
+
+def test_sharded_deterministic_across_query_partitioning(emb):
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    a = sorted(map(tuple, graph_ann.graph_ann_topk_sharded(
+        emb, q.repartition(1), k=10, dim=64).collect()))
+    b = sorted(map(tuple, graph_ann.graph_ann_topk_sharded(
+        emb, q.repartition(5), k=10, dim=64).collect()))
+    assert a == b
+    # cells are disjoint, so no id may repeat within a query's top-k
+    per_q: dict[int, list] = {}
+    for _, qid, i, _s in [(None, t[0], t[1], t[2]) for t in a]:
+        per_q.setdefault(qid, []).append(i)
+    for ids in per_q.values():
+        assert len(ids) == len(set(ids))
+
+
+def test_intra_cell_graph_never_crosses_cells(spark, emb):
+    """build_knn_graph(cells=...) edges must stay within a cell — the
+    property that makes a cell's shard self-contained."""
+    cells = emb.select(
+        F.col("vec_id").alias("id"), (F.col("vec_id") % 3).alias("cell")
+    )
+    g = graph_ann.build_knn_graph(emb, m=4, dim=64, cells=cells)
+    crossing = (
+        g.join(cells.withColumnRenamed("id", "src").withColumnRenamed("cell", "c1"), "src")
+        .join(cells.withColumnRenamed("id", "dst").withColumnRenamed("cell", "c2"), "dst")
+        .filter(F.col("c1") != F.col("c2"))
+        .count()
+    )
+    assert crossing == 0
+
+
 def test_string_ids_and_empty_corpus(spark):
     """The index is id-type-agnostic: string ids flow through build + search
     (the mapInPandas schemas are derived, not hardcoded), and an empty

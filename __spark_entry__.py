@@ -739,6 +739,37 @@ def ngram_jaccard_capped(spark, sf_dir):
     )
 
 
+def contamination_pairs(spark, sf_dir):
+    """Benchmark decontamination (dedup.contamination_pairs): every 7th raw
+    document plays the eval benchmark; the train corpus is the dup corpus
+    minus those ids (the %10 re-keyed copies of %70 docs are guaranteed
+    exact hits). Bench-side n-gram containment ≥ 0.5; the exploded bench
+    shingle index is broadcast, so the corpus shingle mass never shuffles
+    to meet it."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    train = _dup_corpus(spark, sf_dir).filter(F.col("doc_id") % 7 != 0)
+    return dedup.contamination_pairs(_spread(train), bench, threshold=0.5)
+
+
+def ngram_overlap(spark, sf_dir):
+    """Union-tagged n-gram overlap family: df-capped inverted-index Jaccard
+    dedup pairs ∪ benchmark-decontamination containment pairs — both built
+    on the same shared shingle tokenizer."""
+    a = ngram_jaccard_capped(spark, sf_dir).select(
+        F.lit("dedup_capped").alias("variant"), "id_a", "id_b",
+        F.col("jaccard").alias("score"),
+    )
+    b = contamination_pairs(spark, sf_dir).select(
+        F.lit("contamination").alias("variant"),
+        F.col("doc_id").alias("id_a"), F.col("bench_id").alias("id_b"),
+        F.col("containment").alias("score"),
+    )
+    return a.unionByName(b)
+
+
 def simhash_clusters(spark, sf_dir):
     return dedup.simhash_clusters(_spread(_dup_corpus(spark, sf_dir)))
 
@@ -1432,7 +1463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     had a gate row (or are new / consolidated this round) lead the dict as
     defense-in-depth. Operators
     dropped as standalone entries are covered inside consolidated ones:
-    ngram_jaccard ⊂ ngram_jaccard_capped (same results, plus the df-cap);
+    ngram_jaccard ⊂ ngram_overlap's dedup_capped arm (same results, plus
+    the df-cap; the entry's second arm is benchmark decontamination);
     embedding_near_dups' toy single-table config is retired for the banded
     production variant; chunk_search_hydrate ⊂ chunk_documents (full chunk
     check) + bm25_topk + semantic_search_e2e (FK hydrate)."""
@@ -1479,7 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alias_coalesce": alias_coalesce,
         "date_normalize": date_normalize,
         "json_salvage": json_salvage,
-        "ngram_jaccard_capped": ngram_jaccard_capped,
+        "ngram_overlap": ngram_overlap,
         "semantic_search_e2e": semantic_search_e2e,
         "embedding_near_dups_banded": embedding_near_dups_banded,
         "bm25_topk": bm25_topk,
@@ -1939,6 +1971,25 @@ inter AS (
 SELECT id_a, id_b, jaccard FROM (
   SELECT id_a, id_b, round(CAST(n_inter AS DOUBLE) / (na + nb - n_inter), 6) AS jaccard FROM inter)
 WHERE jaccard >= 0.8
+""",
+        "contamination_pairs": f"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+train AS (SELECT doc_id, text FROM corpus WHERE doc_id % 7 <> 0),
+bench AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 7 = 0),
+dw AS (SELECT doc_id, {_WORDS_SQL} AS w FROM train),
+dsh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s FROM dw),
+bw AS (SELECT bench_id, {_WORDS_SQL} AS w FROM bench),
+bs AS (SELECT bench_id, list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM bw),
+bsh AS (SELECT bench_id, CAST(len(sh) AS INTEGER) AS n_b, unnest(sh) AS s FROM bs),
+inter AS (
+  SELECT d.doc_id, b.bench_id, b.n_b, count(*) AS n_inter
+  FROM dsh d JOIN bsh b ON d.s = b.s
+  GROUP BY 1, 2, 3)
+SELECT doc_id, bench_id, containment FROM (
+  SELECT doc_id, bench_id, round(CAST(n_inter AS DOUBLE) / n_b, 6) AS containment FROM inter)
+WHERE containment >= 0.5
 """,
         "embedding_near_dups_banded": f"""
 WITH b AS ({" UNION ALL ".join(
@@ -2466,6 +2517,13 @@ SELECT 'range', event_id, user_id, ts, CAST(interval_id AS BIGINT),
        start_ts, end_ts, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
 FROM ({base['range_join_events']})
 """,
+        "ngram_overlap": f"""
+SELECT 'dedup_capped' AS variant, id_a, id_b, jaccard AS score
+FROM ({base['ngram_jaccard_capped']})
+UNION ALL
+SELECT 'contamination', doc_id, bench_id, containment
+FROM ({base['contamination_pairs']})
+""",
     }
 
     single = [
@@ -2477,7 +2535,7 @@ FROM ({base['range_join_events']})
         "q10_returned_revenue", "q4_priority_late_ship", "kmv_distinct_users",
         "mime_dispatch", "filename_path_hash", "page_assembly", "doc_type_norm",
         "alias_coalesce", "date_normalize", "json_salvage",
-        "ngram_jaccard_capped", "semantic_search_e2e",
+        "semantic_search_e2e",
         "embedding_near_dups_banded", "bm25_topk", "rrf_fusion",
         "quality_tokens", "extraction_flagship", "pii_redaction",
         "dup_clusters", "json_export",

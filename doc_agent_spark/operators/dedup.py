@@ -824,3 +824,75 @@ def ngram_jaccard_pairs(
             6,
         ).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
+
+
+def contamination_pairs(
+    df: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    ngram: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination, candidate phase: (doc_id, bench_id,
+    containment) for every corpus document sharing ≥ ``threshold`` of a
+    benchmark document's n-gram shingles (the GPT-3/PaLM-style train↔eval
+    overlap check; reference has no analog — this is a training-data
+    pipeline op the engine adds as first class).
+
+    Containment is BENCHMARK-side: |doc ∩ bench| / |bench shingles| — "how
+    much of the eval example appears in this training doc", which is the
+    decontamination direction (a long doc quoting a whole benchmark item
+    must score 1.0 even though its own shingle set is huge; symmetric
+    Jaccard would dilute exactly the cases that matter).
+
+    Scale shape: benchmark suites are model-sized (10^4-10^6 items) next
+    to a 10^12-row corpus, so the exploded bench shingle index is
+    BROADCAST — the corpus shingle mass never shuffles to meet it; the
+    only exchange is the partial-aggregated (doc, bench) intersection
+    count. Corpus docs sharing no bench shingle never leave their scan
+    task."""
+    dsh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(F.col(text_col), ngram)).alias("s"),
+    )
+    bsh = bench.select(
+        F.col(bench_id_col).alias("bench_id"),
+        word_ngrams(F.col(bench_text_col), ngram).alias("sh"),
+    ).select(
+        "bench_id", F.size("sh").alias("n_b"), F.explode("sh").alias("s")
+    )
+    inter = (
+        dsh.join(F.broadcast(bsh), "s")
+        .groupBy("doc_id", "bench_id", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return inter.select(
+        "doc_id", "bench_id",
+        F.round(
+            F.col("n_inter").cast("double") / F.col("n_b").cast("double"), 6
+        ).alias("containment"),
+    ).filter(F.col("containment") >= threshold)
+
+
+def decontaminate(
+    df: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    ngram: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The corpus minus contaminated documents: left-anti join ``df``
+    against the distinct doc side of :func:`contamination_pairs`. The
+    anti-join key is the (small) contaminated-id set, so at scale this is
+    a broadcast anti-join — one pass over the corpus."""
+    hits = contamination_pairs(
+        df, bench, id_col, text_col, bench_id_col, bench_text_col,
+        ngram, threshold,
+    ).select(F.col("doc_id").alias(id_col)).distinct()
+    return df.join(F.broadcast(hits), id_col, "left_anti")

@@ -1015,6 +1015,30 @@ def embedding_near_dups_banded(spark, sf_dir):
     return dedup.embedding_near_dups(emb, threshold=0.4, n_planes=6, n_tables=8, dim=64)
 
 
+def semdedup_drops(spark, sf_dir):
+    """SemDeDup cluster-then-prune (dedup.semdedup_drops): IVF-cell assign
+    via the shared broadcast codebook, per-cell Arrow-matmul pairwise
+    cosine, drop every doc ≥ threshold-similar to a lower cell-mate.
+    Threshold 0.4 so the near-orthogonal testdata yields rows."""
+    emb = _spread(load(spark, sf_dir, "embeddings"))
+    return dedup.semdedup_drops(emb, threshold=0.4, centroid_stride=50)
+
+
+def embedding_dedup(spark, sf_dir):
+    """Union-tagged embedding-dedup family: banded-LSH near-dup pairs ∪
+    SemDeDup within-cluster drops (drop_id/keep_id reported in the same
+    id_a/id_b columns)."""
+    a = embedding_near_dups_banded(spark, sf_dir).select(
+        F.lit("banded_pairs").alias("variant"), "id_a", "id_b", "cosine"
+    )
+    b = semdedup_drops(spark, sf_dir).select(
+        F.lit("semdedup").alias("variant"),
+        F.col("drop_id").alias("id_a"), F.col("keep_id").alias("id_b"),
+        "cosine",
+    )
+    return a.unionByName(b)
+
+
 def ivf_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0].embedding
@@ -1513,7 +1537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_salvage": json_salvage,
         "ngram_overlap": ngram_overlap,
         "semantic_search_e2e": semantic_search_e2e,
-        "embedding_near_dups_banded": embedding_near_dups_banded,
+        "embedding_dedup": embedding_dedup,
         "bm25_topk": bm25_topk,
         "rrf_fusion": rrf_fusion,
         "quality_tokens": quality_tokens,
@@ -1971,6 +1995,27 @@ inter AS (
 SELECT id_a, id_b, jaccard FROM (
   SELECT id_a, id_b, round(CAST(n_inter AS DOUBLE) / (na + nb - n_inter), 6) AS jaccard FROM inter)
 WHERE jaccard >= 0.8
+""",
+        "semdedup_drops": f"""
+WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT e.vec_id AS id, e.embedding AS v, c.cid,
+         {_cos_sql('e.embedding', 'c.cv')} AS s
+  FROM embeddings e CROSS JOIN cents c),
+assigned AS (
+  SELECT id, v, cid FROM (
+    SELECT id, v, cid,
+           row_number() OVER (PARTITION BY id ORDER BY s DESC, cid ASC) AS rn
+    FROM scored) WHERE rn = 1),
+hits AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         round({_cos_sql('a.v', 'b.v')}, 6) AS cosine
+  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.id < b.id
+  WHERE round({_cos_sql('a.v', 'b.v')}, 6) >= 0.4)
+SELECT drop_id, keep_id, cosine FROM (
+  SELECT id_b AS drop_id, id_a AS keep_id, cosine,
+         row_number() OVER (PARTITION BY id_b ORDER BY id_a ASC, cosine ASC) AS rn
+  FROM hits) WHERE rn = 1
 """,
         "contamination_pairs": f"""
 WITH corpus AS ({_DUP_CORPUS_SQL}),
@@ -2524,6 +2569,13 @@ UNION ALL
 SELECT 'contamination', doc_id, bench_id, containment
 FROM ({base['contamination_pairs']})
 """,
+        "embedding_dedup": f"""
+SELECT 'banded_pairs' AS variant, id_a, id_b, cosine
+FROM ({base['embedding_near_dups_banded']})
+UNION ALL
+SELECT 'semdedup', drop_id, keep_id, cosine
+FROM ({base['semdedup_drops']})
+""",
     }
 
     single = [
@@ -2536,7 +2588,7 @@ FROM ({base['contamination_pairs']})
         "mime_dispatch", "filename_path_hash", "page_assembly", "doc_type_norm",
         "alias_coalesce", "date_normalize", "json_salvage",
         "semantic_search_e2e",
-        "embedding_near_dups_banded", "bm25_topk", "rrf_fusion",
+        "bm25_topk", "rrf_fusion",
         "quality_tokens", "extraction_flagship", "pii_redaction",
         "dup_clusters", "json_export",
     ]

@@ -896,3 +896,81 @@ def decontaminate(
         ngram, threshold,
     ).select(F.col("doc_id").alias(id_col)).distinct()
     return df.join(F.broadcast(hits), id_col, "left_anti")
+
+
+def semdedup_drops(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    centroid_stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: (drop_id, keep_id, cosine).
+
+    Cluster-then-prune (Abbas et al. 2023, "SemDeDup"): assign every
+    embedding to its IVF cell (the shared deterministic codebook —
+    similarity.ivf_codebook/ivf_assign), then WITHIN each cell drop every
+    document whose cosine to some lower-id cell-mate is ≥ ``threshold``;
+    keep_id is the smallest such partner, cosine that pair's score. The
+    "similar to ANY lower id" rule is the deterministic, relational form
+    of keeping one representative per ε-ball.
+
+    Scale shape: clustering bounds the pairwise work to Σ(cell size)² —
+    the codebook dial (stride ≈ N/cells) keeps cells task-sized, exactly
+    SemDeDup's own k-means trade. Pairwise cosine runs as one numpy matmul
+    per cell (applyInPandas cogroup by cell); only pairs above
+    ``threshold - 1e-5`` leave the task (slack so the JVM's HALF_UP
+    decimal-6 round — DuckDB-parity, np rounds HALF_EVEN — makes the
+    authoritative cut), so the shuffle carries near-dup pairs, never the
+    (cell size)² pair mass. At 10^12 rows the assignment is the
+    index-build pass (table written partitioned BY cell) and the prune is
+    embarrassingly parallel per cell."""
+    import numpy as np
+
+    from .similarity import ivf_assign, ivf_codebook
+
+    _cents, bc = ivf_codebook(emb, centroid_stride, id_col, vec_col)
+    assigned = ivf_assign(emb, bc, id_col, vec_col)
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    nodes = base.join(assigned, "id")
+    id_type = base.schema["id"].dataType.simpleString()
+    slack = threshold - 1e-5
+
+    def pairwise(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "c": []})
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        V = np.array(
+            [np.asarray(v, dtype=np.float64) for v in pdf["v"].to_numpy()[order]]
+        )
+        # dot / (|a|·|b|) like the banded verify path — the closest FP
+        # shape to the oracle's sequential fold
+        nrm = np.maximum(np.linalg.norm(V, axis=1), 1e-300)
+        S = (V @ V.T) / np.outer(nrm, nrm)
+        iu, ju = np.triu_indices(n, k=1)  # ids sorted ⇒ id_a < id_b
+        hit = S[iu, ju] >= slack
+        return pd.DataFrame(
+            {"id_a": ids[iu[hit]], "id_b": ids[ju[hit]], "c": S[iu, ju][hit]}
+        )
+
+    pairs = nodes.groupBy("cell").applyInPandas(
+        pairwise, f"id_a {id_type}, id_b {id_type}, c double"
+    )
+    hits = pairs.select(
+        "id_a", "id_b", F.round("c", 6).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
+    # per dropped doc: the smallest qualifying keeper (struct min orders by
+    # id_a first), carrying that pair's cosine
+    return (
+        hits.groupBy(F.col("id_b").alias("drop_id"))
+        .agg(F.min(F.struct("id_a", "cosine")).alias("m"))
+        .select(
+            "drop_id",
+            F.col("m.id_a").alias("keep_id"),
+            F.col("m.cosine").alias("cosine"),
+        )
+    )

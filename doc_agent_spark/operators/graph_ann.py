@@ -268,37 +268,17 @@ def graph_ann_topk_sharded(
     """
     import numpy as np
 
-    cents = emb.filter(F.col(id_col) % centroid_stride == 0).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
-    )
-    crows = sorted((int(r.cid), list(r.cv)) for r in cents.collect())
-    cids = np.array([c for c, _ in crows], dtype=np.int64)
-    M = np.array([v for _, v in crows], dtype=np.float64)
-    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
-    bc = emb.sparkSession.sparkContext.broadcast((cids, M))
+    from .similarity import ivf_assign, ivf_codebook
+
+    _cents, bc = ivf_codebook(emb, centroid_stride, id_col, vec_col)
 
     id_type = emb.schema[id_col].dataType.simpleString()
-    vec_type = emb.schema[vec_col].dataType.simpleString()
     qid_type = queries.schema[query_id_col].dataType.simpleString()
     qvec_type = queries.schema[query_vec_col].dataType.simpleString()
     out_schema = f"query_id {qid_type}, id {id_type}, score double"
 
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-
-    def assign(batches):
-        import pandas as pd
-
-        cids_, M_ = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-            # codebook rows sorted by cid ⇒ argmax's first-max rule breaks
-            # exact ties toward the lower centroid id (same as ivf_topk)
-            cell = cids_[np.argmax(V @ M_.T, axis=1)]
-            yield pd.DataFrame({"id": pdf["id"], "cell": cell})
-
-    assigned = base.mapInPandas(assign, f"id {id_type}, cell long")
+    assigned = ivf_assign(emb, bc, id_col, vec_col)
     graph = build_knn_graph(
         emb, id_col, vec_col, m=m, dim=dim, cells=assigned, **build_kw
     )

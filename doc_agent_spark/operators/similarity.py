@@ -88,6 +88,66 @@ def ann_lsh_topk(
     )
 
 
+def ivf_codebook(
+    embeddings: DataFrame,
+    centroid_stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """The deterministic IVF codebook, two views of it: the ``cents``
+    DataFrame (cid, cv) for relational stages (probe ranking), and a Spark
+    BROADCAST VARIABLE of ``(cids, M̂)`` — centroid ids plus the row-
+    normalized numpy matrix — for Arrow-matmul stages. Model-sized data
+    ships as a broadcast, never inlined into the Catalyst tree (the
+    round-1 literal-centroid cliff). Shared by ivf_topk, semdedup_drops,
+    and graph_ann_topk_sharded so every consumer agrees on cells."""
+    import numpy as np
+
+    cents = embeddings.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    rows = sorted((int(r.cid), list(r.cv)) for r in cents.collect())
+    cids = np.array([c for c, _ in rows], dtype=np.int64)
+    M = np.array([v for _, v in rows], dtype=np.float64)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    bc = embeddings.sparkSession.sparkContext.broadcast((cids, M))
+    return cents, bc
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    bc,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell): every vector's best cell by one Arrow-batched matmul
+    against the broadcast codebook (argmax_c cosine(v,c) = argmax_c
+    dot(v, ĉ): |v| is constant per row, so only centroids normalize).
+    Codebook rows are sorted by cid, so np.argmax's first-max rule breaks
+    exact ties toward the lower centroid id — the oracle's ORDER BY s
+    DESC, cid ASC. At 100 TB this runs ONCE at index-build time and the
+    table is written partitioned BY cell."""
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        cids_, M_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            cell = cids_[np.argmax(V @ M_.T, axis=1)]
+            yield pd.DataFrame({"id": pdf["id"], "cell": cell})
+
+    # derive the id field's type from the input so non-long id columns work
+    # (same contract as dedup._banded_buckets_arrow / verify-pairs scoring)
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    return embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(assign, f"id {id_type}, cell long")
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -117,48 +177,16 @@ def ivf_topk(
     partitioned BY cell, so a probe prunes at the scan; the query-time
     tree is identical minus stage (1).
     """
-    import numpy as np
-
-    cents = embeddings.filter(F.col(id_col) % centroid_stride == 0).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
-    )
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
 
-    # Codebook → a SPARK BROADCAST VARIABLE of a normalized numpy matrix —
-    # model-sized data shipped the way any ML model ships, never inlined
-    # into the Catalyst tree. Assignment is then one Arrow-batched matmul
-    # per partition (argmax_c cosine(v,c) = argmax_c dot(v, ĉ): |v| is
-    # constant per row, so only centroids need normalizing). The first
-    # relational formulation (broadcast nested-loop + max_by) was
-    # value-identical but fold-interpreted: N·C·D scalar ops dominated the
-    # query (measured 18.7 s vs ~1 s at sf0.1 with 1000 cells) — dense
+    # Codebook → a SPARK BROADCAST VARIABLE of a normalized numpy matrix,
+    # assignment → one Arrow-batched matmul per partition (ivf_assign).
+    # The first relational formulation (broadcast nested-loop + max_by)
+    # was value-identical but fold-interpreted: N·C·D scalar ops dominated
+    # the query (measured 18.7 s vs ~1 s at sf0.1 with 1000 cells) — dense
     # linear algebra is exactly the case for a vectorized pandas stage.
-    rows = sorted((int(r.cid), list(r.cv)) for r in cents.collect())
-    cids = np.array([c for c, _ in rows], dtype=np.int64)
-    M = np.array([v for _, v in rows], dtype=np.float64)
-    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
-    bc = embeddings.sparkSession.sparkContext.broadcast((cids, M))
-
-    def assign(batches):
-        import numpy as np
-        import pandas as pd
-
-        cids_, M_ = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-            # rows sorted by cid ascending ⇒ np.argmax's first-max rule
-            # breaks exact ties toward the lower centroid id (oracle order)
-            cell = cids_[np.argmax(V @ M_.T, axis=1)]
-            yield pd.DataFrame({"id": pdf["id"], "cell": cell})
-
-    # derive the id field's type from the input so non-long id columns work
-    # (same contract as dedup._banded_buckets_arrow / verify-pairs scoring)
-    id_type = embeddings.schema[id_col].dataType.simpleString()
-    assigned = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).mapInPandas(assign, f"id {id_type}, cell long")
+    cents, bc = ivf_codebook(embeddings, centroid_stride, id_col, vec_col)
+    assigned = ivf_assign(embeddings, bc, id_col, vec_col)
     probe = (
         cents.select("cid", cosine(F.col("cv"), qcol).alias("qs"))
         .orderBy(F.desc("qs"), F.asc("cid"))

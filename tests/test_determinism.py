@@ -82,7 +82,7 @@ _DET_QUERIES = [
     "sq_cosine_topk", "rollup_cascade",
     # round 3
     "graph_ann_topk", "simhash_dedup", "minhash_verified_pairs",
-    "conversion_funnel",
+    "conversion_funnel", "semdedup_drops", "contamination_pairs",
 ]
 
 

@@ -1055,6 +1055,15 @@ def sq_cosine_topk(spark, sf_dir):
     return similarity.sq_cosine_topk(emb, list(q), k=10, dim=64)
 
 
+def pq_cosine_topk(spark, sf_dir):
+    """Product-quantized (ADC) vector search: 8 subspaces, per-subspace
+    nearest codeword from the deterministic strided codebook, cosine
+    against the reconstruction — codes are n_sub bytes/vector at scale."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0].embedding
+    return similarity.pq_cosine_topk(emb, list(q), k=10, n_sub=8, codebook_stride=50)
+
+
 def media_metadata(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     media = multimodal.media_from_documents(docs)
@@ -1241,11 +1250,12 @@ def events_rollup(spark, sf_dir):
 # these wrappers only align schemas and tag the variant.
 
 def vector_topk_methods(spark, sf_dir):
-    """A3 exact cosine + all three ANN strategies (LSH-bucket / IVF / int8
-    scalar quantization) over the same query vector, union-tagged."""
+    """A3 exact cosine + all four ANN/compression strategies (LSH-bucket /
+    IVF / int8 scalar quantization / product quantization) over the same
+    query vector, union-tagged."""
     parts = [
         ("exact", cosine_topk), ("lsh", ann_lsh_topk),
-        ("ivf", ivf_topk), ("sq", sq_cosine_topk),
+        ("ivf", ivf_topk), ("sq", sq_cosine_topk), ("pq", pq_cosine_topk),
     ]
     out = None
     for tag, fn in parts:
@@ -2331,6 +2341,30 @@ SELECT id, round({_cos_sql('dv', 'qv')}, 6) AS score
 FROM deq CROSS JOIN q
 ORDER BY score DESC, id ASC LIMIT 10
 """,
+        "pq_cosine_topk": f"""
+WITH cb AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),
+sub AS (SELECT unnest(range(8)) AS s),
+dist AS (
+  SELECT e.vec_id AS id, s.s, c.cid,
+         list_aggregate(list_transform(range(1, 9),
+           i -> power(CAST(e.embedding[s.s * 8 + i] AS DOUBLE)
+                      - CAST(c.cv[s.s * 8 + i] AS DOUBLE), 2)), 'sum') AS d
+  FROM embeddings e CROSS JOIN sub s CROSS JOIN cb c),
+best AS (
+  SELECT id, s, cid FROM (
+    SELECT id, s, cid,
+           row_number() OVER (PARTITION BY id, s ORDER BY d ASC, cid ASC) AS rn
+    FROM dist) WHERE rn = 1),
+recon AS (
+  SELECT b.id, b.s,
+         list_transform(range(1, 9), i -> CAST(c.cv[b.s * 8 + i] AS DOUBLE)) AS piece
+  FROM best b JOIN cb c ON c.cid = b.cid),
+dv AS (SELECT id, flatten(list(piece ORDER BY s)) AS dv FROM recon GROUP BY id),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT id, round({_cos_sql('dv', 'qv')}, 6) AS score
+FROM dv CROSS JOIN q
+ORDER BY score DESC, id ASC LIMIT 10
+""",
         "media_metadata": """
 SELECT 'media://doc/' || CAST(doc_id AS VARCHAR) || '/full.png' AS media_ref,
        CAST(strlen(text) AS BIGINT) AS n_bytes,
@@ -2480,6 +2514,7 @@ FROM events GROUP BY ROLLUP (event_type, hour(ts))
             for m, q in [
                 ("exact", "cosine_topk"), ("lsh", "ann_lsh_topk"),
                 ("ivf", "ivf_topk"), ("sq", "sq_cosine_topk"),
+                ("pq", "pq_cosine_topk"),
             ]
         ),
         "retrieval_eval": f"""

@@ -83,6 +83,7 @@ _DET_QUERIES = [
     # round 3
     "graph_ann_topk", "simhash_dedup", "minhash_verified_pairs",
     "conversion_funnel", "semdedup_drops", "contamination_pairs",
+    "pq_cosine_topk",
 ]
 
 

@@ -114,3 +114,38 @@ def test_sq_topk_close_to_exact(spark, sf_dir):
     approx = [r.id for r in similarity.sq_cosine_topk(emb, q, k=10, dim=64).collect()]
     # int8 codes keep at least 8 of the true top-10 (recall@10 >= 0.8)
     assert len(set(exact) & set(approx)) >= 8
+
+
+def test_pq_codebook_members_reconstruct_exactly(emb):
+    """A vector that IS a codeword (vec_id % 50 == 0) quantizes to itself
+    in every subspace, so its PQ score equals its exact cosine score."""
+    q = list(emb.filter(F.col("vec_id") == 0).collect()[0].embedding)
+    bc = similarity.pq_codebooks(emb, n_sub=8, codebook_stride=50)
+    rec = {
+        r.id: (list(r.codes), list(r.dv))
+        for r in similarity.pq_reconstruct(emb, bc).collect()
+    }
+    orig = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    members = [i for i in orig if i % 50 == 0]
+    assert members
+    for i in members:
+        codes, dv = rec[i]
+        assert codes == [i] * 8, f"member {i} must pick itself per subspace"
+        assert dv == pytest.approx(orig[i])
+    # non-members carry valid codeword ids
+    cids = set(members)
+    for i, (codes, _dv) in rec.items():
+        assert set(codes) <= cids
+
+
+def test_pq_topk_close_to_exact(emb):
+    q = list(emb.filter(F.col("vec_id") == 0).collect()[0].embedding)
+    exact = [r.id for r in similarity.cosine_topk(emb, q, k=10).collect()]
+    pq = similarity.pq_cosine_topk(emb, q, k=10).collect()
+    # query is a codebook member → exact self-match leads
+    assert pq[0].id == 0 and pq[0].score == pytest.approx(1.0)
+    # 10 codewords/subspace on near-orthogonal data: measured recall@10
+    # 0.5-0.6 (sf0.001/sf0.01); floor at 0.4
+    assert len(set(exact) & {r.id for r in pq}) >= 4
+    scores = [r.score for r in pq]
+    assert scores == sorted(scores, reverse=True)

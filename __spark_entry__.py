@@ -34,6 +34,7 @@ from doc_agent_spark.operators import (  # noqa: E402
     extractor,
     layout,
     multimodal,
+    packing,
     sampling,
     search,
     similarity,
@@ -841,7 +842,7 @@ def rrf_fusion(spark, sf_dir):
 def lang_id_counts(spark, sf_dir):
     docs = _spread(load(spark, sf_dir, "documents"))
     return (
-        docs.select(textfns.lang_id(F.col("text")).alias("pred_lang"))
+        textfns.with_pred_lang(docs, F.col("text"))
         .groupBy("pred_lang")
         .agg(F.count("*").alias("n_docs"))
     )
@@ -953,6 +954,52 @@ def token_histogram(spark, sf_dir):
         docs.select(bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def top_trigrams(spark, sf_dir, k: int = 20):
+    """Corpus-level frequent word-trigram table (document frequency):
+    the boilerplate/contamination radar a curation run eyeballs before
+    choosing strip rules. Distinct-per-doc shingles ⇒ explode + one
+    hash aggregate (map-side partial); deterministic top-k via
+    (count DESC, gram ASC) TakeOrderedAndProject — no global sort
+    materialization at scale."""
+    docs = _spread(load(spark, sf_dir, "documents"))
+    grams = docs.select(
+        F.explode(textfns.word_ngrams(F.col("text"), 3)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "gram")
+        .limit(k)
+    )
+
+
+def dataset_split(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test assignment by content hash —
+    leakage-safe (a doc_id lands in the same split in every run at any
+    cluster size) and zero-shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return sampling.split_assign(
+        docs.select("doc_id", "lang", "n_chars"),
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+        key_col="doc_id",
+    )
+
+
+def pack_sequences(spark, sf_dir):
+    """Training-example packing: concat-and-chunk the corpus into
+    1024-token windows over 8 independent hash shards (per-shard window
+    cumsum + sequence explode — no global order; operators/packing.py
+    scale notes). Output = the slicing plan (doc → window assignments),
+    verified window-exact against the DuckDB mirror."""
+    docs = load(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", textfns.bpe_ish_token_count(F.col("text")).alias("n_tokens")
+    )
+    return packing.pack_chunks(
+        staged, tokens_col="n_tokens", key_col="doc_id", budget=1024, n_shards=8
     )
 
 
@@ -1349,8 +1396,9 @@ def retrieval_eval_all(spark, sf_dir):
 
 
 def deterministic_samples(spark, sf_dir):
-    """Stratified and quality-weighted deterministic sampling, union-tagged
-    (metric = stratum size proxy / kept-row quality)."""
+    """Stratified sampling, quality-weighted sampling, and train/val/test
+    split assignment, union-tagged (metric = stratum size proxy /
+    kept-row quality / doc size)."""
     a = stratified_sample(spark, sf_dir).select(
         F.lit("stratified").alias("variant"), "doc_id", "lang",
         F.col("n_chars").cast("double").alias("metric"),
@@ -1359,18 +1407,47 @@ def deterministic_samples(spark, sf_dir):
         F.lit("weighted").alias("variant"), "doc_id", "lang",
         F.col("quality").alias("metric"),
     )
-    return a.unionByName(b)
+    c = dataset_split(spark, sf_dir).select(
+        F.concat(F.lit("split_"), F.col("split")).alias("variant"),
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("metric"),
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def text_profile(spark, sf_dir):
-    """Language-ID counts and the token-length histogram in one
-    (variant, key, n_docs) frame."""
+    """Language-ID counts, the token-length histogram, and the top-20
+    frequent-trigram table in one (variant, key, n_docs) frame."""
     a = lang_id_counts(spark, sf_dir).select(
         F.lit("lang").alias("variant"), F.col("pred_lang").alias("key"), "n_docs"
     )
     b = token_histogram(spark, sf_dir).select(
         F.lit("token_bucket").alias("variant"),
         F.col("bucket").cast("string").alias("key"), "n_docs",
+    )
+    c = top_trigrams(spark, sf_dir).select(
+        F.lit("top_trigram").alias("variant"),
+        F.col("gram").alias("key"), "n_docs",
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+def file_meta(spark, sf_dir):
+    """S2 MIME dispatch and P4/F12 filename + path-hash projections in one
+    union-tagged entry (digest carries the per-doc sha256; metric the
+    per-MIME file count)."""
+    a = mime_dispatch(spark, sf_dir).select(
+        F.lit("mime").alias("variant"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("mime").alias("key"),
+        F.lit(None).cast("string").alias("digest"),
+        F.col("n_files").cast("long").alias("metric"),
+    )
+    b = filename_path_hash(spark, sf_dir).select(
+        F.lit("path").alias("variant"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("filename").alias("key"),
+        F.col("path_sha256").alias("digest"),
+        F.lit(None).cast("long").alias("metric"),
     )
     return a.unionByName(b)
 
@@ -1501,9 +1578,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the df-cap; the entry's second arm is benchmark decontamination);
     embedding_near_dups' toy single-table config is retired for the banded
     production variant; chunk_search_hydrate ⊂ chunk_documents (full chunk
-    check) + bm25_topk + semantic_search_e2e (FK hydrate)."""
+    check) + bm25_topk + semantic_search_e2e (FK hydrate); mime_dispatch +
+    filename_path_hash ⊂ file_meta (freed the slot for pack_sequences);
+    dataset_split and top_trigrams ride deterministic_samples /
+    text_profile as third arms."""
     return {
         # --- never gate-checked before round 3, or new/consolidated ---
+        "pack_sequences": pack_sequences,
+        "file_meta": file_meta,
         "vector_topk_methods": vector_topk_methods,
         "graph_ann_topk": graph_ann_topk,
         "retrieval_eval": retrieval_eval_all,
@@ -1538,8 +1620,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_revenue": q10_returned_revenue,
         "q4_priority_late_ship": q4_priority_late_ship,
         "kmv_distinct_users": kmv_distinct_users,
-        "mime_dispatch": mime_dispatch,
-        "filename_path_hash": filename_path_hash,
         "page_assembly": page_assembly,
         "doc_type_norm": doc_type_norm,
         "alias_coalesce": alias_coalesce,
@@ -2274,6 +2354,26 @@ SELECT CAST(floor(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]
        count(*) AS n_docs
 FROM documents GROUP BY 1
 """,
+        "dataset_split": f"""
+SELECT doc_id, lang, n_chars,
+       {sampling.split_assign_sql({"train": 0.9, "val": 0.05, "test": 0.05}, "doc_id")} AS split
+FROM documents
+""",
+        "top_trigrams": f"""
+WITH w AS (SELECT {_WORDS_SQL} AS w FROM documents),
+sh AS (SELECT unnest(list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS gram FROM w)
+SELECT gram, count(*) AS n_docs FROM sh
+GROUP BY gram ORDER BY n_docs DESC, gram ASC LIMIT 20
+""",
+        "pack_sequences": packing.pack_chunks_sql(
+            "SELECT doc_id, text FROM documents",
+            tokens_expr=r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))",
+            key_expr="doc_id",
+            budget=1024,
+            n_shards=8,
+            key_alias="doc_id",
+        ),
         "json_export": f"""
 {_extraction_spans_sql(assembled_sql)},
 g AS (SELECT doc_id,
@@ -2559,12 +2659,25 @@ FROM ({base['doc_point_lookup']})
 SELECT 'lang' AS variant, pred_lang AS key, n_docs FROM ({base['lang_id_counts']})
 UNION ALL
 SELECT 'token_bucket', CAST(bucket AS VARCHAR), n_docs FROM ({base['token_histogram']})
+UNION ALL
+SELECT 'top_trigram', gram, n_docs FROM ({base['top_trigrams']})
 """,
         "deterministic_samples": f"""
 SELECT 'stratified' AS variant, doc_id, lang, CAST(n_chars AS DOUBLE) AS metric
 FROM ({base['stratified_sample']})
 UNION ALL
 SELECT 'weighted', doc_id, lang, quality FROM ({base['quality_weighted_sample']})
+UNION ALL
+SELECT 'split_' || split, doc_id, lang, CAST(n_chars AS DOUBLE)
+FROM ({base['dataset_split']})
+""",
+        "file_meta": f"""
+SELECT 'mime' AS variant, CAST(NULL AS BIGINT) AS doc_id, mime AS key,
+       CAST(NULL AS VARCHAR) AS digest, n_files AS metric
+FROM ({base['mime_dispatch']})
+UNION ALL
+SELECT 'path', CAST(doc_id AS BIGINT), filename, path_sha256, CAST(NULL AS BIGINT)
+FROM ({base['filename_path_hash']})
 """,
         "simhash_dedup": f"""
 SELECT 'cluster' AS variant, CAST(simhash AS BIGINT) AS key_a,
@@ -2620,7 +2733,7 @@ FROM ({base['semdedup_drops']})
         "q5_nation_revenue", "top_orders", "events_hourly", "events_sessions",
         "rollup_cascade", "value_quantiles", "conversion_funnel",
         "q10_returned_revenue", "q4_priority_late_ship", "kmv_distinct_users",
-        "mime_dispatch", "filename_path_hash", "page_assembly", "doc_type_norm",
+        "pack_sequences", "page_assembly", "doc_type_norm",
         "alias_coalesce", "date_normalize", "json_salvage",
         "semantic_search_e2e",
         "bm25_topk", "rrf_fusion",

@@ -43,18 +43,51 @@ def stopword_hits(text: Column, lang: str) -> Column:
     return F.size(F.filter(words_of(text), lambda w: F.array_contains(sw, w)))
 
 
-def lang_id(text: Column) -> Column:
-    """Argmax of per-language stopword hit counts; ties broken by the fixed
-    language order en > de > fr > es; all-zero → 'und' (undetermined)."""
-    scores = [(lang, stopword_hits(text, lang)) for lang in ("en", "de", "fr", "es")]
+LANG_ORDER = ("en", "de", "fr", "es")
+
+
+def lang_pick(scores: dict[str, Column]) -> Column:
+    """Argmax over already-computed per-language hit columns; ties broken
+    by LANG_ORDER (earliest wins), all-zero → 'und'. Each score is
+    referenced O(langs) times, so pass cheap column REFERENCES (see
+    with_pred_lang) — never raw stopword_hits expressions, whose
+    interpreted higher-order filters would re-evaluate per reference."""
     best_lang = F.lit("und")
     best_score = F.lit(0)
     # forward iteration with strict > ⇒ the earliest language wins ties
-    for lang, score in scores:
-        better = score > best_score
+    for lang in LANG_ORDER:
+        better = scores[lang] > best_score
         best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(better, score).otherwise(best_score)
+        best_score = F.when(better, scores[lang]).otherwise(best_score)
     return best_lang
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax of per-language stopword hit counts; ties broken by the fixed
+    language order en > de > fr > es; all-zero → 'und' (undetermined).
+
+    Single-Column convenience form: the when-chain references each score
+    expression several times and interpreted HOFs re-evaluate per
+    reference (~4× slower, measured at sf0.1). In a DataFrame pipeline
+    prefer :func:`with_pred_lang`, which splits score computation and
+    argmax into two projections Catalyst keeps separate (CollapseProject
+    refuses to inline non-cheap multi-referenced expressions)."""
+    return lang_pick({lang: stopword_hits(text, lang) for lang in LANG_ORDER})
+
+
+def with_pred_lang(df, text: Column, out_col: str = "pred_lang"):
+    """Two-projection language ID: per-language hit counts land in a first
+    Project (each interpreted stopword filter evaluated exactly once per
+    row), the argmax when-chain over the resulting cheap attribute
+    references in a second. Identical output to ``lang_id``; ~4× faster."""
+    tmp = {lang: f"_lh_{lang}" for lang in LANG_ORDER}
+    scored = df.withColumns(
+        {c: stopword_hits(text, lang) for lang, c in tmp.items()}
+    )
+    picked = scored.withColumn(
+        out_col, lang_pick({lang: F.col(c) for lang, c in tmp.items()})
+    )
+    return picked.drop(*tmp.values())
 
 
 def quality_score(text: Column) -> Column:

@@ -81,6 +81,50 @@ def sample_weighted(
     return df.filter(_hash8(F.col(key_col), seed) < thr)
 
 
+def split_assign(
+    df: DataFrame,
+    splits: dict[str, float],
+    key_col: str,
+    seed: str = "split42",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds a ``split`` column by
+    cutting the content-hash uniform into cumulative fraction bands (e.g.
+    ``{"train": 0.9, "val": 0.05, "test": 0.05}`` ⇒ hash < 0.9 → train,
+    < 0.95 → val, else test). Every row gets exactly one split, the
+    assignment never changes under repartitioning/cluster size/re-runs,
+    and — critically for leakage — a given document key lands in the same
+    split in every pipeline that uses the same seed. Fractions must sum to
+    ~1.0 (the last band absorbs float slack). Zero-shuffle projection."""
+    total = sum(splits.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split fractions must sum to 1.0, got {total}")
+    h = _hash8(F.col(key_col), seed)
+    names = list(splits)
+    expr = F.lit(names[-1])  # last band absorbs rounding slack
+    cum_fracs = []
+    acc = 0.0
+    for name in names[:-1]:
+        acc += splits[name]
+        cum_fracs.append((name, hex_threshold(acc)))
+    for name, thr in reversed(cum_fracs):  # earliest band wins ties
+        expr = F.when(h < F.lit(thr), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def split_assign_sql(
+    splits: dict[str, float], key_expr: str, seed: str = "split42"
+) -> str:
+    """DuckDB mirror of :func:`split_assign`'s ``split`` expression."""
+    h = hash8_sql(key_expr, seed)
+    names = list(splits)
+    acc = 0.0
+    whens = []
+    for name in names[:-1]:
+        acc += splits[name]
+        whens.append(f"WHEN {h} < '{hex_threshold(acc)}' THEN '{name}'")
+    return f"CASE {' '.join(whens)} ELSE '{names[-1]}' END"
+
+
 def hash8_sql(key_expr: str, seed: str = "s42") -> str:
     """DuckDB mirror of the hash prefix (md5 hex is engine-identical)."""
     return f"substr(md5('{seed}:' || CAST({key_expr} AS VARCHAR)), 1, 8)"

@@ -60,8 +60,9 @@ def curate_bucket_plan(docs, min_quality: float, langs: list[str] | None,
         .withColumn("_dup", F.col("_rn") > 1)
         .drop("_rn")
     )
-    scored = dd.withColumn("quality", textfns.quality_score(F.col("text"))).withColumn(
-        "pred_lang", textfns.lang_id(F.col("text"))
+    scored = textfns.with_pred_lang(
+        dd.withColumn("quality", textfns.quality_score(F.col("text"))),
+        F.col("text"),
     )
     keep_filter = F.col("quality") >= min_quality
     if langs:

@@ -211,3 +211,39 @@ def test_line_strip_shuffles_hashes_not_lines(spark, sf_dir):
     ex = below.find("Exchange")
     assert ex != -1
     assert "line_md5" in below[ex : ex + 400]
+
+
+def test_pack_sequences_single_shard_exchange(spark, sf_dir):
+    """Sequence packing must be ONE hash exchange on `shard` (the per-shard
+    window) and nothing else: no global-order Exchange(SinglePartition), no
+    Python stage, and the sort feeding the window carries only
+    (shard, order_hash, key, tokens) — never document text."""
+    plan = _plan(entrymod.pack_sequences(spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan
+    assert "Window" in plan and "Generate explode" in plan
+    # everything downstream of the shuffle (printed ABOVE the Exchange node)
+    # operates on (shard, order_hash, key, token counts) — never `text`:
+    # the token count is projected BEFORE the exchange, so the heavy column
+    # never rides the shuffle
+    assert "text#" not in plan.split("Exchange")[0]
+
+
+def test_dataset_split_is_zero_shuffle_projection(spark, sf_dir):
+    plan = _plan(entrymod.dataset_split(spark, sf_dir))
+    assert "Exchange" not in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan
+
+
+def test_top_trigrams_partial_agg_and_topk(spark, sf_dir):
+    """Doc-frequency counting must partial-aggregate before its exchange
+    and take the top-k without a global sort."""
+    plan = _plan(entrymod.top_trigrams(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan

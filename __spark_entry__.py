@@ -988,6 +988,27 @@ def dataset_split(spark, sf_dir):
     )
 
 
+def mixture_resample(spark, sf_dir):
+    """Static domain reweighting: deterministically downsample sources to a
+    50/30/20 token-mass mixture over (src0, src1, src2); all other sources
+    drop. Rates come from one model-sized aggregate (collected — the
+    mixture config), the resample itself is a zero-shuffle content-hash
+    filter; the oracle recomputes the rates in SQL with the identical
+    IEEE-double operation order, so the kept set hash-matches."""
+    docs = load(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", "lang", "source",
+        textfns.bpe_ish_token_count(F.col("text")).alias("n_tokens"),
+    )
+    return sampling.resample_to_mixture(
+        staged,
+        targets={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        domain_col="source",
+        key_col="doc_id",
+        weight=F.col("n_tokens"),
+    )
+
+
 def pack_sequences(spark, sf_dir):
     """Training-example packing: concat-and-chunk the corpus into
     1024-token windows over 8 independent hash shards (per-shard window
@@ -1396,9 +1417,9 @@ def retrieval_eval_all(spark, sf_dir):
 
 
 def deterministic_samples(spark, sf_dir):
-    """Stratified sampling, quality-weighted sampling, and train/val/test
-    split assignment, union-tagged (metric = stratum size proxy /
-    kept-row quality / doc size)."""
+    """Stratified sampling, quality-weighted sampling, train/val/test
+    split assignment, and domain-mixture resampling, union-tagged (metric
+    = stratum size proxy / kept-row quality / doc size / token mass)."""
     a = stratified_sample(spark, sf_dir).select(
         F.lit("stratified").alias("variant"), "doc_id", "lang",
         F.col("n_chars").cast("double").alias("metric"),
@@ -1411,7 +1432,11 @@ def deterministic_samples(spark, sf_dir):
         F.concat(F.lit("split_"), F.col("split")).alias("variant"),
         "doc_id", "lang", F.col("n_chars").cast("double").alias("metric"),
     )
-    return a.unionByName(b).unionByName(c)
+    d = mixture_resample(spark, sf_dir).select(
+        F.concat(F.lit("mixture_"), F.col("source")).alias("variant"),
+        "doc_id", "lang", F.col("n_tokens").cast("double").alias("metric"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def text_profile(spark, sf_dir):
@@ -1580,8 +1605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     production variant; chunk_search_hydrate ⊂ chunk_documents (full chunk
     check) + bm25_topk + semantic_search_e2e (FK hydrate); mime_dispatch +
     filename_path_hash ⊂ file_meta (freed the slot for pack_sequences);
-    dataset_split and top_trigrams ride deterministic_samples /
-    text_profile as third arms."""
+    dataset_split, mixture_resample and top_trigrams ride
+    deterministic_samples / text_profile as additional arms."""
     return {
         # --- never gate-checked before round 3, or new/consolidated ---
         "pack_sequences": pack_sequences,
@@ -2359,6 +2384,27 @@ SELECT doc_id, lang, n_chars,
        {sampling.split_assign_sql({"train": 0.9, "val": 0.05, "test": 0.05}, "doc_id")} AS split
 FROM documents
 """,
+        "mixture_resample": f"""
+WITH m AS (
+  SELECT doc_id, lang, source,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens
+  FROM documents),
+obs AS (
+  SELECT source, CAST(sum(n_tokens) AS DOUBLE) AS mass FROM m
+  WHERE source IN ('src0','src1','src2') GROUP BY source),
+tot AS (SELECT sum(CAST(mass AS BIGINT)) AS t FROM obs),
+-- operation order mirrors sampling.mixture_rates exactly (IEEE doubles):
+-- raw = target / (mass / total); rate = raw / max(raw)
+raw AS (
+  SELECT source,
+         (CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3 ELSE 0.2 END)
+           / (mass / CAST((SELECT t FROM tot) AS DOUBLE)) AS r
+  FROM obs),
+rates AS (SELECT source, r / (SELECT max(r) FROM raw) AS rate FROM raw)
+SELECT m.doc_id, m.lang, m.source, m.n_tokens
+FROM m JOIN rates USING (source)
+WHERE {sampling.hash8_sql('m.doc_id', 'mix42')} < {sampling.weighted_threshold_sql('rates.rate')}
+""",
         "top_trigrams": f"""
 WITH w AS (SELECT {_WORDS_SQL} AS w FROM documents),
 sh AS (SELECT unnest(list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
@@ -2670,6 +2716,9 @@ SELECT 'weighted', doc_id, lang, quality FROM ({base['quality_weighted_sample']}
 UNION ALL
 SELECT 'split_' || split, doc_id, lang, CAST(n_chars AS DOUBLE)
 FROM ({base['dataset_split']})
+UNION ALL
+SELECT 'mixture_' || source, doc_id, lang, CAST(n_tokens AS DOUBLE)
+FROM ({base['mixture_resample']})
 """,
         "file_meta": f"""
 SELECT 'mime' AS variant, CAST(NULL AS BIGINT) AS doc_id, mime AS key,

@@ -125,6 +125,68 @@ def split_assign_sql(
     return f"CASE {' '.join(whens)} ELSE '{names[-1]}' END"
 
 
+def mixture_rates(
+    df: DataFrame,
+    targets: dict[str, float],
+    domain_col: str,
+    weight: Column | None = None,
+) -> dict[str, float]:
+    """Per-domain keep rates that move the corpus toward a target mixture
+    (static domain reweighting by downsampling): rate_d ∝ target_d /
+    observed_share_d, scaled so the largest rate is 1.0 (the most
+    underrepresented domain is kept in full; nothing is upsampled —
+    duplication is the dedup stage's enemy). ``weight`` is the mass column
+    (token count for token-level mixtures; None = document count).
+
+    One tiny aggregate (n_domains rows) collected to the driver — the
+    model-sized exception to no-collect; the returned dict folds into
+    :func:`sample_stratified`'s CASE expression, so the actual resample is
+    a zero-shuffle deterministic filter. Domains absent from ``targets``
+    get rate 0 (dropped)."""
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    bad = [d for d, t in targets.items() if t < 0]
+    if bad or abs(sum(targets.values()) - 1.0) > 1e-6:
+        raise ValueError(f"targets must be non-negative and sum to 1.0: {targets}")
+    mass = (weight if weight is not None else F.lit(1)).alias("_m")
+    obs = {
+        r[0]: r[1]
+        for r in df.select(F.col(domain_col), mass)
+        .groupBy(domain_col)
+        .agg(F.sum("_m").alias("m"))
+        .collect()
+    }
+    total = sum(obs.get(d, 0) for d in targets)
+    if total == 0:
+        raise ValueError("no corpus mass in any target domain")
+    raw = {
+        d: (t / (obs[d] / total)) if obs.get(d) else 0.0
+        for d, t in targets.items()
+    }
+    peak = max(raw.values())
+    if peak == 0:
+        raise ValueError("all target domains are empty in the corpus")
+    return {d: r / peak for d, r in raw.items()}
+
+
+def resample_to_mixture(
+    df: DataFrame,
+    targets: dict[str, float],
+    domain_col: str,
+    key_col: str,
+    weight: Column | None = None,
+    seed: str = "mix42",
+) -> DataFrame:
+    """Deterministically downsample each domain so the kept corpus
+    approximates ``targets`` (exact in expectation; per-row decisions are
+    content-hash stable across runs and cluster sizes). Composition of
+    :func:`mixture_rates` + :func:`sample_stratified`."""
+    rates = mixture_rates(df, targets, domain_col, weight=weight)
+    return sample_stratified(
+        df, fractions=rates, strata_col=domain_col, key_col=key_col, seed=seed
+    )
+
+
 def hash8_sql(key_expr: str, seed: str = "s42") -> str:
     """DuckDB mirror of the hash prefix (md5 hex is engine-identical)."""
     return f"substr(md5('{seed}:' || CAST({key_expr} AS VARCHAR)), 1, 8)"

@@ -148,3 +148,51 @@ def test_weighted_sample_tracks_weight(spark):
     edge = spark.createDataFrame([(1, 1.0), (2, 0.0)], "doc_id long, w double")
     got = [r.doc_id for r in sampling.sample_weighted(edge, F.col("w"), "doc_id").collect()]
     assert got == [1]
+
+
+def test_mixture_rates_and_resample(spark):
+    from pyspark.sql import functions as F
+
+    from doc_agent_spark.operators import sampling
+
+    # domain a: 6000 docs, b: 3000, c: 1000; equal per-doc mass ⇒ observed
+    # shares 0.6/0.3/0.1; target 1/3 each ⇒ most underrepresented (c) keeps
+    # 100%, a keeps (1/3)/0.6 scaled by c's peak, b likewise
+    rows = [(i, "a" if i < 6000 else "b" if i < 9000 else "c") for i in range(10000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    third = 1.0 / 3.0
+    targets = {"a": third, "b": third, "c": 1.0 - 2 * third}
+    rates = sampling.mixture_rates(df, targets, "source")
+    assert rates["c"] == 1.0
+    assert abs(rates["a"] - (third / 0.6) / (third / 0.1)) < 1e-12
+    assert abs(rates["b"] - (third / 0.3) / (third / 0.1)) < 1e-12
+
+    kept = sampling.resample_to_mixture(df, targets, "source", key_col="doc_id")
+    counts = {
+        r.source: r.n
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["c"] == 1000  # peak domain kept in full
+    # kept mixture ≈ target thirds (hash-uniform tolerance)
+    total = sum(counts.values())
+    for d in targets:
+        assert abs(counts[d] / total - third) < 0.05
+    # determinism under layout
+    again = sampling.resample_to_mixture(
+        df.repartition(11), targets, "source", key_col="doc_id"
+    )
+    assert sorted(map(tuple, kept.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_mixture_rates_rejects_bad_inputs(spark):
+    import pytest as pt
+
+    from doc_agent_spark.operators import sampling
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pt.raises(ValueError):
+        sampling.mixture_rates(df, {}, "source")
+    with pt.raises(ValueError):
+        sampling.mixture_rates(df, {"a": 0.7, "b": 0.7}, "source")
+    with pt.raises(ValueError):  # no mass in any target domain
+        sampling.mixture_rates(df, {"zz": 1.0}, "source")

@@ -130,3 +130,42 @@ def test_split_assign_rejects_bad_fractions(spark):
     df = spark.range(3).withColumnRenamed("id", "doc_id")
     with pytest.raises(ValueError):
         sampling.split_assign(df, {"train": 0.5, "val": 0.1}, key_col="doc_id")
+
+
+def test_random_corpus_invariants(spark):
+    """Seeded random corpus: conservation + window-exactness must hold for
+    arbitrary token-count mixes (many zero-token docs, heavy tails)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    toks = np.where(
+        rng.random(500) < 0.1, 0, rng.geometric(1 / 300, 500)
+    ).astype("int64")
+    df = spark.createDataFrame(
+        [(int(i), int(t)) for i, t in enumerate(toks)], "doc_id long, n_tokens long"
+    )
+    plan = packing.pack_chunks(
+        df, tokens_col="n_tokens", key_col="doc_id", budget=257, n_shards=5
+    ).collect()
+    # conservation
+    per_doc = {}
+    for r in plan:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.slice_len
+    assert per_doc == {i: int(t) for i, t in enumerate(toks) if t > 0}
+    # every non-final window full, contiguous coverage
+    by_win = {}
+    for r in plan:
+        by_win.setdefault((r.shard, r.seq_id), 0)
+        by_win[(r.shard, r.seq_id)] += r.slice_len
+    last = {}
+    for shard, seq in by_win:
+        last[shard] = max(last.get(shard, -1), seq)
+    for (shard, seq), total in by_win.items():
+        if seq < last[shard]:
+            assert total == 257
+    # total windows = ceil(shard token mass / budget), per shard
+    shard_mass = {}
+    for r in plan:
+        shard_mass[r.shard] = shard_mass.get(r.shard, 0) + r.slice_len
+    for shard, mass in shard_mass.items():
+        assert last[shard] + 1 == -(-mass // 257)

@@ -44,6 +44,13 @@ def _order_hash(key: Column, seed: str) -> Column:
     )
 
 
+def shard_of(key: Column, n_shards: int, seed: str = "pack42") -> Column:
+    """The packing stream a key belongs to — exposed so callers (e.g. the
+    resumable pack job) can pre-filter completed shards with the exact
+    expression pack_chunks uses internally."""
+    return (F.conv(_order_hash(key, seed), 16, 10).cast("long") % n_shards).cast("int")
+
+
 def pack_chunks(
     df: DataFrame,
     tokens_col: str,
@@ -51,6 +58,7 @@ def pack_chunks(
     budget: int,
     n_shards: int = 64,
     seed: str = "pack42",
+    stream_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign each document to the fixed-size token windows it occupies.
 
@@ -69,6 +77,11 @@ def pack_chunks(
 
     Zero-token documents are excluded (they occupy no window; emitting a
     zero-length slice would pin them to an arbitrary boundary).
+
+    ``stream_cols`` prepend extra partition columns to the packing stream
+    (e.g. a train/val/test ``split`` column so windows never mix splits):
+    each distinct (stream_cols…, shard) packs independently and the
+    columns are carried through to the output.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
@@ -79,15 +92,17 @@ def pack_chunks(
     tokens = F.col(tokens_col).cast("long")
     oh = _order_hash(key, seed)
     # 32-bit hex → long; mod keeps the full hash available as the order key
-    shard = (F.conv(oh, 16, 10).cast("long") % n_shards).cast("int")
+    shard = shard_of(key, n_shards, seed)
 
+    stream = [*stream_cols, "shard"]
     w = (
-        Window.partitionBy("shard")
+        Window.partitionBy(*stream)
         .orderBy("order_hash", key_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     staged = (
-        df.select(key, tokens.alias("_tokens"), oh.alias("order_hash"), shard.alias("shard"))
+        df.select(*stream_cols, key, tokens.alias("_tokens"),
+                  oh.alias("order_hash"), shard.alias("shard"))
         .filter(F.col("_tokens") > 0)
         .withColumn("start", F.coalesce(F.sum("_tokens").over(w), F.lit(0).cast("long")))
     )
@@ -103,12 +118,56 @@ def pack_chunks(
     doc_lo = F.greatest(win_lo, F.col("start"))     # slice start, stream coords
     doc_hi = F.least(win_lo + b, F.col("start") + F.col("_tokens"))
     return binned.select(
+        *stream_cols,
         "shard",
         "seq_id",
         key_col,
         (doc_lo - F.col("start")).alias("slice_start"),
         (doc_hi - doc_lo).alias("slice_len"),
         (doc_lo - win_lo).alias("seq_offset"),
+    )
+
+
+def assemble_windows(
+    plan: DataFrame,
+    docs: DataFrame,
+    tokens: Column,
+    key_col: str,
+    stream_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Materialize the packed training sequences: join the slicing plan
+    back to the documents, cut each document's token array at the planned
+    slice offsets, and assemble every window's pieces in seq_offset order.
+
+    ``tokens`` is the tokenizer expression over ``docs`` (an array<string>
+    column — e.g. the BPE-ish pretoken regexp); the slice arithmetic is in
+    its token space, so it must be the SAME tokenizer whose counts built
+    the plan. Returns one row per (stream…, shard, seq_id) with the
+    concatenated ``window_tokens`` array and its length ``n_tokens``
+    (== budget except each stream's final window).
+
+    Scale shape: one equi-join on the doc key (plan side carries only
+    offsets — the token arrays never ride the plan's explode), then one
+    aggregation keyed by the window. No per-row Python; slicing and
+    flatten are JVM expressions."""
+    sliced = (
+        plan.join(docs.select(F.col(key_col), tokens.alias("_toks")), key_col)
+        .withColumn(
+            "piece",
+            F.slice(F.col("_toks"), F.col("slice_start").cast("int") + 1,
+                    F.col("slice_len").cast("int")),
+        )
+    )
+    keys = [*stream_cols, "shard", "seq_id"]
+    return (
+        sliced.groupBy(*keys)
+        .agg(
+            F.flatten(
+                F.array_sort(F.collect_list(F.struct("seq_offset", "piece")))
+                .getField("piece")
+            ).alias("window_tokens")
+        )
+        .withColumn("n_tokens", F.size("window_tokens").cast("long"))
     )
 
 

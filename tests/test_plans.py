@@ -247,3 +247,29 @@ def test_top_trigrams_partial_agg_and_topk(spark, sf_dir):
     assert "partial_count" in plan or "partial" in plan.lower()
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert bad not in plan
+
+
+def test_assemble_windows_is_join_plus_one_agg(spark):
+    """Window materialization must be an equi-join on the doc key plus one
+    window-keyed aggregation — no Python stage, no cartesian product, and
+    the heavy token arrays only enter AFTER the plan-side explode is done
+    (the plan side carries offsets only)."""
+    from doc_agent_spark.functions import textfns
+    from doc_agent_spark.operators import packing
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma " * (i + 1)) for i in range(20)],
+        "doc_id long, text string",
+    )
+    staged = docs.select(
+        "doc_id", textfns.bpe_ish_token_count(F.col("text")).alias("n_tokens")
+    )
+    plan_df = packing.pack_chunks(staged, "n_tokens", "doc_id", budget=16, n_shards=2)
+    wins = packing.assemble_windows(
+        plan_df, docs, tokens=textfns.bpe_ish_tokens(F.col("text")), key_col="doc_id"
+    )
+    plan = _plan(wins)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan

@@ -84,6 +84,9 @@ _DET_QUERIES = [
     "graph_ann_topk", "simhash_dedup", "minhash_verified_pairs",
     "conversion_funnel", "semdedup_drops", "contamination_pairs",
     "pq_cosine_topk",
+    # round-3 continuation: packing (per-shard window), split/mixture
+    # (hash bands + driver-side IEEE rate math), trigram top-k ties
+    "pack_sequences", "deterministic_samples", "top_trigrams",
 ]
 
 

@@ -856,8 +856,15 @@ def quality_tokens(spark, sf_dir):
     line signals run over a deterministically woven multi-line page
     (header/footer boilerplate keyed off doc_id — same construction in the
     DuckDB oracle, the pii_redaction precedent); the bigram signal runs on
-    the raw text, whose small vocabulary repeats bigrams heavily."""
-    docs = _spread(load(spark, sf_dir, "documents"))
+    the raw text, whose small vocabulary repeats bigrams heavily.
+
+    Round-3 arm: CCNet-style bigram-LM cross-entropy + head/middle/tail
+    tier (operators/lm_quality.py — stupid-backoff count model trained on
+    the same corpus, broadcast to the scoring joins)."""
+    from doc_agent_spark.operators import lm_quality
+
+    raw = load(spark, sf_dir, "documents")
+    docs = _spread(raw)
     page = _page_weave()
     base = docs.select(
         "doc_id",
@@ -869,7 +876,8 @@ def quality_tokens(spark, sf_dir):
         textfns.dup_line_char_fraction(page).alias("dup_line_char_frac"),
     )
     top2 = textfns.top_bigram_char_fraction(docs, "doc_id", "text")
-    return base.join(top2, "doc_id")
+    lm = lm_quality.lm_quality_profile(docs, min_count=2)
+    return base.join(top2, "doc_id").join(lm, "doc_id")
 
 
 def pii_redaction(spark, sf_dir):
@@ -2294,7 +2302,25 @@ grams AS (
   FROM documents
 ),
 gc AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram),
-top AS (SELECT doc_id, max(c * length(gram)) AS top2_chars FROM gc GROUP BY doc_id)
+top AS (SELECT doc_id, max(c * length(gram)) AS top2_chars FROM gc GROUP BY doc_id),
+toks AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+uc AS (SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM uc),
+mu AS (SELECT w, c FROM uc WHERE c >= 2),
+bgf AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        FROM (SELECT doc_id, unnest(range(1, len(ws))) AS i, ws FROM toks)),
+mb AS (SELECT w1, w2, count(*) AS cb FROM bgf GROUP BY w1, w2 HAVING count(*) >= 2),
+sc AS (SELECT f.doc_id,
+  CASE WHEN mb.cb IS NOT NULL THEN ln(CAST(mb.cb AS DOUBLE) / u1.c)
+       WHEN u2.c IS NOT NULL THEN ln(0.4 * CAST(u2.c AS DOUBLE) / tot.t)
+       ELSE ln(0.4 / tot.t) END AS lp
+  FROM bgf f
+  LEFT JOIN mb ON f.w1 = mb.w1 AND f.w2 = mb.w2
+  LEFT JOIN mu u1 ON f.w1 = u1.w
+  LEFT JOIN mu u2 ON f.w2 = u2.w
+  CROSS JOIN tot),
+lm AS (SELECT doc_id, count(*) AS n_bigrams,
+       round(-sum(lp) / count(*), 6) AS lm_ce FROM sc GROUP BY doc_id)
 SELECT ln.doc_id,
   CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS INTEGER) AS n_ws_tokens,
   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
@@ -2320,8 +2346,14 @@ SELECT ln.doc_id,
          - list_aggregate(list_transform(list_distinct(lines), l -> length(l)), 'sum') AS DOUBLE)
       / list_aggregate(list_transform(lines, l -> length(l)), 'sum'), 4)
     ELSE 0.0 END AS dup_line_char_frac,
-  coalesce(round(CAST(top2_chars AS DOUBLE) / length(text), 4), 0.0) AS top2gram_char_frac
+  coalesce(round(CAST(top2_chars AS DOUBLE) / length(text), 4), 0.0) AS top2gram_char_frac,
+  lm.n_bigrams AS n_bigrams,
+  lm.lm_ce AS lm_ce,
+  CASE WHEN lm.lm_ce < 3.39 THEN 'head'
+       WHEN lm.lm_ce < 3.42 THEN 'middle'
+       ELSE 'tail' END AS lm_tier
 FROM ln LEFT JOIN top ON ln.doc_id = top.doc_id
+JOIN lm ON ln.doc_id = lm.doc_id
 """,
         "quality_weighted_sample": f"""
 WITH s AS (

@@ -1,0 +1,165 @@
+"""CCNet-style language-model quality scoring (Wenzek et al., 2020).
+
+CCNet's quality filter scores every document under a language model
+trained on a trusted corpus and buckets the corpus into head / middle /
+tail by perplexity; Gopher/MassiveText and most modern pretraining
+pipelines keep some variant of that signal. The reference has no LM at
+all (its quality gate is the vision-LLM itself), so this implements the
+classical deterministic form: a word-bigram LM with stupid backoff
+(Brants et al., 2007 — "Large Language Models in Machine Translation"),
+which at web scale is the standard count-based scheme precisely because
+it needs no normalization pass over the model.
+
+Model semantics (pinned, mirrored 1:1 by the DuckDB oracle in
+``__spark_entry__.oracle_sql()['quality_tokens']``):
+
+- tokens = ``textfns.words_of`` (lowercase alnum runs), the repo's shared
+  tokenizer;
+- unigram counts ``c(w)`` and bigram counts ``c(w1,w2)`` over the whole
+  corpus; model keeps only entries with count ≥ ``min_count`` (Zipf
+  truncation — the relational, scalable cap; ``top_v_unigrams`` adds a
+  hard memory bound via top-k when needed);
+- per bigram occurrence, stupid backoff with discount ``alpha``:
+    * seen bigram:         lp = ln(c(w1,w2) / c(w1))
+      (c(w1) ≥ c(w1,w2) ≥ min_count, so the conditioning count is
+      always in the model when the bigram is)
+    * unseen, w2 in model: lp = ln(alpha · c(w2) / T)
+    * w2 out of model:     lp = ln(alpha / T)      (unk mass)
+  with T = total corpus token count (unfiltered);
+- cross_entropy(doc) = −Σ lp / n_bigrams; perplexity = exp(ce).
+  Documents with < 2 tokens emit no bigrams and drop out (both engines:
+  explode/unnest of an empty list).
+
+100 TB posture: training is two map-side-partial hash aggregates (the
+only shuffles, keyed on ``w`` / ``(w1,w2)``); the model is broadcast
+(min_count truncation keeps it vocabulary-sized, not corpus-sized — at
+web scale min_count in the hundreds holds the bigram table under a few
+GB; ``top_v_unigrams`` gives a hard bound); scoring is a narrow explode
++ three broadcast hash joins + one per-doc aggregation whose shuffle
+rows are (doc_id, partial-sum) pairs. No Python anywhere — every
+expression is codegen'd (plan-asserted in tests/test_plans.py).
+
+Determinism across engines: the per-doc log-prob sum is order-sensitive
+at the 1e-13 level; both sides round the FINAL mean to 6 decimals
+(grid 1e-6 ≫ fp noise) and derive the head/middle/tail tier from the
+rounded value, so tier boundaries can never straddle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from doc_agent_spark.functions.textfns import words_of
+
+ALPHA = 0.4  # stupid-backoff discount (Brants et al., 2007)
+# Fixed tier cutoffs on cross-entropy (nats/bigram). CCNet derives cutoffs
+# from corpus terciles; exact cross-engine terciles would need a global
+# exact quantile, so constants are pinned instead — these sit at the
+# measured terciles of the synthetic sf0.01 corpus (min 3.28, max 3.74).
+# Real pipelines derive their own cutoffs once and pin them the same way.
+HEAD_CE = 3.39
+MIDDLE_CE = 3.42
+
+
+def _bigram_pairs(text_col):
+    """array<struct<w1,w2>> of adjacent word pairs; [] for < 2 tokens."""
+    ws = words_of(text_col)
+    n = F.greatest(F.size(ws) - F.lit(1), F.lit(0))
+    return F.arrays_zip(
+        F.slice(ws, 1, n).alias("w1"), F.slice(ws, 2, n).alias("w2")
+    )
+
+
+def corpus_bigram_lm(
+    docs: DataFrame, text_col: str = "text", min_count: int = 2
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the count model: (model_unigrams[w,c], model_bigrams[w1,w2,cb],
+    totals[t]). Two hash aggregates; min_count truncation applied AFTER
+    counting (so T covers the full corpus)."""
+    text = F.col(text_col)
+    uni = (
+        docs.select(F.explode(words_of(text)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = uni.agg(F.sum("c").cast("double").alias("t"))
+    big = (
+        docs.select(F.explode(_bigram_pairs(text)).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .filter(F.col("cb") >= min_count)
+    )
+    return uni.filter(F.col("c") >= min_count), big, totals
+
+
+def top_v_unigrams(model_uni: DataFrame, v: int) -> DataFrame:
+    """Hard memory bound for the broadcast model: keep the v most frequent
+    words (ties broken by word, so the cap is deterministic). Plans as
+    TakeOrderedAndProject — model-sized, no full sort."""
+    return model_uni.orderBy(F.desc("c"), F.asc("w")).limit(v)
+
+
+def doc_cross_entropy(
+    docs: DataFrame,
+    model_uni: DataFrame,
+    model_big: DataFrame,
+    totals: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = ALPHA,
+    head_ce: float = HEAD_CE,
+    middle_ce: float = MIDDLE_CE,
+) -> DataFrame:
+    """Score every document: (id, n_bigrams, lm_ce, lm_tier). Narrow
+    explode → broadcast joins → one per-doc aggregation."""
+    bg = docs.select(
+        F.col(id_col), F.explode(_bigram_pairs(F.col(text_col))).alias("p")
+    ).select(id_col, "p.w1", "p.w2")
+    j = (
+        bg.join(F.broadcast(model_big), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(model_uni.select(F.col("w").alias("w1"),
+                                         F.col("c").alias("c1"))),
+            "w1", "left",
+        )
+        .join(
+            F.broadcast(model_uni.select(F.col("w").alias("w2"),
+                                         F.col("c").alias("c2"))),
+            "w2", "left",
+        )
+        .join(F.broadcast(totals))  # one-row totals: broadcast cross join
+    )
+    lp = (
+        F.when(F.col("cb").isNotNull(),
+               F.log(F.col("cb").cast("double") / F.col("c1")))
+        .when(F.col("c2").isNotNull(),
+              F.log(F.lit(alpha) * F.col("c2").cast("double") / F.col("t")))
+        .otherwise(F.log(F.lit(alpha) / F.col("t")))
+    )
+    per_doc = j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(-F.sum(lp) / F.count(F.lit(1)), 6).alias("lm_ce"),
+    )
+    tier = (
+        F.when(F.col("lm_ce") < head_ce, F.lit("head"))
+        .when(F.col("lm_ce") < middle_ce, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return per_doc.withColumn("lm_tier", tier)
+
+
+def lm_quality_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    **score_kwargs,
+) -> DataFrame:
+    """Train-on-self + score-every-doc in one call (the CCNet shape trains
+    on a trusted corpus; self-training still ranks documents by how typical
+    their word transitions are — the head/tail split curation wants)."""
+    uni, big, totals = corpus_bigram_lm(docs, text_col, min_count)
+    return doc_cross_entropy(
+        docs, uni, big, totals, text_col, id_col, **score_kwargs
+    )

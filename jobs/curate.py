@@ -1,7 +1,7 @@
 """Checkpoint-resumable training-data curation job — the second deployable
 stage (same resume model as jobs/extract.py, applied to the curation
-funnel: [boilerplate-line strip] → dedup → quality/language filter →
-PII redaction → deterministic sampling).
+funnel: [boilerplate-line strip] → dedup → quality/language/[LM-perplexity]
+filter → PII redaction → deterministic sampling).
 
     spark-submit --py-files dist.zip jobs/curate.py \\
         --input warehouse.documents --output warehouse.curated \\
@@ -18,6 +18,16 @@ a resume — anti-joins against the same persisted artifact. The set is a
 deterministic function of the input, so a crash before the artifact commits
 just rebuilds it identically; stripping happens BEFORE content-hash
 bucketing so dedup sees the cleaned text.
+
+LM-perplexity filtering (``--lm-max-ce X``, CCNet-style) is the second
+corpus-stat stage: the stupid-backoff bigram count model
+(operators/lm_quality.py) is trained once per run over the (post-strip)
+corpus and persisted (``--lm-model`` path, default ``<output>_lm_model``;
+the totals table commits LAST so a partial artifact reads as absent and
+rebuilds identically). Every bucket — including resumes — scores against
+the same persisted model via broadcast joins, and documents with
+cross-entropy above the cutoff (or with < 2 tokens, whose ce is
+undefined) fail the filter stage alongside quality/language.
 
 Resume model — why this funnel is bucket-resumable AT ALL: the bucket key
 is the CONTENT hash (pmod(hash(md5(text)), buckets)), so every copy of a
@@ -44,7 +54,7 @@ from pyspark.sql import functions as F
 
 
 def curate_bucket_plan(docs, min_quality: float, langs: list[str] | None,
-                       sample_fraction: float):
+                       sample_fraction: float, lm_max_ce: float | None = None):
     """The per-bucket curation funnel as one narrow-after-one-shuffle plan.
     Returns a frame with a `_stage` classification per doc: 0=duplicate,
     1=failed quality/lang filters, 2=sampled out, 3=kept — so funnel
@@ -67,6 +77,13 @@ def curate_bucket_plan(docs, min_quality: float, langs: list[str] | None,
     keep_filter = F.col("quality") >= min_quality
     if langs:
         keep_filter = keep_filter & F.col("pred_lang").isin(langs)
+    if lm_max_ce is not None:
+        # null lm_ce = < 2 tokens (no bigrams to score) -> fails the filter;
+        # isNotNull first so SQL's three-valued NULL can't leak a doc
+        # through the when(_filtered_out, ...) classification as "kept"
+        keep_filter = keep_filter & (
+            F.col("lm_ce").isNotNull() & (F.col("lm_ce") <= lm_max_ce)
+        )
     flt = scored.withColumn("_filtered_out", ~keep_filter)
     sampled = flt.withColumn(
         "_sampled_out",
@@ -100,6 +117,28 @@ def _load_or_build_boilerplate(spark, docs, path: str, min_docs: int):
     return spark.read.parquet(path), False
 
 
+def _load_or_build_lm(spark, docs, path: str, min_count: int):
+    """Corpus-stat checkpoint #2: the stupid-backoff bigram count model.
+    Three tables (unigrams / bigrams / totals); totals is written LAST, so
+    a crash mid-artifact leaves totals unreadable and the whole model
+    rebuilds — identically, since it is a deterministic function of the
+    input."""
+    from doc_agent_spark.operators import lm_quality
+
+    paths = [f"{path}/uni", f"{path}/big", f"{path}/tot"]
+    try:
+        uni, big, tot = (spark.read.parquet(p) for p in paths)
+        tot.head()  # force: totals readable == artifact committed
+        return (uni, big, tot), True
+    except Exception:
+        pass
+    uni, big, tot = lm_quality.corpus_bigram_lm(docs, min_count=min_count)
+    uni.write.mode("overwrite").parquet(paths[0])
+    big.write.mode("overwrite").parquet(paths[1])
+    tot.write.mode("overwrite").parquet(paths[2])
+    return tuple(spark.read.parquet(p) for p in paths), False
+
+
 def run_curate(
     spark: SparkSession,
     input_path: str,
@@ -113,6 +152,9 @@ def run_curate(
     sample_fraction: float = 1.0,
     strip_min_docs: int = 0,
     boilerplate_path: str | None = None,
+    lm_max_ce: float | None = None,
+    lm_min_count: int = 2,
+    lm_model_path: str | None = None,
 ) -> dict:
     from pyspark.sql import Observation
 
@@ -148,6 +190,21 @@ def run_curate(
         )
     else:
         docs = docs.withColumn("n_lines_removed", F.lit(0).cast("long"))
+    lm_reused = None
+    if lm_max_ce is not None:
+        from doc_agent_spark.operators import lm_quality
+
+        lpath = lm_model_path or (output_path.rstrip("/") + "_lm_model")
+        (uni, big, tot), lm_reused = _load_or_build_lm(
+            spark, docs, lpath, lm_min_count
+        )
+        scores = lm_quality.doc_cross_entropy(docs, uni, big, tot).select(
+            "doc_id", "lm_ce"
+        )
+        # left join: < 2-token docs have no score and fail the filter stage
+        docs = docs.join(scores, "doc_id", "left")
+    else:
+        docs = docs.withColumn("lm_ce", F.lit(None).cast("double"))
     docs = docs.withColumn("text_md5", F.md5("text")).withColumn(
         "bucket", F.pmod(F.hash("text_md5"), F.lit(buckets))
     )
@@ -156,7 +213,8 @@ def run_curate(
         docs = docs.filter(~F.col("bucket").isin(*sorted(done)))
     docs = docs.repartition(max(buckets, spark.sparkContext.defaultParallelism), "bucket")
 
-    staged = curate_bucket_plan(docs, min_quality, langs, sample_fraction)
+    staged = curate_bucket_plan(docs, min_quality, langs, sample_fraction,
+                                lm_max_ce)
 
     obs = Observation("curate_metrics")
     staged = staged.observe(
@@ -172,7 +230,7 @@ def run_curate(
         staged.filter(F.col("_stage") == 3)
         .withColumn("text", redact.redact_pii(F.col("text")))
         .select("bucket", "doc_id", "text", "lang", "pred_lang", "quality",
-                "source", "n_chars", "text_md5")
+                "lm_ce", "source", "n_chars", "text_md5")
     )
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     out.write.mode("overwrite").partitionBy("bucket").parquet(output_path)
@@ -224,6 +282,7 @@ def run_curate(
         "kept": int(m["kept"] or 0),
         "lines_removed": int(m["lines_removed"] or 0),
         "boilerplate_artifact_reused": boiler_reused,
+        "lm_artifact_reused": lm_reused,
         "resumed_buckets_skipped": len(done),
         "wall_ms": wall_ms,
     }
@@ -246,6 +305,14 @@ def main() -> None:
     ap.add_argument("--boilerplate-lines", default=None,
                     help="path for the persisted boilerplate line set "
                          "(default <output>_boilerplate_lines)")
+    ap.add_argument("--lm-max-ce", type=float, default=None,
+                    help="drop docs with bigram-LM cross-entropy above this "
+                         "(CCNet-style; unset = off)")
+    ap.add_argument("--lm-min-count", type=int, default=2,
+                    help="LM count-model truncation threshold")
+    ap.add_argument("--lm-model", default=None,
+                    help="path for the persisted LM count model "
+                         "(default <output>_lm_model)")
     args = ap.parse_args()
 
     from extract import ship_package  # same zip+addPyFile bootstrap
@@ -259,6 +326,7 @@ def main() -> None:
         args.run_id, args.buckets, args.min_quality,
         args.langs.split(",") if args.langs else None, args.sample_fraction,
         args.strip_min_docs, args.boilerplate_lines,
+        args.lm_max_ce, args.lm_min_count, args.lm_model,
     )
     print(stats)
     spark.stop()

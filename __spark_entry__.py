@@ -1349,9 +1349,12 @@ def line_boilerplate_dups(spark, sf_dir):
 
 
 def exact_fingerprint_dups(spark, sf_dir):
-    """Exact (md5), normalized-fingerprint, and cross-document duplicated-
-    LINE dup groups, union-tagged — document-, normalized-document-, and
-    line-granularity exact dedup in one gate row."""
+    """Exact (md5), normalized-fingerprint, cross-document duplicated-LINE,
+    and duplicated-SPAN dup rows, union-tagged — document-, normalized-
+    document-, line-, and substring-granularity exact dedup in one gate
+    row. The span arm (Lee et al. 2021 exact substring dedup via shingle-
+    occurrence counts) carries the cleaned-text digest as key and tokens
+    removed as dup_count."""
     a = dedup_exact(spark, sf_dir).select(
         F.lit("md5").alias("variant"), F.col("text_md5").alias("key"),
         "keep_id", "dup_count",
@@ -1364,7 +1367,14 @@ def exact_fingerprint_dups(spark, sf_dir):
         F.lit("line").alias("variant"), F.col("line_md5").alias("key"),
         "keep_id", "dup_count",
     )
-    return a.unionByName(b).unionByName(c)
+    d = dedup.remove_duplicated_spans(
+        _spread(_dup_corpus(spark, sf_dir)), k=5, min_count=2
+    ).select(
+        F.lit("span").alias("variant"), F.md5("text_clean").alias("key"),
+        F.col("id").alias("keep_id"),
+        F.col("n_tokens_removed").alias("dup_count"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def minhash_verified_pairs(spark, sf_dir):
@@ -2781,6 +2791,26 @@ UNION ALL
 SELECT 'fingerprint', fp, keep_id, dup_count FROM ({base['fingerprint_dups']})
 UNION ALL
 SELECT 'line', line_md5, keep_id, dup_count FROM ({base['line_boilerplate_dups']})
+UNION ALL
+SELECT 'span', md5(text_clean), id, n_tokens_removed FROM (
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+tk AS (SELECT doc_id AS id, {_WORDS_SQL} AS ws FROM corpus),
+sp AS (SELECT id, i - 1 AS pos,
+         substr(md5(array_to_string(list_slice(ws, i, i + 4), ' ')), 1, 16) AS sh
+       FROM (SELECT id, ws, unnest(range(1, len(ws) - 3)) AS i FROM tk)),
+dup AS (SELECT sh FROM sp GROUP BY sh HAVING count(*) >= 2),
+ps AS (SELECT id, list_sort(list(pos)) AS poss
+       FROM sp WHERE sh IN (SELECT sh FROM dup) GROUP BY id),
+cv AS (SELECT tk.id, tk.ws,
+         list_sort(list_distinct(flatten(
+           list_transform(poss, p -> range(p, p + 5))))) AS cov
+       FROM tk JOIN ps ON tk.id = ps.id)
+SELECT id,
+  coalesce(array_to_string(list_filter(list_transform(range(1, len(ws) + 1),
+    i -> CASE WHEN NOT list_contains(cov, i - 1) THEN ws[i] END),
+    x -> x IS NOT NULL), ' '), '') AS text_clean,
+  len(cov) AS n_tokens_removed
+FROM cv)
 """,
         "temporal_joins": f"""
 SELECT 'asof' AS variant, event_id, user_id, ts, CAST(NULL AS BIGINT) AS ref_id,

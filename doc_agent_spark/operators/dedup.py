@@ -974,3 +974,94 @@ def semdedup_drops(
             F.col("m.cosine").alias("cosine"),
         )
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    k: int = 5,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-SPAN removal (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): any k-token window whose
+    exact text occurs >= min_count times in the corpus (all occurrences
+    counted, same-document repeats included) is removed from every document
+    that contains it; the reference paper does this with a corpus suffix
+    array — here the same semantics come from a shingle-occurrence count,
+    which is the Spark-native formulation (one hash aggregate instead of a
+    global suffix sort).
+
+    Returns (id, text_clean, n_tokens_removed, n_dup_spans) for documents
+    that had at least one duplicated span. text_clean = the surviving
+    tokens (repo tokenizer: ``words_of``) joined by single spaces — token-
+    level removal, mirroring the paper's "drop the repeated substring".
+
+    Scale: the shingle count is the one honest O(corpus-tokens) shuffle of
+    exact substring dedup (the suffix-array build pays the same sort);
+    shingles shuffle as 16-hex-char md5 prefixes (8 bytes of entropy, ~2e19
+    keyspace), never text. The hit list per doc is positions-only; span
+    merging and token filtering are per-document array expressions — small
+    (doc-sized) interpreted folds, no Python, no extra shuffle beyond the
+    per-doc position collect."""
+    ws = words_of(F.col(text_col))
+    toks = df.select(F.col(id_col).alias("id"), ws.alias("ws"))
+    n = F.size("ws")
+    sh_structs = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(F.col("ws"), i + 1, F.lit(k)))),
+                    1, 16,
+                ).alias("sh"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,sh:string>>"))
+    shingles = toks.select("id", F.explode(sh_structs).alias("s")).select(
+        "id", "s.pos", "s.sh"
+    )
+    dup_sh = (
+        shingles.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("sh")
+    )
+    poss = (
+        shingles.join(dup_sh, "sh", "left_semi")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("poss"))
+    )
+    out = toks.join(poss, "id")
+    cov = F.array_sort(
+        F.array_distinct(
+            F.flatten(
+                F.transform(F.col("poss"), lambda p: F.sequence(p, p + k - 1))
+            )
+        )
+    )
+    out = out.withColumn("cov", cov)
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.size("ws") - 1),
+            lambda i: F.when(
+                ~F.array_contains(F.col("cov"), i), F.element_at(F.col("ws"), i + 1)
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    m = F.greatest(F.size("cov") - 1, F.lit(0))
+    gaps = F.zip_with(
+        F.slice(F.col("cov"), 2, m), F.slice(F.col("cov"), 1, m),
+        lambda a, b: a - b,
+    )
+    return out.select(
+        "id",
+        F.concat_ws(" ", kept).alias("text_clean"),
+        F.size("cov").cast("long").alias("n_tokens_removed"),
+        (F.lit(1) + F.size(F.filter(gaps, lambda d: d > 1)))
+        .cast("long")
+        .alias("n_dup_spans"),
+    )

@@ -211,3 +211,36 @@ SELECT shard, seq_id, k AS {key_alias},
        CAST(greatest(seq_id * {budget}, start) - seq_id * {budget} AS BIGINT) AS seq_offset
 FROM binned
 """.strip()
+
+
+def shuffle_windows(
+    windows: DataFrame,
+    seed: str = "shuffle42",
+    partitions: int | None = None,
+    stream_cols: tuple[str, ...] = ("split",),
+) -> DataFrame:
+    """Deterministic global pseudo-random training order for packed
+    windows — the "shuffle the corpus before training" step. Every window
+    gets ``order_key = md5(seed:stream…:shard:seq_id)`` (a pure function
+    of the window's identity, so the order is reproducible and
+    layout/cluster-size independent), and the frame is range-partitioned +
+    sorted by that key: reading the written files in partition order IS
+    the shuffled order, with no single-partition global sort.
+
+    Scale: one range exchange (RangePartitioner samples boundaries —
+    sample-dependent boundaries only move rows between adjacent files;
+    the TOTAL order, each partition a contiguous sorted key range, is the
+    same regardless), then a per-partition sort. Re-keying with a new
+    seed re-shuffles for another epoch without touching the window
+    payloads."""
+    key = F.md5(
+        F.concat_ws(
+            ":", F.lit(seed), *[F.col(c) for c in stream_cols],
+            F.col("shard").cast("string"), F.col("seq_id").cast("string"),
+        )
+    )
+    out = windows.withColumn("order_key", key)
+    p = partitions or windows.sparkSession.sparkContext.defaultParallelism
+    return out.repartitionByRange(p, "order_key").sortWithinPartitions(
+        "order_key"
+    )

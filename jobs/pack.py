@@ -71,6 +71,8 @@ def run_pack(
     splits: dict[str, float] | None = None,
     materialize: bool = False,
     seed: str = "pack42",
+    shuffle_windows: bool = False,
+    shuffle_seed: str = "shuffle42",
 ) -> dict:
     from pyspark.sql import Observation
 
@@ -79,6 +81,7 @@ def run_pack(
     from doc_agent_spark.sinks.metrics import completed_partitions
 
     t0 = time.time()
+    materialize = materialize or shuffle_windows  # order needs the windows
     docs = (
         spark.read.parquet(input_path) if "/" in input_path
         else spark.read.table(input_path)
@@ -130,6 +133,18 @@ def run_pack(
         windows.write.mode("overwrite").partitionBy("shard").parquet(
             output_path.rstrip("/") + "_windows"
         )
+        if shuffle_windows:
+            # Deterministic global training order over the COMPLETE window
+            # set (this run's + previously-committed shards): the order key
+            # spans shards, so this is a whole-output final pass, re-run
+            # from the windows dir each time (cheap: one range exchange) —
+            # not a per-shard resumable unit.
+            all_windows = spark.read.parquet(
+                output_path.rstrip("/") + "_windows"
+            )
+            packing.shuffle_windows(all_windows, seed=shuffle_seed).write.mode(
+                "overwrite"
+            ).parquet(output_path.rstrip("/") + "_windows_shuffled")
 
     # Lineage from the INPUT shard set (left-joined to plan aggregates):
     # a shard whose docs all tokenize to zero writes no plan rows but must
@@ -191,6 +206,12 @@ def main() -> None:
     ap.add_argument("--splits", default="train=0.9,val=0.05,test=0.05")
     ap.add_argument("--materialize", action="store_true",
                     help="also write the assembled token windows")
+    ap.add_argument("--shuffle-windows", action="store_true",
+                    help="also write the windows in a deterministic "
+                         "pseudo-random global training order "
+                         "(implies --materialize)")
+    ap.add_argument("--shuffle-seed", default="shuffle42",
+                    help="order-key seed; a new seed = a new epoch order")
     args = ap.parse_args()
 
     from extract import ship_package  # same zip+addPyFile bootstrap
@@ -202,7 +223,8 @@ def main() -> None:
     stats = run_pack(
         spark, args.input, args.output, args.lineage, args.metrics,
         args.run_id, args.budget, args.shards, parse_splits(args.splits),
-        args.materialize,
+        args.materialize or args.shuffle_windows,
+        shuffle_windows=args.shuffle_windows, shuffle_seed=args.shuffle_seed,
     )
     print(stats)
     spark.stop()

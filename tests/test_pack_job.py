@@ -186,3 +186,36 @@ def test_curate_output_feeds_pack(spark, tmp_path_factory):
     assert pstats["tokens"] == expected
     wins = spark.read.parquet(pack_out + "_windows")
     assert wins.agg(F.sum("n_tokens")).collect()[0][0] == expected
+
+
+def test_shuffle_windows_artifact(spark, tmp_path_factory):
+    """--shuffle-windows writes the full window set re-ordered by the
+    deterministic order key: same windows as the per-shard dir, key =
+    md5(seed:split:shard:seq_id), and file key-ranges are disjoint (range
+    partitioning), so reading files in order replays the shuffled order."""
+    d = tmp_path_factory.mktemp("pack_shuffle")
+    rows = [(i, f"doc {i} " + ("alpha beta gamma delta " * (1 + i % 5)))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    in_p = str(d / "in.parquet")
+    df.write.parquet(in_p)
+    out, lin, met = (str(d / x) for x in ("out", "lineage", "metrics"))
+    run_pack(
+        spark, in_p, out, lin, met, run_id="ps", budget=64, shards=4,
+        shuffle_windows=True, shuffle_seed="e1",
+    )
+    wins = spark.read.parquet(out + "_windows")
+    shuf = spark.read.parquet(out + "_windows_shuffled")
+    assert shuf.count() == wins.count()
+    expect_key = F.md5(F.concat_ws(
+        ":", F.lit("e1"), F.col("split"),
+        F.col("shard").cast("string"), F.col("seq_id").cast("string")))
+    assert shuf.filter(F.col("order_key") != expect_key).count() == 0
+    files = (
+        shuf.select(F.input_file_name().alias("f"), "order_key")
+        .groupBy("f").agg(F.min("order_key").alias("lo"),
+                          F.max("order_key").alias("hi"))
+        .orderBy("lo").collect()
+    )
+    for prev, cur in zip(files, files[1:]):
+        assert prev["hi"] <= cur["lo"]  # disjoint file key ranges

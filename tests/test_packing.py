@@ -169,3 +169,30 @@ def test_random_corpus_invariants(spark):
         shard_mass[r.shard] = shard_mass.get(r.shard, 0) + r.slice_len
     for shard, mass in shard_mass.items():
         assert last[shard] + 1 == -(-mass // 257)
+
+
+def test_shuffle_windows_deterministic_global_order(spark, corpus):
+    wins = _plan(corpus, n_shards=4).select("shard", "seq_id").distinct()
+    a = packing.shuffle_windows(
+        wins.repartition(5), seed="s1", partitions=3, stream_cols=()
+    )
+    b = packing.shuffle_windows(
+        wins.repartition(1), seed="s1", partitions=2, stream_cols=()
+    )
+    # toLocalIterator yields partitions in index order: range partitioning
+    # + within-partition sort must produce one globally sorted sequence,
+    # identical regardless of input layout or partition count
+    oa = [r["order_key"] for r in a.toLocalIterator()]
+    ob = [r["order_key"] for r in b.toLocalIterator()]
+    assert oa == sorted(oa) and oa == ob
+    assert len(oa) == wins.count()
+
+
+def test_shuffle_windows_seed_changes_the_permutation(spark, corpus):
+    wins = _plan(corpus, n_shards=4).select("shard", "seq_id").distinct()
+    one = [(r["shard"], r["seq_id"]) for r in packing.shuffle_windows(
+        wins, seed="epoch1", partitions=2, stream_cols=()).toLocalIterator()]
+    two = [(r["shard"], r["seq_id"]) for r in packing.shuffle_windows(
+        wins, seed="epoch2", partitions=2, stream_cols=()).toLocalIterator()]
+    assert sorted(one) == sorted(two)  # same windows
+    assert one != two                  # different epoch order

@@ -19,6 +19,16 @@ deterministic function of the input, so a crash before the artifact commits
 just rebuilds it identically; stripping happens BEFORE content-hash
 bucketing so dedup sees the cleaned text.
 
+Fuzzy (near-duplicate) dedup (``--fuzzy-jaccard T``) is a corpus-stat
+stage too: MinHash-LSH candidates → exact-Jaccard verify at threshold T →
+connected components → every non-canonical member (cluster id ≠ doc id)
+goes into a persisted DROP LIST (``--fuzzy-drops`` path, default
+``<output>_fuzzy_drops``). Near-dup pairs cross content-hash buckets, so
+the drop list cannot be a per-bucket computation — it is computed once
+per run over the post-strip corpus and every bucket (including resumes)
+anti-joins the same committed artifact; exact dedup inside the buckets
+then handles byte-identical survivors as before.
+
 LM-perplexity filtering (``--lm-max-ce X``, CCNet-style) is the second
 corpus-stat stage: the stupid-backoff bigram count model
 (operators/lm_quality.py) is trained once per run over the (post-strip)
@@ -117,6 +127,31 @@ def _load_or_build_boilerplate(spark, docs, path: str, min_docs: int):
     return spark.read.parquet(path), False
 
 
+def _load_or_build_fuzzy_drops(spark, docs, path: str, threshold: float,
+                               minhash_k: int = 8, bands: int = 4):
+    """Corpus-stat checkpoint: the near-duplicate drop list (doc ids that
+    are non-canonical members of a verified near-dup cluster). Generate
+    (MinHash-LSH banding) → verify (exact n-gram Jaccard >= threshold) →
+    cluster (connected components) → drop everyone but the min-id member.
+    Deterministic function of the input; rebuilt identically after a crash
+    before the parquet commit."""
+    from doc_agent_spark.operators import dedup as dedup_ops
+
+    try:
+        return spark.read.parquet(path), True
+    except Exception:
+        pass
+    cand = dedup_ops.minhash_lsh_pairs(docs, k=minhash_k, bands=bands)
+    verified = dedup_ops.verify_pairs_jaccard(cand, docs, threshold=threshold)
+    clusters = dedup_ops.dup_clusters(verified.select("id_a", "id_b"))
+    drops = (
+        clusters.filter(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    drops.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path), False
+
+
 def _load_or_build_lm(spark, docs, path: str, min_count: int):
     """Corpus-stat checkpoint #2: the stupid-backoff bigram count model.
     Three tables (unigrams / bigrams / totals); totals is written LAST, so
@@ -155,6 +190,8 @@ def run_curate(
     lm_max_ce: float | None = None,
     lm_min_count: int = 2,
     lm_model_path: str | None = None,
+    fuzzy_jaccard: float | None = None,
+    fuzzy_drops_path: str | None = None,
 ) -> dict:
     from pyspark.sql import Observation
 
@@ -190,6 +227,17 @@ def run_curate(
         )
     else:
         docs = docs.withColumn("n_lines_removed", F.lit(0).cast("long"))
+    fuzzy_reused = None
+    n_fuzzy_dropped = 0
+    if fuzzy_jaccard is not None:
+        fpath = fuzzy_drops_path or (output_path.rstrip("/") + "_fuzzy_drops")
+        drops, fuzzy_reused = _load_or_build_fuzzy_drops(
+            spark, docs, fpath, fuzzy_jaccard
+        )
+        n_fuzzy_dropped = drops.count()
+        # no broadcast hint: the drop list scales with near-dup mass, not
+        # with a model size — let AQE pick broadcast vs shuffle join
+        docs = docs.join(drops, "doc_id", "left_anti")
     lm_reused = None
     if lm_max_ce is not None:
         from doc_agent_spark.operators import lm_quality
@@ -283,6 +331,8 @@ def run_curate(
         "lines_removed": int(m["lines_removed"] or 0),
         "boilerplate_artifact_reused": boiler_reused,
         "lm_artifact_reused": lm_reused,
+        "fuzzy_artifact_reused": fuzzy_reused,
+        "fuzzy_dropped": n_fuzzy_dropped,
         "resumed_buckets_skipped": len(done),
         "wall_ms": wall_ms,
     }
@@ -313,6 +363,13 @@ def main() -> None:
     ap.add_argument("--lm-model", default=None,
                     help="path for the persisted LM count model "
                          "(default <output>_lm_model)")
+    ap.add_argument("--fuzzy-jaccard", type=float, default=None,
+                    help="drop near-duplicate docs (MinHash-LSH candidates "
+                         "verified at this exact-Jaccard threshold; "
+                         "unset = off)")
+    ap.add_argument("--fuzzy-drops", default=None,
+                    help="path for the persisted near-dup drop list "
+                         "(default <output>_fuzzy_drops)")
     args = ap.parse_args()
 
     from extract import ship_package  # same zip+addPyFile bootstrap
@@ -327,6 +384,7 @@ def main() -> None:
         args.langs.split(",") if args.langs else None, args.sample_fraction,
         args.strip_min_docs, args.boilerplate_lines,
         args.lm_max_ce, args.lm_min_count, args.lm_model,
+        args.fuzzy_jaccard, args.fuzzy_drops,
     )
     print(stats)
     spark.stop()

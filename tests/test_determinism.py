@@ -87,6 +87,10 @@ _DET_QUERIES = [
     # round-3 continuation: packing (per-shard window), split/mixture
     # (hash bands + driver-side IEEE rate math), trigram top-k ties
     "pack_sequences", "deterministic_samples", "top_trigrams",
+    # round-3 continuation: LM cross-entropy (order-sensitive double sums
+    # bounded by the final 1e-6 round) and duplicated-span removal
+    # (collect_list positions re-sorted before the span merge)
+    "quality_tokens", "exact_fingerprint_dups",
 ]
 
 

@@ -70,26 +70,39 @@ def _bigram_pairs(text_col):
     )
 
 
-def corpus_bigram_lm(
-    docs: DataFrame, text_col: str = "text", min_count: int = 2
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Train the count model: (model_unigrams[w,c], model_bigrams[w1,w2,cb],
-    totals[t]). Two hash aggregates; min_count truncation applied AFTER
-    counting (so T covers the full corpus)."""
-    text = F.col(text_col)
-    uni = (
-        docs.select(F.explode(words_of(text)).alias("w"))
+def corpus_unigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Full (untruncated) unigram counts (w, c) — one hash aggregate."""
+    return (
+        docs.select(F.explode(words_of(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    totals = uni.agg(F.sum("c").cast("double").alias("t"))
-    big = (
-        docs.select(F.explode(_bigram_pairs(text)).alias("p"))
+
+
+def corpus_bigrams(
+    docs: DataFrame, min_count: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Truncated bigram counts (w1, w2, cb >= min_count) — one hash agg."""
+    return (
+        docs.select(F.explode(_bigram_pairs(F.col(text_col))).alias("p"))
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("cb"))
         .filter(F.col("cb") >= min_count)
     )
+
+
+def corpus_bigram_lm(
+    docs: DataFrame, text_col: str = "text", min_count: int = 2
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the count model: (model_unigrams[w,c], model_bigrams[w1,w2,cb],
+    totals[t]). Two hash aggregates; min_count truncation applied AFTER
+    counting (so T covers the full corpus). Callers that persist the model
+    (jobs/curate.py) derive totals from the committed unigram table instead
+    — this lazy composition re-runs the unigram aggregate for totals."""
+    uni = corpus_unigrams(docs, text_col)
+    totals = uni.agg(F.sum("c").cast("double").alias("t"))
+    big = corpus_bigrams(docs, min_count, text_col)
     return uni.filter(F.col("c") >= min_count), big, totals
 
 
@@ -130,8 +143,12 @@ def doc_cross_entropy(
         )
         .join(F.broadcast(totals))  # one-row totals: broadcast cross join
     )
+    # The seen arm also requires c1: under min_count truncation alone
+    # c(w1) >= c(w1,w2) guarantees it, but a top_v_unigrams rank cap can
+    # evict w1 while its bigram survives — such bigrams must fall through
+    # to backoff, not poison the doc's sum with a NULL log.
     lp = (
-        F.when(F.col("cb").isNotNull(),
+        F.when(F.col("cb").isNotNull() & F.col("c1").isNotNull(),
                F.log(F.col("cb").cast("double") / F.col("c1")))
         .when(F.col("c2").isNotNull(),
               F.log(F.lit(alpha) * F.col("c2").cast("double") / F.col("t")))

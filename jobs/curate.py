@@ -111,53 +111,59 @@ def curate_bucket_plan(docs, min_quality: float, langs: list[str] | None,
     )
 
 
-def _load_or_build_boilerplate(spark, docs, path: str, min_docs: int):
-    """Corpus-stat checkpoint: the ≥min_docs line set, computed once and
-    persisted; a resume (or a second shard of the same run) reads the
-    committed artifact instead of rescanning the corpus. Deterministic
-    function of the input ⇒ a crash before the parquet commit rebuilds the
-    identical set."""
+def _load_or_build(spark, path: str, build):
+    """Corpus-stat checkpoint: try the committed parquet artifact, else run
+    ``build()`` (which must return the frame to persist), write it, and
+    read the committed copy back. Every artifact is a deterministic
+    function of the input, so a crash before the parquet commit just
+    rebuilds the identical frame. Returns (frame, reused)."""
+    try:
+        return spark.read.parquet(path), True
+    except Exception:
+        pass
+    build().write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path), False
+
+
+def _boilerplate_build(docs, min_docs: int):
+    """The ≥min_docs line set (shared header/footer boilerplate)."""
     from doc_agent_spark.operators.dedup import boilerplate_lines
 
-    try:
-        return spark.read.parquet(path), True
-    except Exception:
-        pass
-    boilerplate_lines(docs, min_docs=min_docs).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path), False
+    return lambda: boilerplate_lines(docs, min_docs=min_docs)
 
 
-def _load_or_build_fuzzy_drops(spark, docs, path: str, threshold: float,
-                               minhash_k: int = 8, bands: int = 4):
-    """Corpus-stat checkpoint: the near-duplicate drop list (doc ids that
-    are non-canonical members of a verified near-dup cluster). Generate
-    (MinHash-LSH banding) → verify (exact n-gram Jaccard >= threshold) →
-    cluster (connected components) → drop everyone but the min-id member.
-    Deterministic function of the input; rebuilt identically after a crash
-    before the parquet commit."""
+def _fuzzy_drops_build(docs, threshold: float, minhash_k: int = 8,
+                       bands: int = 4):
+    """The near-duplicate drop list: generate (MinHash-LSH banding) →
+    verify (exact n-gram Jaccard >= threshold) → cluster → drop everyone
+    but the min-id member of each component."""
     from doc_agent_spark.operators import dedup as dedup_ops
 
-    try:
-        return spark.read.parquet(path), True
-    except Exception:
-        pass
-    cand = dedup_ops.minhash_lsh_pairs(docs, k=minhash_k, bands=bands)
-    verified = dedup_ops.verify_pairs_jaccard(cand, docs, threshold=threshold)
-    clusters = dedup_ops.dup_clusters(verified.select("id_a", "id_b"))
-    drops = (
-        clusters.filter(F.col("id") != F.col("cluster_id"))
-        .select(F.col("id").alias("doc_id"))
-    )
-    drops.write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path), False
+    def build():
+        cand = dedup_ops.minhash_lsh_pairs(docs, k=minhash_k, bands=bands)
+        verified = dedup_ops.verify_pairs_jaccard(
+            cand, docs, threshold=threshold
+        )
+        # star contraction, not min-label: verified-Jaccard components can
+        # be CHAINS (serial edit histories), and min-label needs
+        # O(diameter) rounds while star converges in O(log n) for any shape
+        clusters = dedup_ops.dup_clusters_star(
+            verified.select("id_a", "id_b")
+        )
+        return clusters.filter(F.col("id") != F.col("cluster_id")).select(
+            F.col("id").alias("doc_id")
+        )
+
+    return build
 
 
 def _load_or_build_lm(spark, docs, path: str, min_count: int):
-    """Corpus-stat checkpoint #2: the stupid-backoff bigram count model.
-    Three tables (unigrams / bigrams / totals); totals is written LAST, so
-    a crash mid-artifact leaves totals unreadable and the whole model
-    rebuilds — identically, since it is a deterministic function of the
-    input."""
+    """Corpus-stat checkpoint for the stupid-backoff bigram count model —
+    bespoke (three tables) rather than via :func:`_load_or_build`: totals
+    is written LAST, so a crash mid-artifact leaves totals unreadable and
+    the whole model rebuilds identically. Totals aggregates from the
+    COMMITTED unigram parquet, not the unigram lineage — re-deriving it
+    lazily would re-run the full-corpus unigram aggregate a second time."""
     from doc_agent_spark.operators import lm_quality
 
     paths = [f"{path}/uni", f"{path}/big", f"{path}/tot"]
@@ -167,10 +173,24 @@ def _load_or_build_lm(spark, docs, path: str, min_count: int):
         return (uni, big, tot), True
     except Exception:
         pass
-    uni, big, tot = lm_quality.corpus_bigram_lm(docs, min_count=min_count)
-    uni.write.mode("overwrite").parquet(paths[0])
-    big.write.mode("overwrite").parquet(paths[1])
-    tot.write.mode("overwrite").parquet(paths[2])
+    uni_full = lm_quality.corpus_unigrams(docs)
+    uni_full.filter(F.col("c") >= min_count).write.mode("overwrite").parquet(
+        paths[0]
+    )
+    # one corpus pass for unigrams happened above; T must cover the FULL
+    # counts (min_count truncates the model, not the denominator), so
+    # totals comes from a second, model-building-free pass over the raw
+    # unigram aggregate — cache it to avoid re-scanning the corpus
+    uni_full.persist()
+    try:
+        lm_quality.corpus_bigrams(docs, min_count).write.mode(
+            "overwrite"
+        ).parquet(paths[1])
+        uni_full.agg(F.sum("c").cast("double").alias("t")).write.mode(
+            "overwrite"
+        ).parquet(paths[2])
+    finally:
+        uni_full.unpersist()
     return tuple(spark.read.parquet(p) for p in paths), False
 
 
@@ -207,8 +227,8 @@ def run_curate(
     boiler_reused = None
     if strip_min_docs > 0:
         bpath = boilerplate_path or (output_path.rstrip("/") + "_boilerplate_lines")
-        boiler, boiler_reused = _load_or_build_boilerplate(
-            spark, docs, bpath, strip_min_docs
+        boiler, boiler_reused = _load_or_build(
+            spark, bpath, _boilerplate_build(docs, strip_min_docs)
         )
         stripped = dedup_ops.strip_duplicated_lines(
             docs, min_docs=strip_min_docs, boiler=boiler
@@ -231,8 +251,8 @@ def run_curate(
     n_fuzzy_dropped = 0
     if fuzzy_jaccard is not None:
         fpath = fuzzy_drops_path or (output_path.rstrip("/") + "_fuzzy_drops")
-        drops, fuzzy_reused = _load_or_build_fuzzy_drops(
-            spark, docs, fpath, fuzzy_jaccard
+        drops, fuzzy_reused = _load_or_build(
+            spark, fpath, _fuzzy_drops_build(docs, fuzzy_jaccard)
         )
         n_fuzzy_dropped = drops.count()
         # no broadcast hint: the drop list scales with near-dup mass, not

@@ -138,10 +138,32 @@ def run_pack(
             # set (this run's + previously-committed shards): the order key
             # spans shards, so this is a whole-output final pass, re-run
             # from the windows dir each time (cheap: one range exchange) —
-            # not a per-shard resumable unit.
-            all_windows = spark.read.parquet(
-                output_path.rstrip("/") + "_windows"
-            )
+            # not a per-shard resumable unit. Guard completeness first: a
+            # prior run WITHOUT --materialize marks shards done in lineage
+            # but never wrote their windows, and silently shuffling a
+            # partial window set would train on a truncated corpus.
+            try:
+                all_windows = spark.read.parquet(
+                    output_path.rstrip("/") + "_windows"
+                )
+                have = {r["shard"] for r in
+                        all_windows.select("shard").distinct().collect()}
+            except Exception:  # schema-less dir: nothing materialized yet
+                all_windows, have = None, set()
+            # every shard that produced plan windows must be present
+            need = {r["shard"] for r in
+                    spark.read.parquet(output_path)
+                    .filter(F.col("seq_offset") == 0)
+                    .select("shard").distinct().collect()}
+            missing = sorted(need - have)
+            if missing:
+                raise RuntimeError(
+                    f"--shuffle-windows: windows dir is missing shards "
+                    f"{missing[:10]}{'...' if len(missing) > 10 else ''} "
+                    f"(a prior run committed them without --materialize); "
+                    f"re-run the full pack with --materialize into a fresh "
+                    f"output/run-id before shuffling"
+                )
             packing.shuffle_windows(all_windows, seed=shuffle_seed).write.mode(
                 "overwrite"
             ).parquet(output_path.rstrip("/") + "_windows_shuffled")
@@ -223,7 +245,7 @@ def main() -> None:
     stats = run_pack(
         spark, args.input, args.output, args.lineage, args.metrics,
         args.run_id, args.budget, args.shards, parse_splits(args.splits),
-        args.materialize or args.shuffle_windows,
+        args.materialize,  # run_pack owns the shuffle-implies-materialize rule
         shuffle_windows=args.shuffle_windows, shuffle_seed=args.shuffle_seed,
     )
     print(stats)

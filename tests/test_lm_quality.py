@@ -84,3 +84,30 @@ def test_plan_broadcast_joins_no_python(spark, sf_dir):
                 "CartesianProduct", "SortMergeJoin"):
         assert bad not in plan, f"lm scoring path contains {bad}"
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_top_v_cap_falls_back_instead_of_nulling(spark):
+    # 'q r' is a frequent bigram but both words rank below the v=2 cap
+    # (a:6, b:6 dominate); the seen arm must NOT fire with a NULL c1 —
+    # the bigram falls through to the unk arm and lm_ce stays non-null.
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b a b a b"), (3, "q r q r")],
+        ["doc_id", "text"],
+    )
+    uni, big, tot = lm_quality.corpus_bigram_lm(df, min_count=2)
+    capped = lm_quality.top_v_unigrams(uni, 2)
+    rows = {r["doc_id"]: r for r in
+            lm_quality.doc_cross_entropy(df, capped, big, tot).collect()}
+    assert rows[3]["lm_ce"] is not None
+    # every doc-3 bigram resolves via the unk arm: ln(0.4 / T), T=16
+    import math
+    assert rows[3]["lm_ce"] == pytest.approx(
+        round(-math.log(0.4 / 16), 6), abs=1e-9)
+
+
+def test_factored_builders_match_combined(spark, tiny):
+    uni, big, tot = lm_quality.corpus_bigram_lm(tiny, min_count=2)
+    uni2 = lm_quality.corpus_unigrams(tiny).filter("c >= 2")
+    big2 = lm_quality.corpus_bigrams(tiny, 2)
+    assert sorted(map(tuple, uni.collect())) == sorted(map(tuple, uni2.collect()))
+    assert sorted(map(tuple, big.collect())) == sorted(map(tuple, big2.collect()))

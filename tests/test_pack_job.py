@@ -219,3 +219,22 @@ def test_shuffle_windows_artifact(spark, tmp_path_factory):
     )
     for prev, cur in zip(files, files[1:]):
         assert prev["hi"] <= cur["lo"]  # disjoint file key ranges
+
+
+def test_shuffle_windows_refuses_partial_window_set(spark, tmp_path_factory):
+    """A prior run without --materialize marks shards done but writes no
+    windows; a later --shuffle-windows resume must fail loudly instead of
+    shuffling a truncated corpus."""
+    import pytest
+
+    d = tmp_path_factory.mktemp("pack_shuffle_partial")
+    rows = [(i, f"doc {i} " + ("alpha beta gamma delta " * (1 + i % 5)))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    in_p = str(d / "in.parquet")
+    df.write.parquet(in_p)
+    out, lin, met = (str(d / x) for x in ("out", "lineage", "metrics"))
+    run_pack(spark, in_p, out, lin, met, run_id="pp", budget=64, shards=4)
+    with pytest.raises(RuntimeError, match="missing shards"):
+        run_pack(spark, in_p, out, lin, met, run_id="pp", budget=64,
+                 shards=4, shuffle_windows=True)

@@ -273,3 +273,24 @@ def test_assemble_windows_is_join_plus_one_agg(spark):
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert bad not in plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_span_removal_shuffles_hash_prefixes_not_tokens(spark, sf_dir):
+    """remove_duplicated_spans: the shingle-occurrence aggregate and the
+    semi-join key is the 16-hex-char md5 prefix; the token arrays must not
+    ride those exchanges (they re-enter only at the final per-doc join)."""
+    from doc_agent_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _plan(dd.remove_duplicated_spans(docs, k=5, min_count=2))
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
+                "Window"):
+        assert bad not in plan
+    # every hashpartitioning exchange keys on sh or id — never ws/text
+    import re
+
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        assert "ws" not in keys and "text" not in keys, keys

@@ -976,34 +976,12 @@ def semdedup_drops(
     )
 
 
-def remove_duplicated_spans(
-    df: DataFrame,
-    k: int = 5,
-    min_count: int = 2,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Exact duplicated-SPAN removal (Lee et al. 2021, "Deduplicating
-    Training Data Makes Language Models Better"): any k-token window whose
-    exact text occurs >= min_count times in the corpus (all occurrences
-    counted, same-document repeats included) is removed from every document
-    that contains it; the reference paper does this with a corpus suffix
-    array — here the same semantics come from a shingle-occurrence count,
-    which is the Spark-native formulation (one hash aggregate instead of a
-    global suffix sort).
-
-    Returns (id, text_clean, n_tokens_removed, n_dup_spans) for documents
-    that had at least one duplicated span. text_clean = the surviving
-    tokens (repo tokenizer: ``words_of``) joined by single spaces — token-
-    level removal, mirroring the paper's "drop the repeated substring".
-
-    Scale: the shingle count is the one honest O(corpus-tokens) shuffle of
-    exact substring dedup (the suffix-array build pays the same sort);
-    shingles shuffle as 16-hex-char md5 prefixes (8 bytes of entropy, ~2e19
-    keyspace), never text. The hit list per doc is positions-only; span
-    merging and token filtering are per-document array expressions — small
-    (doc-sized) interpreted folds, no Python, no extra shuffle beyond the
-    per-doc position collect."""
+def _positioned_shingles(df: DataFrame, k: int, id_col: str,
+                         text_col: str) -> DataFrame:
+    """(id, pos, sh): every k-token window's 0-based start position and
+    16-hex-char md5 prefix (8 bytes of entropy — the shuffle key; raw
+    shingle text never leaves the projection). Docs with < k tokens emit
+    no rows."""
     ws = words_of(F.col(text_col))
     toks = df.select(F.col(id_col).alias("id"), ws.alias("ws"))
     n = F.size("ws")
@@ -1020,17 +998,79 @@ def remove_duplicated_spans(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,sh:string>>"))
-    shingles = toks.select("id", F.explode(sh_structs).alias("s")).select(
+    return toks.select("id", F.explode(sh_structs).alias("s")).select(
         "id", "s.pos", "s.sh"
     )
-    dup_sh = (
-        shingles.groupBy("sh")
+
+
+def duplicated_shingles(
+    df: DataFrame,
+    k: int = 5,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The corpus-stat half of exact substring dedup: the (sh) set of
+    k-token windows occurring >= min_count times corpus-wide (all
+    occurrences counted, same-document repeats included). Persistable —
+    jobs/curate.py checkpoints it like the boilerplate line set."""
+    return (
+        _positioned_shingles(df, k, id_col, text_col)
+        .groupBy("sh")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= min_count)
         .select("sh")
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    k: int = 5,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-SPAN removal (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): any k-token window whose
+    exact text occurs >= min_count times in the corpus (all occurrences
+    counted, same-document repeats included) is removed from every document
+    that contains it; the reference paper does this with a corpus suffix
+    array — here the same semantics come from a shingle-occurrence count,
+    which is the Spark-native formulation (one hash aggregate instead of a
+    global suffix sort). Composition of :func:`duplicated_shingles` (the
+    persistable corpus statistic) and :func:`strip_duplicated_spans` (the
+    apply half)."""
+    dup_sh = duplicated_shingles(df, k, min_count, id_col, text_col)
+    return strip_duplicated_spans(df, dup_sh, k, id_col, text_col)
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    dup_sh: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a duplicated-shingle set: returns (id, text_clean,
+    n_tokens_removed, n_dup_spans) for documents containing at least one
+    duplicated span (untouched docs are absent — merge with a left join +
+    coalesce). ``dup_sh`` must come from :func:`duplicated_shingles` with
+    the SAME k and tokenizer. text_clean = the surviving tokens (repo
+    tokenizer: ``words_of``) joined by single spaces — token-level removal,
+    mirroring the paper's "drop the repeated substring".
+
+    Scale: the shingle count behind ``dup_sh`` is the one honest
+    O(corpus-tokens) shuffle of exact substring dedup (the suffix-array
+    build pays the same sort); shingles shuffle as 16-hex-char md5
+    prefixes, never text. The hit list per doc is positions-only; span
+    merging and token filtering are per-document array expressions — small
+    (doc-sized) interpreted folds, no Python, no extra shuffle beyond the
+    per-doc position collect."""
+    ws = words_of(F.col(text_col))
+    toks = df.select(F.col(id_col).alias("id"), ws.alias("ws"))
+    shingles = _positioned_shingles(df, k, id_col, text_col)
     poss = (
-        shingles.join(dup_sh, "sh", "left_semi")
+        shingles.join(dup_sh.select("sh"), "sh", "left_semi")
         .groupBy("id")
         .agg(F.sort_array(F.collect_list("pos")).alias("poss"))
     )

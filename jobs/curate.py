@@ -1,6 +1,7 @@
 """Checkpoint-resumable training-data curation job — the second deployable
 stage (same resume model as jobs/extract.py, applied to the curation
-funnel: [boilerplate-line strip] → dedup → quality/language/[LM-perplexity]
+funnel: [boilerplate-line strip] → [duplicated-span removal] →
+[fuzzy near-dup drop] → exact dedup → quality/language/[LM-perplexity]
 filter → PII redaction → deterministic sampling).
 
     spark-submit --py-files dist.zip jobs/curate.py \\
@@ -18,6 +19,15 @@ a resume — anti-joins against the same persisted artifact. The set is a
 deterministic function of the input, so a crash before the artifact commits
 just rebuilds it identically; stripping happens BEFORE content-hash
 bucketing so dedup sees the cleaned text.
+
+Duplicated-SPAN removal (``--span-k K > 0``, Lee et al. 2021 exact
+substring dedup) is a corpus-stat stage too: the set of k-token windows
+occurring ≥ ``--span-min-count`` times corpus-wide is computed once,
+persisted (``--span-shingles`` path, default ``<output>_dup_shingles``),
+and every document drops its covered tokens BEFORE content-hash
+bucketing — so exact dedup sees the cleaned text, exactly like the line
+strip. Runs after the line strip (its shingles come from the stripped
+text) and before fuzzy dedup / the LM model.
 
 Fuzzy (near-duplicate) dedup (``--fuzzy-jaccard T``) is a corpus-stat
 stage too: MinHash-LSH candidates → exact-Jaccard verify at threshold T →
@@ -212,6 +222,9 @@ def run_curate(
     lm_model_path: str | None = None,
     fuzzy_jaccard: float | None = None,
     fuzzy_drops_path: str | None = None,
+    span_k: int = 0,
+    span_min_count: int = 2,
+    span_shingles_path: str | None = None,
 ) -> dict:
     from pyspark.sql import Observation
 
@@ -247,6 +260,36 @@ def run_curate(
         )
     else:
         docs = docs.withColumn("n_lines_removed", F.lit(0).cast("long"))
+    span_reused = None
+    if span_k > 0:
+        from doc_agent_spark.operators import dedup as dedup_ops
+
+        spath = span_shingles_path or (output_path.rstrip("/") + "_dup_shingles")
+        dup_sh, span_reused = _load_or_build(
+            spark, spath,
+            lambda: dedup_ops.duplicated_shingles(
+                docs, k=span_k, min_count=span_min_count
+            ),
+        )
+        cleaned = dedup_ops.strip_duplicated_spans(docs, dup_sh, k=span_k)
+        docs = (
+            docs.join(
+                cleaned.select(
+                    F.col("id").alias("doc_id"),
+                    F.col("text_clean"), F.col("n_tokens_removed"),
+                ),
+                "doc_id", "left",
+            )
+            .withColumn("text", F.coalesce("text_clean", "text"))
+            .withColumn(
+                "span_tokens_removed",
+                F.coalesce("n_tokens_removed", F.lit(0)).cast("long"),
+            )
+            .drop("text_clean", "n_tokens_removed")
+            .withColumn("n_chars", F.length("text").cast("long"))
+        )
+    else:
+        docs = docs.withColumn("span_tokens_removed", F.lit(0).cast("long"))
     fuzzy_reused = None
     n_fuzzy_dropped = 0
     if fuzzy_jaccard is not None:
@@ -292,6 +335,7 @@ def run_curate(
         F.sum((F.col("_stage") >= 2).cast("long")).alias("after_filters"),
         F.sum((F.col("_stage") == 3).cast("long")).alias("kept"),
         F.sum("n_lines_removed").alias("lines_removed"),
+        F.sum("span_tokens_removed").alias("span_tokens_removed"),
     )
 
     out = (
@@ -349,7 +393,9 @@ def run_curate(
         "after_filters": int(m["after_filters"] or 0),
         "kept": int(m["kept"] or 0),
         "lines_removed": int(m["lines_removed"] or 0),
+        "span_tokens_removed": int(m["span_tokens_removed"] or 0),
         "boilerplate_artifact_reused": boiler_reused,
+        "span_artifact_reused": span_reused,
         "lm_artifact_reused": lm_reused,
         "fuzzy_artifact_reused": fuzzy_reused,
         "fuzzy_dropped": n_fuzzy_dropped,
@@ -390,6 +436,13 @@ def main() -> None:
     ap.add_argument("--fuzzy-drops", default=None,
                     help="path for the persisted near-dup drop list "
                          "(default <output>_fuzzy_drops)")
+    ap.add_argument("--span-k", type=int, default=0,
+                    help="remove k-token spans occurring >= --span-min-count "
+                         "times corpus-wide (0 = off)")
+    ap.add_argument("--span-min-count", type=int, default=2)
+    ap.add_argument("--span-shingles", default=None,
+                    help="path for the persisted duplicated-shingle set "
+                         "(default <output>_dup_shingles)")
     args = ap.parse_args()
 
     from extract import ship_package  # same zip+addPyFile bootstrap
@@ -405,6 +458,7 @@ def main() -> None:
         args.strip_min_docs, args.boilerplate_lines,
         args.lm_max_ce, args.lm_min_count, args.lm_model,
         args.fuzzy_jaccard, args.fuzzy_drops,
+        args.span_k, args.span_min_count, args.span_shingles,
     )
     print(stats)
     spark.stop()

@@ -73,6 +73,9 @@ def run_pack(
     seed: str = "pack42",
     shuffle_windows: bool = False,
     shuffle_seed: str = "shuffle42",
+    tokenizer: str = "bpe-ish",
+    bpe_merges: int = 200,
+    bpe_path: str | None = None,
 ) -> dict:
     from pyspark.sql import Observation
 
@@ -87,6 +90,32 @@ def run_pack(
         else spark.read.table(input_path)
     )
     docs = docs.withColumn("shard", packing.shard_of(F.col("doc_id"), shards, seed))
+
+    if tokenizer == "bpe":
+        # Learned-merge tokenizer: the merge table is a corpus statistic,
+        # trained once per run on the FULL input (before any resume
+        # filtering — a resumed run must tokenize identically) and
+        # persisted; the vocabulary-sized count collect is the only
+        # driver-side data movement (operators/tokenizer.py).
+        from doc_agent_spark.operators import tokenizer as tok
+
+        mpath = bpe_path or (output_path.rstrip("/") + "_bpe_merges")
+        try:
+            mrows = spark.read.parquet(mpath).orderBy("rank").collect()
+            merges = [(r["a"], r["b"]) for r in mrows]
+        except Exception:
+            merges = tok.train_bpe(docs, n_merges=bpe_merges)
+            spark.createDataFrame(
+                [(i, a, b) for i, (a, b) in enumerate(merges)],
+                "rank int, a string, b string",
+            ).write.mode("overwrite").parquet(mpath)
+        docs = tok.apply_bpe(docs, merges, out_col="_toks")
+        token_count_expr = F.size("_toks").cast("long")
+        tokens_expr = F.col("_toks")
+    else:
+        token_count_expr = textfns.bpe_ish_token_count(F.col("text")).cast("long")
+        tokens_expr = textfns.bpe_ish_tokens(F.col("text"))
+
     done = completed_partitions(spark, lineage_path, run_id, "pack")
     if done:
         docs = docs.filter(~F.col("shard").isin(*sorted(done)))
@@ -95,7 +124,7 @@ def run_pack(
         docs, splits or {"train": 0.9, "val": 0.05, "test": 0.05}, key_col="doc_id"
     ).select(
         "split", "shard", "doc_id",
-        textfns.bpe_ish_token_count(F.col("text")).alias("n_tokens"),
+        token_count_expr.alias("n_tokens"),
     )
     plan = packing.pack_chunks(
         staged, tokens_col="n_tokens", key_col="doc_id",
@@ -126,7 +155,7 @@ def run_pack(
         windows = packing.assemble_windows(
             committed,
             docs,
-            tokens=textfns.bpe_ish_tokens(F.col("text")),  # the plan's token space
+            tokens=tokens_expr,  # the SAME token space the plan counted
             key_col="doc_id",
             stream_cols=("split",),
         )
@@ -234,6 +263,15 @@ def main() -> None:
                          "(implies --materialize)")
     ap.add_argument("--shuffle-seed", default="shuffle42",
                     help="order-key seed; a new seed = a new epoch order")
+    ap.add_argument("--tokenizer", choices=("bpe-ish", "bpe"),
+                    default="bpe-ish",
+                    help="token space: the pretoken regex (bpe-ish) or a "
+                         "corpus-trained BPE with persisted merges (bpe)")
+    ap.add_argument("--bpe-merges", type=int, default=200,
+                    help="number of BPE merges to learn")
+    ap.add_argument("--bpe-path", default=None,
+                    help="path for the persisted merge table "
+                         "(default <output>_bpe_merges)")
     args = ap.parse_args()
 
     from extract import ship_package  # same zip+addPyFile bootstrap
@@ -247,6 +285,8 @@ def main() -> None:
         args.run_id, args.budget, args.shards, parse_splits(args.splits),
         args.materialize,  # run_pack owns the shuffle-implies-materialize rule
         shuffle_windows=args.shuffle_windows, shuffle_seed=args.shuffle_seed,
+        tokenizer=args.tokenizer, bpe_merges=args.bpe_merges,
+        bpe_path=args.bpe_path,
     )
     print(stats)
     spark.stop()

@@ -238,3 +238,42 @@ def test_shuffle_windows_refuses_partial_window_set(spark, tmp_path_factory):
     with pytest.raises(RuntimeError, match="missing shards"):
         run_pack(spark, in_p, out, lin, met, run_id="pp", budget=64,
                  shards=4, shuffle_windows=True)
+
+
+def test_bpe_tokenizer_pack(spark, tmp_path_factory):
+    """--tokenizer bpe: windows are sliced in the learned-BPE token space
+    (merged multi-char tokens, same conservation law), the merge table is
+    persisted, and a resume tokenizes with the committed merges."""
+    d = tmp_path_factory.mktemp("pack_bpe")
+    rows = [(i, "the data pipeline reads the table " * (1 + i % 3))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    in_p = str(d / "in.parquet")
+    df.write.parquet(in_p)
+    out, lin, met = (str(d / x) for x in ("out", "lineage", "metrics"))
+    stats = run_pack(
+        spark, in_p, out, lin, met, run_id="bp", budget=32, shards=4,
+        materialize=True, tokenizer="bpe", bpe_merges=50,
+    )
+    merges = spark.read.parquet(out + "_bpe_merges")
+    # the toy vocabulary exhausts its pairs before 50 merges — the early
+    # stop is part of the contract
+    assert 0 < merges.count() <= 50
+    windows = spark.read.parquet(out + "_windows")
+    toks = [t for r in windows.select("window_tokens").collect()
+            for t in r["window_tokens"]]
+    assert any(len(t) > 1 for t in toks)  # merges actually fired
+    # conservation in the BPE space: window tokens == corpus BPE tokens
+    from doc_agent_spark.operators import tokenizer as tok
+
+    mrows = merges.orderBy("rank").collect()
+    per_doc = tok.apply_bpe(df, [(r["a"], r["b"]) for r in mrows])
+    n_corpus = per_doc.select(
+        F.sum(F.size("bpe_tokens")).alias("n")).collect()[0]["n"]
+    assert stats["tokens"] == n_corpus == len(toks)
+    # resume: nothing re-runs, merges artifact untouched
+    r2 = run_pack(
+        spark, in_p, out, lin, met, run_id="bp", budget=32, shards=4,
+        materialize=True, tokenizer="bpe", bpe_merges=50,
+    )
+    assert r2["resumed_shards_skipped"] == 4 and r2["slices"] == 0

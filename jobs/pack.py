@@ -109,16 +109,19 @@ def run_pack(
                 [(i, a, b) for i, (a, b) in enumerate(merges)],
                 "rank int, a string, b string",
             ).write.mode("overwrite").parquet(mpath)
+        docs_plain = docs  # token-free paths must not pay the Python stage
         docs = tok.apply_bpe(docs, merges, out_col="_toks")
         token_count_expr = F.size("_toks").cast("long")
         tokens_expr = F.col("_toks")
     else:
+        docs_plain = docs
         token_count_expr = textfns.bpe_ish_token_count(F.col("text")).cast("long")
         tokens_expr = textfns.bpe_ish_tokens(F.col("text"))
 
     done = completed_partitions(spark, lineage_path, run_id, "pack")
     if done:
         docs = docs.filter(~F.col("shard").isin(*sorted(done)))
+        docs_plain = docs_plain.filter(~F.col("shard").isin(*sorted(done)))
 
     staged = sampling.split_assign(
         docs, splits or {"train": 0.9, "val": 0.05, "test": 0.05}, key_col="doc_id"
@@ -148,7 +151,7 @@ def run_pack(
         # (dynamic overwrite only replaces partitions this run writes);
         # folding those in would double-count docs whose shard id moved
         committed = spark.read.parquet(output_path).join(
-            docs.select("shard").distinct(), "shard", "left_semi"
+            docs_plain.select("shard").distinct(), "shard", "left_semi"
         )
         if done:
             committed = committed.filter(~F.col("shard").isin(*sorted(done)))
@@ -201,7 +204,9 @@ def run_pack(
     # a shard whose docs all tokenize to zero writes no plan rows but must
     # still be marked done, or it re-runs on every resume.
     wall_ms = int((time.time() - t0) * 1000)
-    shard_docs = docs.groupBy("shard").agg(F.count("*").alias("docs_in"))
+    # mapInPandas blocks column pruning, so the lineage count and the
+    # shard semi-join run on the un-tokenized frame
+    shard_docs = docs_plain.groupBy("shard").agg(F.count("*").alias("docs_in"))
     plan_agg = (
         spark.read.parquet(output_path)
         .groupBy("shard")

@@ -121,9 +121,18 @@ _PAGE_WEAVE_SQL = """
 """.strip()
 
 def _kmv_users_sql() -> str:
-    from doc_agent_spark.operators.sketches import kmv_sql
+    from doc_agent_spark.operators.sketches import cms_sql, kmv_sql
 
-    return kmv_sql("user_id", k=256).format(table="events")
+    kmv = kmv_sql("user_id", k=256).format(table="events")
+    cms = cms_sql("events", "event_type", depth=4, width=64)
+    return f"""
+SELECT 'kmv' AS variant, CAST(NULL AS VARCHAR) AS key,
+       CAST(k_used AS BIGINT) AS n, est, aux
+FROM (SELECT k_used, estimate AS est, kth_hash AS aux FROM ({kmv}))
+UNION ALL
+SELECT 'cms', v, n, CAST(cms_est AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM ({cms})
+""".strip()
 
 
 def _embedding_sql(text_expr: str, dim: int) -> str:
@@ -471,13 +480,35 @@ def incremental_reindex(spark, sf_dir):
 
 
 def kmv_distinct_users(spark, sf_dir):
-    """Mergeable KMV cardinality sketch over event users: deterministic
-    md5 uniforms make the sketch AND estimate bit-identical to the DuckDB
-    oracle — the per-task k-min reduction is the cluster merge shape."""
+    """Mergeable sketches, union-tagged: the KMV cardinality sketch over
+    event users (deterministic md5 uniforms — the per-task k-min reduction
+    is the cluster merge shape) ∪ a count-min frequency sketch over event
+    types (depth×width counter table; point estimates = min over rows,
+    exact count alongside). Both bit-identical to the DuckDB oracle."""
     from doc_agent_spark.operators import sketches
 
     ev = load(spark, sf_dir, "events")
-    return sketches.kmv_distinct_estimate(ev, "user_id", k=256)
+    a = sketches.kmv_distinct_estimate(ev, "user_id", k=256).select(
+        F.lit("kmv").alias("variant"),
+        F.lit(None).cast("string").alias("key"),
+        F.col("k_used").cast("long").alias("n"),
+        F.col("estimate").alias("est"),
+        F.col("kth_hash").alias("aux"),
+    )
+    sk = sketches.cms_sketch(ev, "event_type", depth=4, width=64)
+    est = sketches.cms_point_estimates(
+        ev.select("event_type").distinct(), sk, "event_type",
+        depth=4, width=64,
+    )
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    b = exact.join(est, "event_type").select(
+        F.lit("cms").alias("variant"),
+        F.col("event_type").alias("key"),
+        F.col("n"),
+        F.col("cms_est").cast("double").alias("est"),
+        F.lit(None).cast("double").alias("aux"),
+    )
+    return a.unionByName(b)
 
 
 def value_quantiles(spark, sf_dir):

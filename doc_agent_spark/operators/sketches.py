@@ -93,3 +93,88 @@ SELECT CAST(count(*) AS INTEGER) AS k_used,
                   ELSE ({k} - 1.0) / max(h) END, 4) AS estimate
 FROM hs
 """.strip()
+
+
+def cms_bucket(value: Column, row: int, width: int, seed: str = "cms") -> Column:
+    """Deterministic bucket for counter row ``row``: 48 md5 bits mod width
+    (md5 keeps the sketch bit-identical in the DuckDB oracle)."""
+    h = F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:{row}:"), value.cast("string"))), 1, 12
+    )
+    return (F.conv(h, 16, 10).cast("long") % width).cast("int")
+
+
+def cms_sketch(
+    df: DataFrame, value_col: str, depth: int = 4, width: int = 64,
+    seed: str = "cms",
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) as a counter table
+    (row, bucket, c) — depth×width cells regardless of corpus size.
+
+    100 TB shape: one narrow explode (depth rows per input row) into a
+    map-side-partial hash aggregate whose key space is depth×width — the
+    shuffle moves at most depth×width rows PER TASK, and sketches from
+    different partitions/runs merge by adding counters (the same
+    mergeability argument as the KMV sketch above)."""
+    probes = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("row"),
+                    cms_bucket(F.col(value_col), j, width, seed).alias("bucket"),
+                )
+                for j in range(depth)
+            ])
+        ).alias("p")
+    ).select("p.row", "p.bucket")
+    return probes.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+
+def cms_point_estimates(
+    items: DataFrame, sketch: DataFrame, value_col: str,
+    depth: int = 4, width: int = 64, seed: str = "cms",
+) -> DataFrame:
+    """Point-query frequencies: est(v) = min over rows of the counter at
+    (row, bucket_row(v)) — always >= the true count (collisions only
+    inflate). The sketch is depth×width rows -> broadcast; absent cells
+    count 0 (possible when probing values never inserted)."""
+    probes = items.select(
+        F.col(value_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("row"),
+                    cms_bucket(F.col(value_col), j, width, seed).alias("bucket"),
+                )
+                for j in range(depth)
+            ])
+        ).alias("p"),
+    ).select(value_col, "p.row", "p.bucket")
+    j = probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return j.groupBy(value_col).agg(
+        F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est")
+    )
+
+
+def cms_sql(table: str, value_expr: str, depth: int = 4, width: int = 64,
+            seed: str = "cms") -> str:
+    """DuckDB mirror: (value, exact, est) per distinct value."""
+    def bucket(j):
+        return (
+            f"CAST(('0x' || substr(md5('{seed}:{j}:' || CAST({value_expr} AS VARCHAR)), 1, 12)) "
+            f"AS BIGINT) % {width}"
+        )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT {value_expr} AS v, {j} AS row, {bucket(j)} AS bucket FROM {table}"
+        for j in range(depth)
+    )
+    return f"""
+WITH px AS ({probe_rows}),
+sk AS (SELECT row, bucket, count(*) AS c FROM px GROUP BY 1, 2),
+qx AS (SELECT DISTINCT v, row, bucket FROM px),
+est AS (SELECT v, min(coalesce(c, 0)) AS cms_est
+        FROM qx LEFT JOIN sk USING (row, bucket) GROUP BY v),
+exact AS (SELECT {value_expr} AS v, count(*) AS n FROM {table} GROUP BY 1)
+SELECT exact.v AS v, exact.n AS n, est.cms_est AS cms_est
+FROM exact JOIN est ON exact.v = est.v
+""".strip()

@@ -31,3 +31,56 @@ def test_kmv_arrow_partial_equals_relational(spark):
     a = sketches.kmv_distinct_estimate(df, "v", k=128, arrow_partial=True).collect()[0]
     b = sketches.kmv_distinct_estimate(df, "v", k=128, arrow_partial=False).collect()[0]
     assert tuple(a) == tuple(b)
+
+
+def test_cms_estimates_upper_bound_exact_counts(spark, sf_dir):
+    from doc_agent_spark.operators import sketches
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # width 4 << distinct users: pigeonhole forces collisions in every row
+    sk = sketches.cms_sketch(ev, "user_id", depth=4, width=4)
+    items = ev.select("user_id").distinct()
+    est = sketches.cms_point_estimates(items, sk, "user_id", depth=4, width=4)
+    exact = ev.groupBy("user_id").count()
+    j = est.join(exact, "user_id")
+    # CMS never underestimates; at least one estimate strictly exceeds
+    assert j.filter(F.col("cms_est") < F.col("count")).count() == 0
+    assert j.filter(F.col("cms_est") > F.col("count")).count() > 0
+
+
+def test_cms_counter_table_is_bounded_and_mass_conserving(spark, sf_dir):
+    from doc_agent_spark.operators import sketches
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sk = sketches.cms_sketch(ev, "user_id", depth=4, width=32).collect()
+    assert len(sk) <= 4 * 32
+    n = ev.count()
+    per_row = {}
+    for r in sk:
+        per_row[r["row"]] = per_row.get(r["row"], 0) + r["c"]
+    assert per_row == {j: n for j in range(4)}  # each row sees every item
+
+
+def test_cms_absent_probe_estimates_zero(spark):
+    from doc_agent_spark.operators import sketches
+
+    df = spark.createDataFrame([("a",), ("b",)], ["v"])
+    sk = sketches.cms_sketch(df, "v", depth=4, width=4096)
+    probe = spark.createDataFrame([("never-seen-value",)], ["v"])
+    est = sketches.cms_point_estimates(probe, sk, "v", depth=4, width=4096)
+    assert est.collect()[0]["cms_est"] == 0
+
+
+def test_cms_sketches_merge_by_adding_counters(spark, sf_dir):
+    from doc_agent_spark.operators import sketches
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = (
+        sketches.cms_sketch(a, "user_id", 4, 32)
+        .unionByName(sketches.cms_sketch(b, "user_id", 4, 32))
+        .groupBy("row", "bucket").agg(F.sum("c").alias("c"))
+    )
+    whole = sketches.cms_sketch(ev, "user_id", 4, 32)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))

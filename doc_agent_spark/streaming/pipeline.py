@@ -212,3 +212,46 @@ def events_stream_to_memory(spark: SparkSession, input_dir: str, checkpoint_dir:
         .trigger(availableNow=True)
         .start()
     )
+
+
+def curate_stream(
+    docs: DataFrame,
+    min_quality: float = 0.0,
+    langs: list[str] | None = None,
+    sample_fraction: float = 1.0,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Continuous-ingest curation: the stateless stages of the batch
+    funnel (quality score, language ID, PII redaction, content-hash
+    sampling — all pure per-row projections, jobs/curate.py) composed
+    with the one stateful stage streaming needs: watermark-bounded exact
+    dedup (``dropDuplicatesWithinWatermark`` on the content hash, state
+    evicted as event time advances — the batch job's globally-exact
+    content-hash bucketing has no streaming analog, so the horizon IS the
+    dedup scope and the docstring contract says so).
+
+    Corpus-stat stages (boilerplate lines, duplicated shingles, fuzzy
+    drops, the LM model) are whole-corpus statistics and deliberately
+    absent: a production stream would anti-join the batch job's persisted
+    artifacts, which are static frames and join fine against a stream."""
+    from ..functions import redact, textfns
+    from ..operators import sampling
+
+    deduped = (
+        docs.withColumn("text_md5", F.md5("text"))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["text_md5"])
+    )
+    scored = textfns.with_pred_lang(
+        deduped.withColumn("quality", textfns.quality_score(F.col("text"))),
+        F.col("text"),
+    )
+    keep = F.col("quality") >= min_quality
+    if langs:
+        keep = keep & F.col("pred_lang").isin(langs)
+    kept = scored.filter(keep).filter(
+        sampling._hash8(F.col("doc_id"), "curate")
+        < F.lit(sampling.hex_threshold(sample_fraction))
+    )
+    return kept.withColumn("text", redact.redact_pii(F.col("text")))

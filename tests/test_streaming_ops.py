@@ -111,3 +111,41 @@ def test_events_stream_to_memory_matches_batch(spark, tmp_path):
     )
     expected = {(r.event_type, r.w.start): (r.n, r.sv) for r in batch}
     assert got == expected
+
+
+def test_curate_stream_matches_batch_semantics(spark, tmp_path):
+    """curate_stream: streaming dedup + the stateless funnel stages produce
+    the same kept set as the batch rules on a drained stream, and PII is
+    redacted on the way out."""
+    from doc_agent_spark.functions import textfns
+    from doc_agent_spark.streaming.pipeline import curate_stream
+
+    in_dir, ckpt = str(tmp_path / "cin"), str(tmp_path / "cckpt")
+    SCHEMA = "doc_id long, ts timestamp, text string"
+    good = ("the quick document talks about the data and the pipeline "
+            "with plenty of the usual english filler words for quality " * 3)
+    rows1 = [(1, _t(0), good + "contact user1@example.com"),
+             (2, _t(1), good + "contact user1@example.com"),  # dup of 1
+             (3, _t(2), "xx")]                                # fails quality
+    rows2 = [(4, _t(10), good + "another unique tail here")]
+    spark.createDataFrame(rows1, SCHEMA).coalesce(1).write.parquet(in_dir + "/b1")
+    spark.createDataFrame(rows2, SCHEMA).coalesce(1).write.parquet(in_dir + "/b2")
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir + "/*")
+    )
+    q = (
+        curate_stream(stream, min_quality=0.3, langs=["en"])
+        .writeStream.format("memory").queryName("curate_out")
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r for r in
+           spark.sql("SELECT * FROM curate_out").collect()}
+    assert set(got) == {1, 4}          # dup 2 dropped, low-quality 3 dropped
+    assert "user1@example.com" not in got[1].text
+    assert "[EMAIL]" in got[1].text or "@" not in got[1].text
+    assert got[1].pred_lang == "en" and got[1].quality >= 0.3

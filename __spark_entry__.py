@@ -1655,7 +1655,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     check) + bm25_topk + semantic_search_e2e (FK hydrate); mime_dispatch +
     filename_path_hash ⊂ file_meta (freed the slot for pack_sequences);
     dataset_split, mixture_resample and top_trigrams ride
-    deterministic_samples / text_profile as additional arms."""
+    deterministic_samples / text_profile as additional arms. Round-3
+    continuation arms: the CCNet bigram-LM columns ride quality_tokens,
+    duplicated-span removal is exact_fingerprint_dups' fourth variant, and
+    the count-min frequency sketch is kmv_distinct_users' second."""
     return {
         # --- never gate-checked before round 3, or new/consolidated ---
         "pack_sequences": pack_sequences,

@@ -36,8 +36,6 @@ from pyspark.sql import functions as F
 
 from doc_agent_spark.functions.textfns import bpe_ish_tokens
 
-#: pretoken regex shared with textfns (the single source of truth there).
-
 
 def pretoken_counts(
     docs: DataFrame, text_col: str = "text", max_vocab: int | None = None
@@ -131,11 +129,14 @@ def apply_bpe(
         f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
     )
     schema = f"{fields}, {out_col} array<string>"
-    # pretokens come from the SAME regex as textfns.bpe_ish_tokens — keep
-    # the two in sync (the column expression is the source of truth)
+    # pretokens come from the SAME regex as textfns.bpe_ish_tokens (the
+    # column expression is the source of truth). re.ASCII is load-bearing:
+    # Java's \s is ASCII-only while Python's matches NBSP/U+2028/etc, and
+    # a Unicode-space divergence would put train-time counts and
+    # apply-time tokens in different token spaces.
     import re
 
-    pretoken_re = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    pretoken_re = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", re.ASCII)
 
     def run(batches):
         for pdf in batches:

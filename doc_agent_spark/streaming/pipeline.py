@@ -250,8 +250,7 @@ def curate_stream(
     keep = F.col("quality") >= min_quality
     if langs:
         keep = keep & F.col("pred_lang").isin(langs)
-    kept = scored.filter(keep).filter(
-        sampling._hash8(F.col("doc_id"), "curate")
-        < F.lit(sampling.hex_threshold(sample_fraction))
+    kept = sampling.sample_bernoulli(
+        scored.filter(keep), sample_fraction, "doc_id", "curate"
     )
     return kept.withColumn("text", redact.redact_pii(F.col("text")))

@@ -171,9 +171,10 @@ def _load_or_build_lm(spark, docs, path: str, min_count: int):
     """Corpus-stat checkpoint for the stupid-backoff bigram count model —
     bespoke (three tables) rather than via :func:`_load_or_build`: totals
     is written LAST, so a crash mid-artifact leaves totals unreadable and
-    the whole model rebuilds identically. Totals aggregates from the
-    COMMITTED unigram parquet, not the unigram lineage — re-deriving it
-    lazily would re-run the full-corpus unigram aggregate a second time."""
+    the whole model rebuilds identically. The FULL (untruncated) unigram
+    aggregate is cached before its first action so the model write, the
+    totals sum (which must cover the full counts, not the truncated
+    model), and the bigram pass don't each re-scan the corpus for it."""
     from doc_agent_spark.operators import lm_quality
 
     paths = [f"{path}/uni", f"{path}/big", f"{path}/tot"]
@@ -183,19 +184,16 @@ def _load_or_build_lm(spark, docs, path: str, min_count: int):
         return (uni, big, tot), True
     except Exception:
         pass
-    uni_full = lm_quality.corpus_unigrams(docs)
-    uni_full.filter(F.col("c") >= min_count).write.mode("overwrite").parquet(
-        paths[0]
-    )
-    # one corpus pass for unigrams happened above; T must cover the FULL
-    # counts (min_count truncates the model, not the denominator), so
-    # totals comes from a second, model-building-free pass over the raw
-    # unigram aggregate — cache it to avoid re-scanning the corpus
-    uni_full.persist()
+    uni_full = lm_quality.corpus_unigrams(docs).persist()
     try:
+        uni_full.filter(F.col("c") >= min_count).write.mode(
+            "overwrite"
+        ).parquet(paths[0])
         lm_quality.corpus_bigrams(docs, min_count).write.mode(
             "overwrite"
         ).parquet(paths[1])
+        # T must cover the FULL counts (min_count truncates the model,
+        # not the denominator) — summed from the cached full aggregate
         uni_full.agg(F.sum("c").cast("double").alias("t")).write.mode(
             "overwrite"
         ).parquet(paths[2])

@@ -90,6 +90,11 @@ def run_pack(
         else spark.read.table(input_path)
     )
     docs = docs.withColumn("shard", packing.shard_of(F.col("doc_id"), shards, seed))
+    # THIS config's shard set (pre-resume): the guard and input of the
+    # shuffle pass must ignore stale partitions left by a previous run
+    # with a different --shards mapping (dynamic overwrite never removes
+    # them — see the committed semi-join below for the same hazard)
+    cfg_shards = docs.select("shard").distinct()
 
     if tokenizer == "bpe":
         # Learned-merge tokenizer: the merge table is a corpus statistic,
@@ -109,19 +114,25 @@ def run_pack(
                 [(i, a, b) for i, (a, b) in enumerate(merges)],
                 "rank int, a string, b string",
             ).write.mode("overwrite").parquet(mpath)
-        docs_plain = docs  # token-free paths must not pay the Python stage
-        docs = tok.apply_bpe(docs, merges, out_col="_toks")
         token_count_expr = F.size("_toks").cast("long")
         tokens_expr = F.col("_toks")
     else:
-        docs_plain = docs
+        merges = None
         token_count_expr = textfns.bpe_ish_token_count(F.col("text")).cast("long")
         tokens_expr = textfns.bpe_ish_tokens(F.col("text"))
 
     done = completed_partitions(spark, lineage_path, run_id, "pack")
     if done:
         docs = docs.filter(~F.col("shard").isin(*sorted(done)))
-        docs_plain = docs_plain.filter(~F.col("shard").isin(*sorted(done)))
+    # token-free paths (lineage counts, shard joins) use the plain frame —
+    # mapInPandas blocks column pruning; and tokenization applies AFTER the
+    # resume filter so a resume never re-tokenizes completed shards (merge
+    # TRAINING above ran on the full input, so resumes tokenize identically)
+    docs_plain = docs
+    if merges is not None:
+        from doc_agent_spark.operators import tokenizer as tok
+
+        docs = tok.apply_bpe(docs, merges, out_col="_toks")
 
     staged = sampling.split_assign(
         docs, splits or {"train": 0.9, "val": 0.05, "test": 0.05}, key_col="doc_id"
@@ -174,19 +185,24 @@ def run_pack(
             # prior run WITHOUT --materialize marks shards done in lineage
             # but never wrote their windows, and silently shuffling a
             # partial window set would train on a truncated corpus.
+            # Every comparison and the shuffle input are scoped to THIS
+            # config's shard set: stale partitions from a previous
+            # --shards mapping must neither trip the guard nor ride the
+            # training order twice.
+            cfg = {r["shard"] for r in cfg_shards.collect()}
             try:
                 all_windows = spark.read.parquet(
                     output_path.rstrip("/") + "_windows"
                 )
                 have = {r["shard"] for r in
-                        all_windows.select("shard").distinct().collect()}
+                        all_windows.select("shard").distinct().collect()} & cfg
             except Exception:  # schema-less dir: nothing materialized yet
                 all_windows, have = None, set()
             # every shard that produced plan windows must be present
             need = {r["shard"] for r in
                     spark.read.parquet(output_path)
                     .filter(F.col("seq_offset") == 0)
-                    .select("shard").distinct().collect()}
+                    .select("shard").distinct().collect()} & cfg
             missing = sorted(need - have)
             if missing:
                 raise RuntimeError(
@@ -196,9 +212,13 @@ def run_pack(
                     f"re-run the full pack with --materialize into a fresh "
                     f"output/run-id before shuffling"
                 )
-            packing.shuffle_windows(all_windows, seed=shuffle_seed).write.mode(
-                "overwrite"
-            ).parquet(output_path.rstrip("/") + "_windows_shuffled")
+            if all_windows is not None and need:
+                packing.shuffle_windows(
+                    all_windows.join(cfg_shards, "shard", "left_semi"),
+                    seed=shuffle_seed,
+                ).write.mode("overwrite").parquet(
+                    output_path.rstrip("/") + "_windows_shuffled"
+                )
 
     # Lineage from the INPUT shard set (left-joined to plan aggregates):
     # a shard whose docs all tokenize to zero writes no plan rows but must

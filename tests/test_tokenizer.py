@@ -107,3 +107,18 @@ def test_max_vocab_cap_is_deterministic_topk(spark, corpus):
     got = [(r["word"], r["c"]) for r in capped.collect()]
     assert len(got) == 10 and set(got) <= full
     assert got == sorted(got, key=lambda wc: (-wc[1], wc[0]))
+
+
+def test_pretoken_parity_on_unicode_whitespace(spark):
+    """Java's \\s is ASCII-only; the Python pretokenizer compiles with
+    re.ASCII so NBSP/U+2028 tokenize identically in both engines (they are
+    punctuation-class single tokens, not whitespace)."""
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "x y")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["bpe_tokens"]
+           for r in tokenizer.apply_bpe(df, []).collect()}
+    jvm = {r["doc_id"]: r["t"] for r in df.select(
+        "doc_id", textfns.bpe_ish_tokens(F.col("text")).alias("t")).collect()}
+    assert got[1] == jvm[1] == ["a", " ", "b"]
+    assert got[2] == jvm[2] == ["x", " ", "y"]

@@ -39,8 +39,8 @@ per run over the post-strip corpus and every bucket (including resumes)
 anti-joins the same committed artifact; exact dedup inside the buckets
 then handles byte-identical survivors as before.
 
-LM-perplexity filtering (``--lm-max-ce X``, CCNet-style) is the second
-corpus-stat stage: the stupid-backoff bigram count model
+LM-perplexity filtering (``--lm-max-ce X``, CCNet-style) is a
+corpus-stat stage as well: the stupid-backoff bigram count model
 (operators/lm_quality.py) is trained once per run over the (post-strip)
 corpus and persisted (``--lm-model`` path, default ``<output>_lm_model``;
 the totals table commits LAST so a partial artifact reads as absent and

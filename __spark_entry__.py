@@ -120,6 +120,12 @@ _PAGE_WEAVE_SQL = """
           ELSE 'ref ' || CAST(doc_id AS VARCHAR) END)
 """.strip()
 
+def _bloom_probe_sql() -> str:
+    from doc_agent_spark.operators.sketches import bloom_sql
+
+    return bloom_sql("hist", "batch", "text", "doc_id", m_bits=16384, n_hashes=3)
+
+
 def _kmv_users_sql() -> str:
     from doc_agent_spark.operators.sketches import cms_sql, kmv_sql
 
@@ -1385,7 +1391,13 @@ def exact_fingerprint_dups(spark, sf_dir):
     document-, line-, and substring-granularity exact dedup in one gate
     row. The span arm (Lee et al. 2021 exact substring dedup via shingle-
     occurrence counts) carries the cleaned-text digest as key and tokens
-    removed as dup_count."""
+    removed as dup_count. The bloom arm is the INCREMENTAL shape of the
+    same exact-dedup family: a new crawl batch (odd-id docs + the re-keyed
+    dup copies) probed against a Bloom filter built from the history
+    snapshot (even-id docs) — every maybe-seen doc is emitted with
+    dup_count 1 when it truly duplicates history and 0 for a bloom false
+    positive, so the gate pins both the no-false-negative guarantee and
+    the exact (deterministic) collision set."""
     a = dedup_exact(spark, sf_dir).select(
         F.lit("md5").alias("variant"), F.col("text_md5").alias("key"),
         "keep_id", "dup_count",
@@ -1405,7 +1417,25 @@ def exact_fingerprint_dups(spark, sf_dir):
         F.col("id").alias("keep_id"),
         F.col("n_tokens_removed").alias("dup_count"),
     )
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    from doc_agent_spark.operators import sketches
+
+    corpus = _dup_corpus(spark, sf_dir)
+    hist = corpus.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 1000000))
+    batch = corpus.filter((F.col("doc_id") % 2 == 1) | (F.col("doc_id") >= 1000000))
+    words = sketches.bloom_build(hist, "text", m_bits=16384, n_hashes=3)
+    flagged = sketches.bloom_probe(
+        batch, words, "doc_id", "text", m_bits=16384, n_hashes=3
+    ).filter("maybe_seen")
+    hist_keys = hist.select(F.md5("text").alias("key")).distinct()
+    e = (
+        flagged.select(F.md5("text").alias("key"), F.col("doc_id").alias("keep_id"))
+        .join(F.broadcast(hist_keys.withColumn("in_hist", F.lit(1))), "key", "left")
+        .select(
+            F.lit("bloom").alias("variant"), "key", "keep_id",
+            F.coalesce("in_hist", F.lit(0)).cast("long").alias("dup_count"),
+        )
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
 
 
 def minhash_verified_pairs(spark, sf_dir):
@@ -2845,6 +2875,16 @@ SELECT id,
     x -> x IS NOT NULL), ' '), '') AS text_clean,
   len(cov) AS n_tokens_removed
 FROM cv)
+UNION ALL
+SELECT 'bloom', key, keep_id, dup_count FROM (
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+hist AS (SELECT doc_id, text FROM corpus WHERE doc_id % 2 = 0 AND doc_id < 1000000),
+batch AS (SELECT doc_id, text FROM corpus WHERE doc_id % 2 = 1 OR doc_id >= 1000000),
+{_bloom_probe_sql()}
+SELECT md5(pval) AS key, pid AS keep_id,
+       CAST(CASE WHEN EXISTS (SELECT 1 FROM hist h WHERE h.text = probed.pval)
+            THEN 1 ELSE 0 END AS BIGINT) AS dup_count
+FROM probed WHERE maybe_seen)
 """,
         "temporal_joins": f"""
 SELECT 'asof' AS variant, event_id, user_id, ts, CAST(NULL AS BIGINT) AS ref_id,

@@ -178,3 +178,101 @@ exact AS (SELECT {value_expr} AS v, count(*) AS n FROM {table} GROUP BY 1)
 SELECT exact.v AS v, exact.n AS n, est.cms_est AS cms_est
 FROM exact JOIN est ON exact.v = est.v
 """.strip()
+
+
+def bloom_bit(value: Column, j: int, m_bits: int, seed: str = "bloom") -> Column:
+    """Deterministic bit position for hash ``j``: 48 md5 bits mod m_bits
+    (same md5→conv scheme as kmv_hash/cms_bucket, so the DuckDB oracle
+    reproduces every position bit-for-bit)."""
+    h = F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:{j}:"), value.cast("string"))), 1, 12
+    )
+    return F.conv(h, 16, 10).cast("long") % m_bits
+
+
+def _bloom_probes(df: DataFrame, value_col: str, m_bits: int, n_hashes: int,
+                  seed: str) -> DataFrame:
+    """One row per (input row, hash j): the exploded probe positions."""
+    return df.withColumn(
+        "bit",
+        F.explode(F.array(*[
+            bloom_bit(F.col(value_col), j, m_bits, seed) for j in range(n_hashes)
+        ])),
+    )
+
+
+def bloom_build(df: DataFrame, value_col: str, m_bits: int = 16384,
+                n_hashes: int = 3, seed: str = "bloom") -> DataFrame:
+    """Bloom filter (Bloom 1970) as a packed word table ``(word int,
+    mask long)`` — at most m_bits/32 rows regardless of corpus size.
+
+    100 TB shape: the incremental-crawl dedup primitive — membership of a
+    10^12-key history snapshot compressed to a broadcastable constant-size
+    side (m_bits/32 rows ≈ 12 B each), so a new crawl batch is probed with
+    a broadcast join instead of shuffling the full history. The filter is
+    MERGEABLE exactly like the KMV/CMS sketches above: filters from
+    different partitions, days, or snapshots union via
+    ``groupBy(word).agg(bit_or(mask))`` — the same bit_or this builder
+    runs as its map-side-partial aggregate. Masks stay in [0, 2^32): bits
+    pack 32 per word so no shift reaches the long sign bit, keeping the
+    arithmetic portable to the DuckDB oracle (bloom_sql)."""
+    bits = _bloom_probes(df, value_col, m_bits, n_hashes, seed)
+    return bits.groupBy(F.expr("cast(bit div 32 as int)").alias("word")).agg(
+        F.expr("bit_or(shiftleft(cast(1 as bigint), cast(bit % 32 as int)))").alias("mask")
+    )
+
+
+def bloom_probe(df: DataFrame, words: DataFrame, id_col: str, value_col: str,
+                m_bits: int = 16384, n_hashes: int = 3,
+                seed: str = "bloom") -> DataFrame:
+    """Probe each row of ``df`` against a built filter: ``(id, value,
+    maybe_seen)`` where maybe_seen ⇔ all n_hashes probe bits are set.
+
+    No false negatives (a key inserted by bloom_build always probes true);
+    false positives at the classic (1 - e^(-kn/m))^k rate — deterministic
+    given the corpus, so the oracle reproduces even the collisions. The
+    join side is the constant-size word table, broadcast; the probe frame
+    is a narrow explode (n_hashes rows per doc) aggregated straight back
+    by (id, value) with a map-side partial min."""
+    probes = (
+        _bloom_probes(df.select(id_col, value_col), value_col, m_bits, n_hashes, seed)
+        .withColumn("word", F.expr("cast(bit div 32 as int)"))
+        .withColumn("pmask", F.expr("shiftleft(cast(1 as bigint), cast(bit % 32 as int))"))
+    )
+    j = probes.join(F.broadcast(words), "word", "left")
+    hit = F.when(
+        F.col("mask").isNotNull() & (F.col("mask").bitwiseAND(F.col("pmask")) != 0),
+        1,
+    ).otherwise(0)
+    return (
+        j.groupBy(id_col, value_col)
+        .agg((F.min(hit) == 1).alias("maybe_seen"))
+    )
+
+
+def bloom_sql(hist: str, batch: str, value_expr: str, id_expr: str,
+              m_bits: int = 16384, n_hashes: int = 3,
+              seed: str = "bloom") -> str:
+    """DuckDB mirror of bloom_build + bloom_probe: (id, value, maybe_seen)
+    for every row of ``batch`` probed against a filter built over ``hist``
+    (both are CTE names in the enclosing query)."""
+    js = ", ".join(str(j) for j in range(n_hashes))
+    bit = (
+        f"CAST(('0x' || substr(md5('{seed}:' || CAST(j AS VARCHAR) || ':' "
+        f"|| CAST({value_expr} AS VARCHAR)), 1, 12)) AS BIGINT) % {m_bits}"
+    )
+    return f"""
+hbits AS (SELECT DISTINCT {bit} AS bit
+          FROM {hist} CROSS JOIN (SELECT unnest([{js}]) AS j)),
+words AS (SELECT bit // 32 AS word,
+                 bit_or(1::BIGINT << CAST(bit % 32 AS INT)) AS mask
+          FROM hbits GROUP BY 1),
+probes AS (SELECT {id_expr} AS pid, {value_expr} AS pval, {bit} AS bit
+           FROM {batch} CROSS JOIN (SELECT unnest([{js}]) AS j)),
+probed AS (SELECT pid, pval,
+                  min(CASE WHEN coalesce(mask, 0)
+                            & (1::BIGINT << CAST(bit % 32 AS INT)) <> 0
+                           THEN 1 ELSE 0 END) = 1 AS maybe_seen
+           FROM probes LEFT JOIN words ON probes.bit // 32 = words.word
+           GROUP BY 1, 2)
+""".strip()

@@ -84,3 +84,53 @@ def test_cms_sketches_merge_by_adding_counters(spark, sf_dir):
     )
     whole = sketches.cms_sketch(ev, "user_id", 4, 32)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def _texts(spark, ids):
+    return spark.createDataFrame(
+        [(i, f"document body {i}") for i in ids], "doc_id long, text string"
+    )
+
+
+def test_bloom_no_false_negatives(spark):
+    hist = _texts(spark, range(0, 400, 2))
+    words = sketches.bloom_build(hist, "text", m_bits=4096, n_hashes=3)
+    probed = sketches.bloom_probe(
+        hist, words, "doc_id", "text", m_bits=4096, n_hashes=3
+    )
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_bloom_fp_rate_bounded(spark):
+    hist = _texts(spark, range(0, 1000, 2))
+    novel = _texts(spark, range(1, 1000, 2))
+    words = sketches.bloom_build(hist, "text", m_bits=16384, n_hashes=3)
+    probed = sketches.bloom_probe(
+        novel, words, "doc_id", "text", m_bits=16384, n_hashes=3
+    )
+    fp = probed.filter("maybe_seen").count()
+    # 500 keys in 16384 bits, k=3: (1-e^(-3*500/16384))^3 ~ 6e-4 -> expect ~0
+    assert fp <= 5
+
+
+def test_bloom_merge_equals_union_build(spark):
+    """Filters built per-shard and merged via groupBy(word).bit_or(mask)
+    equal the filter built over the union — the mergeability contract."""
+    a = _texts(spark, range(0, 100))
+    b = _texts(spark, range(100, 200))
+    merged = (
+        sketches.bloom_build(a, "text", m_bits=2048)
+        .unionByName(sketches.bloom_build(b, "text", m_bits=2048))
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("mask"))
+    )
+    whole = sketches.bloom_build(a.unionByName(b), "text", m_bits=2048)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_bloom_word_table_bounded_and_packed(spark):
+    words = sketches.bloom_build(
+        _texts(spark, range(3000)), "text", m_bits=1024, n_hashes=3
+    ).collect()
+    assert len(words) <= 1024 // 32
+    assert all(0 <= r.mask < 2**32 for r in words)  # no sign-bit shifts

@@ -1054,6 +1054,28 @@ def mixture_resample(spark, sf_dir):
     )
 
 
+def domain_capped(spark, sf_dir):
+    """Hard per-domain quota (RefinedWeb-style anti-monoculture cap): every
+    3rd doc is woven into one heavy 'head' domain (the Zipfian-head stand-in
+    — testdata sources are uniform), then cap_per_domain keeps the 20
+    hash-smallest docs per domain. The head domain truncates to exactly 20;
+    tail domains pass through the no-window path untouched."""
+    docs = load(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", "lang", "n_chars",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("head"))
+        .otherwise(F.col("source")).alias("domain"),
+    )
+    return sampling.cap_per_domain(staged, cap=20, domain_col="domain", key_col="doc_id")
+
+
+_DOMAIN_CAPPED_SQL_BODY = """
+SELECT doc_id, lang, n_chars,
+       CASE WHEN doc_id % 3 = 0 THEN 'head' ELSE source END AS domain
+FROM documents
+""".strip()
+
+
 def pack_sequences(spark, sf_dir):
     """Training-example packing: concat-and-chunk the corpus into
     1024-token windows over 8 independent hash shards (per-shard window
@@ -1497,8 +1519,9 @@ def retrieval_eval_all(spark, sf_dir):
 
 def deterministic_samples(spark, sf_dir):
     """Stratified sampling, quality-weighted sampling, train/val/test
-    split assignment, and domain-mixture resampling, union-tagged (metric
-    = stratum size proxy / kept-row quality / doc size / token mass)."""
+    split assignment, domain-mixture resampling, and the hard per-domain
+    quota cap, union-tagged (metric = stratum size proxy / kept-row
+    quality / doc size / token mass / doc size)."""
     a = stratified_sample(spark, sf_dir).select(
         F.lit("stratified").alias("variant"), "doc_id", "lang",
         F.col("n_chars").cast("double").alias("metric"),
@@ -1515,7 +1538,11 @@ def deterministic_samples(spark, sf_dir):
         F.concat(F.lit("mixture_"), F.col("source")).alias("variant"),
         "doc_id", "lang", F.col("n_tokens").cast("double").alias("metric"),
     )
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    e = domain_capped(spark, sf_dir).select(
+        F.concat(F.lit("cap_"), F.col("domain")).alias("variant"),
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("metric"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
 
 
 def text_profile(spark, sf_dir):
@@ -2825,6 +2852,9 @@ FROM ({base['dataset_split']})
 UNION ALL
 SELECT 'mixture_' || source, doc_id, lang, CAST(n_tokens AS DOUBLE)
 FROM ({base['mixture_resample']})
+UNION ALL
+SELECT 'cap_' || domain, doc_id, lang, CAST(n_chars AS DOUBLE)
+FROM ({sampling.cap_per_domain_sql(f"({_DOMAIN_CAPPED_SQL_BODY})", cap=20, domain_expr="domain", key_expr="doc_id")})
 """,
         "file_meta": f"""
 SELECT 'mime' AS variant, CAST(NULL AS BIGINT) AS doc_id, mime AS key,

@@ -202,3 +202,62 @@ def weighted_threshold_sql(weight_expr: str) -> str:
         f"CASE WHEN {w} >= 1.0 THEN '{_ALWAYS}' "
         f"ELSE lpad(lower(hex(CAST(floor({w} * {float(16 ** 8)!r}) AS BIGINT))), 8, '0') END"
     )
+
+
+def cap_per_domain(
+    df: DataFrame, cap: int, domain_col: str, key_col: str, seed: str = "cap42"
+) -> DataFrame:
+    """Hard per-domain quota (the RefinedWeb/C4 anti-monoculture cap): keep
+    at most ``cap`` rows per domain, chosen deterministically as the rows
+    with the ``cap`` smallest content-hash prefixes (ties broken by key) —
+    a different primitive from rate-based sampling: the cap binds however
+    large the domain grows, so one crawl-happy host can't dominate the
+    training mixture.
+
+    100 TB shape: a naive ``row_number() OVER (PARTITION BY domain)``
+    sorts EVERY domain — and the whole point of the cap is that domain
+    mass is Zipfian, so the head domain's partition is the skew cliff.
+    This splits on a per-domain count first: under-cap domains (the long
+    tail, most of the corpus) pass through with an equi-join against the
+    small over-cap domain list (broadcast when it fits) and never enter a
+    window; only over-cap domains shuffle into the rank, and their output
+    is bounded at cap rows each. Equivalent to the global window by
+    construction (an under-cap domain's rows all rank <= cap), which is
+    exactly the form the DuckDB oracle runs (cap_per_domain_sql)."""
+    from pyspark.sql import Window
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    over = (
+        df.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > cap)
+        .select(domain_col)
+    )
+    under_rows = df.join(F.broadcast(over), domain_col, "left_anti")
+    w = Window.partitionBy(domain_col).orderBy(
+        _hash8(F.col(key_col), seed), F.col(key_col)
+    )
+    over_rows = (
+        df.join(F.broadcast(over), domain_col, "left_semi")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= cap)
+        .drop("_r")
+    )
+    # the equi-joins surface the join key first; restore the caller's schema
+    return under_rows.unionByName(over_rows).select(*df.columns)
+
+
+def cap_per_domain_sql(
+    table: str, cap: int, domain_expr: str, key_expr: str, seed: str = "cap42"
+) -> str:
+    """DuckDB mirror: the plain global-window form the split-path Spark
+    plan is provably equivalent to."""
+    h = hash8_sql(key_expr, seed)
+    return f"""
+SELECT * EXCLUDE (_r) FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY {domain_expr} ORDER BY {h}, {key_expr}) AS _r
+  FROM {table})
+WHERE _r <= {cap}
+""".strip()

@@ -196,3 +196,43 @@ def test_mixture_rates_rejects_bad_inputs(spark):
         sampling.mixture_rates(df, {"a": 0.7, "b": 0.7}, "source")
     with pt.raises(ValueError):  # no mass in any target domain
         sampling.mixture_rates(df, {"zz": 1.0}, "source")
+
+
+def test_cap_per_domain_binds_only_over_cap(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "heavy" if i % 2 == 0 else f"tail{i % 5}") for i in range(200)],
+        "doc_id long, domain string",
+    )
+    kept = sampling.cap_per_domain(df, cap=25, domain_col="domain", key_col="doc_id")
+    sizes = {r.domain: r.n for r in kept.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert sizes["heavy"] == 25           # 100 rows truncated to the cap
+    for d in ("tail0", "tail1", "tail2", "tail3", "tail4"):
+        assert sizes[d] == 20  # 20 < cap would truncate; these sit under it
+    # under-cap domains pass through complete
+    assert sum(sizes[d] for d in sizes if d != "heavy") == 100
+
+
+def test_cap_per_domain_matches_global_window_and_is_layout_stable(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"d{i % 3}") for i in range(90)], "doc_id long, domain string"
+    )
+    split = sampling.cap_per_domain(df, cap=7, domain_col="domain", key_col="doc_id")
+    h = F.substring(F.md5(F.concat(F.lit("cap42:"), F.col("doc_id").cast("string"))), 1, 8)
+    w = Window.partitionBy("domain").orderBy(h, F.col("doc_id"))
+    plain = df.withColumn("_r", F.row_number().over(w)).filter("_r <= 7").drop("_r")
+    assert sorted(map(tuple, split.collect())) == sorted(map(tuple, plain.collect()))
+    again = sampling.cap_per_domain(
+        df.repartition(13), cap=7, domain_col="domain", key_col="doc_id"
+    )
+    assert sorted(map(tuple, split.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_cap_per_domain_rejects_zero_cap(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, domain string")
+    with pytest.raises(ValueError):
+        sampling.cap_per_domain(df, cap=0, domain_col="domain", key_col="doc_id")

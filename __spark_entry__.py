@@ -126,6 +126,16 @@ def _bloom_probe_sql() -> str:
     return bloom_sql("hist", "batch", "text", "doc_id", m_bits=16384, n_hashes=3)
 
 
+def _nb_cte_sql() -> str:
+    from doc_agent_spark.operators.quality_clf import hashed_nb_sql
+
+    label = (
+        f"(len(list_filter({_WORDS_SQL}, w -> w = 'spark'))"
+        f" > len(list_filter({_WORDS_SQL}, w -> w = 'join')))"
+    )
+    return hashed_nb_sql("documents", "doc_id", _WORDS_SQL, label)
+
+
 def _kmv_users_sql() -> str:
     from doc_agent_spark.operators.sketches import cms_sql, kmv_sql
 
@@ -897,8 +907,17 @@ def quality_tokens(spark, sf_dir):
 
     Round-3 arm: CCNet-style bigram-LM cross-entropy + head/middle/tail
     tier (operators/lm_quality.py — stupid-backoff count model trained on
-    the same corpus, broadcast to the scoring joins)."""
-    from doc_agent_spark.operators import lm_quality
+    the same corpus, broadcast to the scoring joins). Hashed-NB arm: the
+    model-based classifier filter (operators/quality_clf.py — feature-
+    hashed Naive Bayes trained in one aggregation pass, model broadcast,
+    per-doc log-odds score + prediction). The label is text-derived
+    (more 'spark' than 'join' tokens) because testdata's lang column is
+    independent of its vocabulary; testdata docs are near-iid bags from a
+    ~30-word vocabulary, so even this label separates only weakly — the
+    gate pins the exact train+score arithmetic (varied scores, preds on
+    both sides), while LEARNABILITY is pinned by the disjoint-vocabulary
+    pytest (test_quality_clf.py: perfect self-accuracy)."""
+    from doc_agent_spark.operators import lm_quality, quality_clf
 
     raw = load(spark, sf_dir, "documents")
     docs = _spread(raw)
@@ -914,7 +933,15 @@ def quality_tokens(spark, sf_dir):
     )
     top2 = textfns.top_bigram_char_fraction(docs, "doc_id", "text")
     lm = lm_quality.lm_quality_profile(docs, min_count=2)
-    return base.join(top2, "doc_id").join(lm, "doc_id")
+    ws = textfns.words_of(F.col("text"))
+    nb_label = (
+        F.size(F.filter(ws, lambda x: x == F.lit("spark")))
+        > F.size(F.filter(ws, lambda x: x == F.lit("join")))
+    )
+    nb = quality_clf.hashed_nb_scores(
+        docs, "doc_id", "text", nb_label
+    ).withColumnRenamed("id", "doc_id")
+    return base.join(top2, "doc_id").join(lm, "doc_id").join(nb, "doc_id")
 
 
 def pii_redaction(spark, sf_dir):
@@ -2421,7 +2448,8 @@ sc AS (SELECT f.doc_id,
   LEFT JOIN mu u2 ON f.w2 = u2.w
   CROSS JOIN tot),
 lm AS (SELECT doc_id, count(*) AS n_bigrams,
-       round(-sum(lp) / count(*), 6) AS lm_ce FROM sc GROUP BY doc_id)
+       round(-sum(lp) / count(*), 6) AS lm_ce FROM sc GROUP BY doc_id),
+{_nb_cte_sql()}
 SELECT ln.doc_id,
   CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS INTEGER) AS n_ws_tokens,
   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
@@ -2452,9 +2480,12 @@ SELECT ln.doc_id,
   lm.lm_ce AS lm_ce,
   CASE WHEN lm.lm_ce < 3.39 THEN 'head'
        WHEN lm.lm_ce < 3.42 THEN 'middle'
-       ELSE 'tail' END AS lm_tier
+       ELSE 'tail' END AS lm_tier,
+  nbsc.nb_score AS nb_score,
+  nbsc.nb_pred AS nb_pred
 FROM ln LEFT JOIN top ON ln.doc_id = top.doc_id
 JOIN lm ON ln.doc_id = lm.doc_id
+JOIN nbsc ON ln.doc_id = nbsc.id
 """,
         "quality_weighted_sample": f"""
 WITH s AS (

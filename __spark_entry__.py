@@ -126,6 +126,18 @@ def _bloom_probe_sql() -> str:
     return bloom_sql("hist", "batch", "text", "doc_id", m_bits=16384, n_hashes=3)
 
 
+def _url_canon_sql() -> str:
+    from doc_agent_spark.functions.urls import url_canonicalize_sql
+
+    return url_canonicalize_sql("raw_url")
+
+
+def _url_rd_sql() -> str:
+    from doc_agent_spark.functions.urls import registered_domain_sql
+
+    return registered_domain_sql("raw_url")
+
+
 def _nb_cte_sql() -> str:
     from doc_agent_spark.operators.quality_clf import hashed_nb_sql
 
@@ -1592,7 +1604,12 @@ def text_profile(spark, sf_dir):
 def file_meta(spark, sf_dir):
     """S2 MIME dispatch and P4/F12 filename + path-hash projections in one
     union-tagged entry (digest carries the per-doc sha256; metric the
-    per-MIME file count)."""
+    per-MIME file count). The url arm is the crawl-frontier normalizer
+    (functions/urls.py): a deterministically woven messy URL per doc
+    (upper-case www host, default/odd ports, tracking params, unsorted
+    query, fragment) canonicalized with pure split_part algebra — key =
+    canonical URL, digest = registered domain; both engines weave and
+    canonicalize the identical string."""
     a = mime_dispatch(spark, sf_dir).select(
         F.lit("mime").alias("variant"),
         F.lit(None).cast("long").alias("doc_id"),
@@ -1607,7 +1624,40 @@ def file_meta(spark, sf_dir):
         F.col("path_sha256").alias("digest"),
         F.lit(None).cast("long").alias("metric"),
     )
-    return a.unionByName(b)
+    from doc_agent_spark.functions import urls
+
+    docs = load(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    raw = F.concat(
+        F.lit("https://WWW."), F.col("source"),
+        F.lit(".Example"), (F.col("doc_id") % 5).cast("string"), F.lit(".COM"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":443"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/docs/"), sid,
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("/view?utm_source=feed&id="), sid, F.lit("&b=2&a=1#s")),
+        ).otherwise(F.lit("")),
+    )
+    c = docs.select(
+        F.lit("url").alias("variant"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        urls.url_canonicalize(raw).alias("key"),
+        urls.registered_domain(raw).alias("digest"),
+        F.lit(None).cast("long").alias("metric"),
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+_URL_WEAVE_SQL = """
+'https://WWW.' || source || '.Example' || CAST(doc_id % 5 AS VARCHAR) || '.COM'
+|| (CASE WHEN doc_id % 3 = 0 THEN ':443' WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
+|| '/docs/' || CAST(doc_id AS VARCHAR)
+|| (CASE WHEN doc_id % 2 = 0
+    THEN '/view?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '&b=2&a=1#s'
+    ELSE '' END)
+""".strip().replace("\n", " ")
 
 
 def temporal_joins(spark, sf_dir):
@@ -2894,6 +2944,10 @@ FROM ({base['mime_dispatch']})
 UNION ALL
 SELECT 'path', CAST(doc_id AS BIGINT), filename, path_sha256, CAST(NULL AS BIGINT)
 FROM ({base['filename_path_hash']})
+UNION ALL
+SELECT 'url', CAST(doc_id AS BIGINT), {_url_canon_sql()}, {_url_rd_sql()},
+       CAST(NULL AS BIGINT)
+FROM (SELECT doc_id, {_URL_WEAVE_SQL} AS raw_url FROM documents)
 """,
         "simhash_dedup": f"""
 SELECT 'cluster' AS variant, CAST(simhash AS BIGINT) AS key_a,

@@ -155,6 +155,91 @@ def minhash_perm_consts(k: int) -> list[tuple[int, int]]:
     return [(1000003 + 7919 * p, 12345 + 104729 * p) for p in range(k)]
 
 
+def minhash_band_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """``(id, band, bucket)`` MinHash band buckets — the persistable LSH
+    index side. Batch pair generation self-joins this table
+    (:func:`minhash_lsh_pairs`); the streaming near-dup path
+    (streaming/pipeline.py near_dup_stream) joins a live stream against a
+    persisted snapshot of it. Signature computation is the relational
+    one-hash + k affine permutations scheme described in
+    :func:`minhash_lsh_pairs`."""
+    rows = k // bands
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(F.col(text_col), 3)).alias("s"),
+    )
+    h = ex.select(
+        "id",
+        (F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
+         % F.lit(_MINHASH_PRIME)).alias("h"),
+    )
+    sig = h.groupBy("id").agg(*[
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MINHASH_PRIME)).alias(f"s{p}")
+        for p, (a, b) in enumerate(minhash_perm_consts(k))
+    ])
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bd).alias("band"),
+                    F.md5(F.concat_ws("|", *[
+                        F.col(f"s{bd * rows + r}").cast("string") for r in range(rows)
+                    ])).alias("bucket"),
+                )
+                for bd in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_band_structs(text: Column, k: int = 8, bands: int = 4) -> Column:
+    """Per-ROW band buckets: ``array<struct<band int, bucket string>>``,
+    bucket-identical to :func:`minhash_band_table`.
+
+    This is the STATELESS form for Structured Streaming: the relational
+    builder needs an explode + groupBy (a pre-join streaming aggregation —
+    stateful, watermark-coupled), while this computes the whole signature
+    inside one row via interpreted array folds. That is exactly the shape
+    the batch path abandoned for throughput (k folds never enter codegen)
+    — the right trade here, because a stream pays it once per ARRIVING doc
+    instead of per corpus scan, and it keeps the stream side of the
+    near-dup join free of shuffle state. Shingle-less docs return an empty
+    array (no bands ⇒ no candidates — the same no-constant-signature rule
+    as the batch path)."""
+    rows = k // bands
+    shingles = word_ngrams(text, 3)
+    h = F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % F.lit(_MINHASH_PRIME),
+    )
+    sigs = [
+        F.array_min(
+            F.transform(h, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_MINHASH_PRIME))
+        )
+        for a, b in minhash_perm_consts(k)
+    ]
+    structs = F.array(*[
+        F.struct(
+            F.lit(bd).cast("int").alias("band"),
+            F.md5(F.concat_ws("|", *[
+                sigs[bd * rows + r].cast("string") for r in range(rows)
+            ])).alias("bucket"),
+        )
+        for bd in range(bands)
+    ])
+    return F.when(F.size(shingles) > 0, structs).otherwise(
+        F.array().cast("array<struct<band:int,bucket:string>>")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -185,34 +270,7 @@ def minhash_lsh_pairs(
     empty documents one mutual candidate clique — O(E²) pairs, a genuine
     quadratic trap at corpus scale.
     """
-    rows = k // bands
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_ngrams(F.col(text_col), 3)).alias("s"),
-    )
-    h = ex.select(
-        "id",
-        (F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
-         % F.lit(_MINHASH_PRIME)).alias("h"),
-    )
-    sig = h.groupBy("id").agg(*[
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MINHASH_PRIME)).alias(f"s{p}")
-        for p, (a, b) in enumerate(minhash_perm_consts(k))
-    ])
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(bd).alias("band"),
-                    F.md5(F.concat_ws("|", *[
-                        F.col(f"s{bd * rows + r}").cast("string") for r in range(rows)
-                    ])).alias("bucket"),
-                )
-                for bd in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = minhash_band_table(df, id_col=id_col, text_col=text_col, k=k, bands=bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

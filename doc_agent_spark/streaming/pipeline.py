@@ -76,6 +76,58 @@ def dedup_stream(docs: DataFrame, watermark: str = "1 hour",
     )
 
 
+def near_dup_stream(
+    docs: DataFrame,
+    band_table: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    watermark: str = "1 hour",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming NEAR-dup detection: each arriving doc's MinHash band
+    buckets (computed statelessly per row — operators/dedup.py
+    minhash_band_structs) join a PERSISTED band table snapshot
+    (minhash_band_table output) built by the batch dedup job; emits
+    ``(id, matched_id, ts)`` candidate pairs, each at most once inside the
+    watermark horizon.
+
+    Division of labor at scale: the batch job owns the corpus-wide index
+    (10^12 rows, rebuilt/merged per snapshot); the stream only answers "is
+    this NEW doc near-anything already indexed" — a stream-static equi-join
+    on (band, bucket), stateless on the stream side. The static side
+    broadcasts when small; at production size it's a bucketed table on the
+    join key, and Spark plans a regular stream-static hash join per
+    micro-batch. The only stateful stage is the pair-level
+    dropDuplicatesWithinWatermark (32-byte keys, state evicted as event
+    time advances) so one doc hitting the same neighbor in several bands
+    emits a single candidate. Verification (exact Jaccard on the candidate
+    pair) stays a batch concern — the same generate-then-verify split as
+    the batch path."""
+    from ..operators.dedup import minhash_band_structs
+
+    bb = (
+        docs.withWatermark(ts_col, watermark)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(ts_col),
+            F.explode(minhash_band_structs(F.col(text_col), k, bands)).alias("bb"),
+        )
+        .select("id", ts_col, F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"))
+    )
+    static = band_table.select(
+        F.col("id").alias("matched_id"), "band", "bucket"
+    )
+    hits = bb.join(static, ["band", "bucket"]).filter(
+        F.col("id") != F.col("matched_id")
+    )
+    return hits.select("id", "matched_id", ts_col).dropDuplicatesWithinWatermark(
+        ["id", "matched_id"]
+    )
+
+
 SESSION_OUTPUT_SCHEMA = "user_id long, session_start timestamp, session_end timestamp, n_events long, sum_value double"
 SESSION_STATE_SCHEMA = "session_start long, last_ts long, n_events long, sum_value double"
 SESSION_GAP_S = 1800

@@ -149,3 +149,77 @@ def test_curate_stream_matches_batch_semantics(spark, tmp_path):
     assert "user1@example.com" not in got[1].text
     assert "[EMAIL]" in got[1].text or "@" not in got[1].text
     assert got[1].pred_lang == "en" and got[1].quality >= 0.3
+
+
+def test_minhash_band_structs_match_relational_table(spark):
+    from pyspark.sql import functions as F
+
+    from doc_agent_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox {i % 4} jumps over the lazy dog {i % 4}")
+         for i in range(40)] + [(99, "")],
+        "doc_id long, text string",
+    )
+    rel = dedup.minhash_band_table(docs)
+    row = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(dedup.minhash_band_structs(F.col("text"))).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    assert sorted(map(tuple, rel.collect())) == sorted(map(tuple, row.collect()))
+
+
+def test_near_dup_stream_flags_against_persisted_bands(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from doc_agent_spark.operators import dedup
+    from doc_agent_spark.streaming.pipeline import near_dup_stream
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven"),
+         (3, "completely different words here now")],
+        "doc_id long, text string",
+    )
+    bands_dir = str(tmp_path / "bands")
+    dedup.minhash_band_table(corpus).write.parquet(bands_dir)
+    band_table = spark.read.parquet(bands_dir)
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    SCHEMA = "doc_id long, ts timestamp, text string"
+    spark.createDataFrame(
+        [(10, _t(0), "alpha beta gamma delta epsilon zeta"),   # near-dup of 1
+         (11, _t(1), "utterly novel vocabulary nothing shared"),
+         (12, _t(2), "")],                                     # shingle-less
+        SCHEMA,
+    ).coalesce(1).write.parquet(in_dir + "/b1")
+
+    stream = spark.readStream.schema(SCHEMA).parquet(in_dir + "/*")
+    q = (
+        near_dup_stream(stream, band_table)
+        .writeStream.format("memory").queryName("neardup_out")
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.id, r.matched_id)
+        for r in spark.sql("SELECT id, matched_id FROM neardup_out").collect()
+    )
+    # batch equivalence: stream docs' bands joined against the same table
+    batch_docs = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta"),
+         (11, "utterly novel vocabulary nothing shared"),
+         (12, "")],
+        "doc_id long, text string",
+    )
+    expected = sorted(
+        (r.id, r.matched_id)
+        for r in dedup.minhash_band_table(batch_docs)
+        .join(band_table.select(F.col("id").alias("matched_id"), "band", "bucket"),
+              ["band", "bucket"])
+        .select("id", "matched_id").distinct().collect()
+    )
+    assert got == expected
+    assert (10, 1) in got                      # the true near-dup is flagged
+    assert all(i != 12 for i, _ in got)        # shingle-less doc emits nothing

@@ -126,6 +126,15 @@ def _bloom_probe_sql() -> str:
     return bloom_sql("hist", "batch", "text", "doc_id", m_bits=16384, n_hashes=3)
 
 
+def _compaction_sql() -> str:
+    from doc_agent_spark.operators.maintenance import plan_compaction_sql
+
+    return plan_compaction_sql(
+        "(SELECT source AS partition, doc_id AS file_id, n_chars AS bytes FROM documents)",
+        target_bytes=500,
+    )
+
+
 def _url_canon_sql() -> str:
     from doc_agent_spark.functions.urls import url_canonicalize_sql
 
@@ -1609,7 +1618,12 @@ def file_meta(spark, sf_dir):
     (upper-case www host, default/odd ports, tracking params, unsorted
     query, fragment) canonicalized with pure split_part algebra — key =
     canonical URL, digest = registered domain; both engines weave and
-    canonicalize the identical string."""
+    canonicalize the identical string. The compact arm is the table-
+    maintenance planner (operators/maintenance.py): small-file compaction
+    groups over a manifest woven from documents (partition=source,
+    bytes=n_chars, target 500) — key = partition, digest = group id,
+    metric = file bytes; right-sized files and single-small-file
+    partitions are correctly absent."""
     a = mime_dispatch(spark, sf_dir).select(
         F.lit("mime").alias("variant"),
         F.lit(None).cast("long").alias("doc_id"),
@@ -1647,7 +1661,21 @@ def file_meta(spark, sf_dir):
         urls.registered_domain(raw).alias("digest"),
         F.lit(None).cast("long").alias("metric"),
     )
-    return a.unionByName(b).unionByName(c)
+    from doc_agent_spark.operators import maintenance
+
+    manifest = docs.select(
+        F.col("source").alias("partition"),
+        F.col("doc_id").alias("file_id"),
+        F.col("n_chars").alias("bytes"),
+    )
+    d = maintenance.plan_compaction(manifest, target_bytes=500).select(
+        F.lit("compact").alias("variant"),
+        F.col("file_id").cast("long").alias("doc_id"),
+        F.col("partition").alias("key"),
+        F.col("group_id").cast("string").alias("digest"),
+        F.col("bytes").cast("long").alias("metric"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 _URL_WEAVE_SQL = """
@@ -2948,6 +2976,10 @@ UNION ALL
 SELECT 'url', CAST(doc_id AS BIGINT), {_url_canon_sql()}, {_url_rd_sql()},
        CAST(NULL AS BIGINT)
 FROM (SELECT doc_id, {_URL_WEAVE_SQL} AS raw_url FROM documents)
+UNION ALL
+SELECT 'compact', CAST(file_id AS BIGINT), partition,
+       CAST(group_id AS VARCHAR), CAST(bytes AS BIGINT)
+FROM ({_compaction_sql()})
 """,
         "simhash_dedup": f"""
 SELECT 'cluster' AS variant, CAST(simhash AS BIGINT) AS key_a,

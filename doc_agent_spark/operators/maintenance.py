@@ -1,0 +1,91 @@
+"""Table-maintenance planning: small-file compaction grouping.
+
+The 100 TB operational reality behind it: a streaming/micro-batch writer
+(streaming/pipeline.py, jobs/curate.py resume re-runs) leaves thousands of
+small files per partition; scan throughput then dies on per-file open cost
+and the driver dies on manifest bloat. Iceberg's maintenance action
+(rewrite_data_files a.k.a. binpack) plans GROUPS of small files whose
+combined size ≈ the target file size and rewrites each group as one file.
+
+This module implements the PLANNER as a deterministic relational job over
+the file manifest — which is exactly how it should run at scale: the
+manifest is metadata (O(files), millions of rows at 10^12 data rows), so
+the plan is a metadata-sized window job, never a data scan. The rewrite
+itself is then embarrassingly parallel per group (read group, write one
+file), and the plan's determinism makes the rewrite idempotently
+resumable with the same per-bucket lineage contract as jobs/extract.py.
+
+Grouping rule (sequential cumulative binning, the binpack strategy):
+within each partition, order compaction-eligible files (bytes < target)
+by file id, run a cumulative byte total, and cut a new group every time
+the RUNNING TOTAL BEFORE the file crosses a multiple of the target:
+``group = floor((cumsum - bytes) / target)``. Groups approximate the
+target size while staying a pure window expression — no iterative
+first-fit state, so the DuckDB oracle reproduces the plan bit-for-bit
+and two planner runs over the same manifest agree (the idempotence the
+rewrite's resume depends on).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def plan_compaction(
+    manifest: DataFrame,
+    target_bytes: int,
+    partition_col: str = "partition",
+    file_col: str = "file_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Compaction plan: ``(partition, file_id, bytes, group_id)`` for every
+    compaction-eligible file (bytes < target and not alone in its
+    partition). Files >= target pass (already right-sized), as does a
+    partition's single small file (rewriting one file buys nothing).
+
+    The window partitions by table partition — manifests are metadata-
+    sized, and group output is bounded by file count, so there is no skew
+    cliff here even when the data itself is skewed."""
+    if target_bytes < 1:
+        raise ValueError(f"target_bytes must be >= 1, got {target_bytes}")
+    small = manifest.filter(F.col(bytes_col) < target_bytes).select(
+        F.col(partition_col).alias("partition"),
+        F.col(file_col).alias("file_id"),
+        F.col(bytes_col).alias("bytes"),
+    )
+    w = Window.partitionBy("partition").orderBy("file_id")
+    planned = (
+        small.withColumn("_cum", F.sum("bytes").over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("partition")))
+        .filter(F.col("_n") > 1)
+        .select(
+            "partition", "file_id", "bytes",
+            F.floor((F.col("_cum") - F.col("bytes")) / target_bytes)
+            .cast("long").alias("group_id"),
+        )
+    )
+    return planned
+
+
+def plan_compaction_sql(
+    table: str,
+    target_bytes: int,
+    partition_expr: str = "partition",
+    file_expr: str = "file_id",
+    bytes_expr: str = "bytes",
+) -> str:
+    """DuckDB mirror of :func:`plan_compaction`."""
+    return f"""
+SELECT partition, file_id, bytes,
+       CAST(floor((cum - bytes) / {target_bytes}) AS BIGINT) AS group_id
+FROM (
+  SELECT {partition_expr} AS partition, {file_expr} AS file_id,
+         {bytes_expr} AS bytes,
+         sum({bytes_expr}) OVER (PARTITION BY {partition_expr}
+                                 ORDER BY {file_expr}) AS cum,
+         count(*) OVER (PARTITION BY {partition_expr}) AS n
+  FROM {table}
+  WHERE {bytes_expr} < {target_bytes})
+WHERE n > 1
+""".strip()

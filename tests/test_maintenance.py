@@ -1,0 +1,51 @@
+"""Compaction planner: group sizes approximate the target, eligibility
+rules (right-sized files and lone small files excluded), determinism."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from doc_agent_spark.operators import maintenance
+
+
+def _manifest(spark):
+    rows = (
+        [("p0", i, 100) for i in range(10)]         # 10 small files
+        + [("p0", 100, 5000)]                        # right-sized, excluded
+        + [("p1", i, 400) for i in range(3)]         # 3 smalls
+        + [("p2", 0, 50)]                            # lone small, excluded
+    )
+    return spark.createDataFrame(rows, "partition string, file_id long, bytes long")
+
+
+def test_plan_groups_and_eligibility(spark):
+    plan = maintenance.plan_compaction(_manifest(spark), target_bytes=1000)
+    rows = plan.collect()
+    assert all(r.partition in ("p0", "p1") for r in rows)       # p2 lone file out
+    assert all(r.file_id != 100 for r in rows)                  # >= target out
+    groups = {}
+    for r in rows:
+        groups.setdefault((r.partition, r.group_id), []).append(r.bytes)
+    # every group's total is <= target + one file of slack (the cut rule)
+    for (_, _), sizes in groups.items():
+        assert sum(sizes) <= 1000 + max(sizes)
+    # p0: 10 x 100 bytes -> cumulative cut at 1000 => exactly one full group
+    p0_groups = {g for (p, g) in groups if p == "p0"}
+    assert p0_groups == {0}
+    # p1: 3 x 400 -> cum 400,800,1200 -> groups floor(0/1000),floor(400/1000),floor(800/1000) = 0,0,0
+    p1_groups = {g for (p, g) in groups if p == "p1"}
+    assert p1_groups == {0}
+
+
+def test_plan_deterministic_under_layout(spark):
+    m = _manifest(spark)
+    a = maintenance.plan_compaction(m, target_bytes=700).collect()
+    b = maintenance.plan_compaction(m.repartition(7), target_bytes=700).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_plan_rejects_bad_target(spark):
+    with pytest.raises(ValueError):
+        maintenance.plan_compaction(_manifest(spark), target_bytes=0)

@@ -160,8 +160,13 @@ def _nb_cte_sql() -> str:
 def _kmv_users_sql() -> str:
     from doc_agent_spark.operators.sketches import cms_sql, kmv_sql
 
+    from doc_agent_spark.operators.maintenance import profile_table_sql
+
     kmv = kmv_sql("user_id", k=256).format(table="events")
     cms = cms_sql("events", "event_type", depth=4, width=64)
+    profile = profile_table_sql(
+        "documents", ["doc_id", "text", "lang", "source", "n_chars"]
+    )
     return f"""
 SELECT 'kmv' AS variant, CAST(NULL AS VARCHAR) AS key,
        CAST(k_used AS BIGINT) AS n, est, aux
@@ -169,6 +174,9 @@ FROM (SELECT k_used, estimate AS est, kth_hash AS aux FROM ({kmv}))
 UNION ALL
 SELECT 'cms', v, n, CAST(cms_est AS DOUBLE), CAST(NULL AS DOUBLE)
 FROM ({cms})
+UNION ALL
+SELECT 'profile', col_name, n_nonnull, n_distinct, avg_len
+FROM ({profile})
 """.strip()
 
 
@@ -521,7 +529,10 @@ def kmv_distinct_users(spark, sf_dir):
     event users (deterministic md5 uniforms — the per-task k-min reduction
     is the cluster merge shape) ∪ a count-min frequency sketch over event
     types (depth×width counter table; point estimates = min over rows,
-    exact count alongside). Both bit-identical to the DuckDB oracle."""
+    exact count alongside) ∪ the single-scan ANALYZE column profile over
+    documents (operators/maintenance.py profile_table: per-column
+    non-null/distinct/avg-length in one multi-distinct aggregation).
+    All bit-identical to the DuckDB oracle."""
     from doc_agent_spark.operators import sketches
 
     ev = load(spark, sf_dir, "events")
@@ -545,7 +556,19 @@ def kmv_distinct_users(spark, sf_dir):
         F.col("cms_est").cast("double").alias("est"),
         F.lit(None).cast("double").alias("aux"),
     )
-    return a.unionByName(b)
+    from doc_agent_spark.operators import maintenance
+
+    docs = load(spark, sf_dir, "documents")
+    c = maintenance.profile_table(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).select(
+        F.lit("profile").alias("variant"),
+        F.col("col_name").alias("key"),
+        F.col("n_nonnull").alias("n"),
+        F.col("n_distinct").alias("est"),
+        F.col("avg_len").alias("aux"),
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def value_quantiles(spark, sf_dir):

@@ -89,3 +89,49 @@ FROM (
   WHERE {bytes_expr} < {target_bytes})
 WHERE n > 1
 """.strip()
+
+
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Single-scan column profile — the ANALYZE-statistics pass every
+    optimizer feeds on: per column ``(col_name, n_nonnull, n_distinct,
+    avg_len)``.
+
+    One aggregation over the whole table computes every column's stats
+    together (Catalyst plans the multi-distinct via Expand: still ONE scan,
+    one shuffle of partial aggregates), then an unpivot reshapes to a row
+    per column. At 100 TB this is the stats job you schedule after big
+    writes; exact distinct counts are right for planner stats at moderate
+    cardinality — swap the KMV sketch (operators/sketches.py) per column
+    when a column's cardinality rivals the corpus.
+
+    avg_len is rounded to 6 decimals: an exact-integer sum divided by an
+    exact count, so cross-engine drift is confined to the division — the
+    repo's standard oracle tolerance discipline."""
+    aggs = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        aggs += [
+            F.count(F.col(c)).alias(f"__n_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__d_{c}"),
+            F.round(F.avg(F.length(s)), 6).alias(f"__l_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', __n_{c}, CAST(__d_{c} AS DOUBLE), __l_{c}" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS (col_name, n_nonnull, n_distinct, avg_len)"
+        )
+    )
+
+
+def profile_table_sql(table: str, cols: list[str]) -> str:
+    """DuckDB mirror of :func:`profile_table`."""
+    parts = [
+        f"""SELECT '{c}' AS col_name, count({c}) AS n_nonnull,
+        CAST(count(DISTINCT {c}) AS DOUBLE) AS n_distinct,
+        round(avg(length(CAST({c} AS VARCHAR))), 6) AS avg_len FROM {table}"""
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)

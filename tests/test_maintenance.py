@@ -49,3 +49,15 @@ def test_plan_deterministic_under_layout(spark):
 def test_plan_rejects_bad_target(spark):
     with pytest.raises(ValueError):
         maintenance.plan_compaction(_manifest(spark), target_bytes=0)
+
+
+def test_profile_table_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "aa", None), (2, "bb", 5.0), (3, "aa", 7.0), (4, None, 7.0)],
+        "id long, s string, v double",
+    )
+    rows = {r.col_name: r for r in maintenance.profile_table(df, ["id", "s", "v"]).collect()}
+    assert (rows["id"].n_nonnull, rows["id"].n_distinct) == (4, 4.0)
+    assert (rows["s"].n_nonnull, rows["s"].n_distinct) == (3, 2.0)
+    assert (rows["v"].n_nonnull, rows["v"].n_distinct) == (3, 2.0)
+    assert rows["s"].avg_len == 2.0

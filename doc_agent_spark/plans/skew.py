@@ -62,3 +62,39 @@ def split_heavy(df: DataFrame, max_spans: int = 32, num_partitions: int | None =
         ).alias("spans")
     )
     return light.unionByName(regrouped)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    row_key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skewed-key equi-join: salt the BIG side, replicate the SMALL side.
+
+    When one join key carries a disproportionate share of the big side
+    (the Zipfian-head host/domain/doc problem), a plain shuffle join sends
+    every hot-key row to ONE reducer. AQE's skew-join split handles this
+    only for sort-merge joins it can re-plan; this helper is the explicit
+    form for when the skew is known and you want it partitioned away
+    deterministically: the big side gets ``_salt = hash(row_key) % n``
+    (content-derived, so re-runs and cluster sizes salt identically — the
+    sampling module's determinism discipline), the small side is exploded
+    ×n_salts, and the join runs on (keys…, _salt) — the hot key now spreads
+    over n reducers at the cost of replicating the small side n×.
+
+    Semantics equal the plain join for inner/left: each big row sees
+    exactly the one replica of its matching small rows that carries its
+    salt. Not for right/full joins (an unmatched small row would surface
+    n times)."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    bs = big.withColumn(
+        "_salt", F.pmod(F.hash(F.col(row_key), F.lit(11)), F.lit(n_salts))
+    )
+    ss = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return bs.join(ss, [*on, "_salt"], how).drop("_salt")

@@ -61,3 +61,41 @@ def test_profile_table_stats(spark):
     assert (rows["s"].n_nonnull, rows["s"].n_distinct) == (3, 2.0)
     assert (rows["v"].n_nonnull, rows["v"].n_distinct) == (3, 2.0)
     assert rows["s"].avg_len == 2.0
+
+
+def test_salted_join_matches_plain_join(spark):
+    from doc_agent_spark.plans import skew
+
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 3 else f"k{i % 5}") for i in range(300)],
+        "row_id long, key string",
+    )
+    small = spark.createDataFrame(
+        [("hot", 1.0), ("k1", 2.0), ("k4", 3.0), ("unmatched", 9.0)],
+        "key string, w double",
+    )
+    plain = big.join(small, "key").select("row_id", "key", "w")
+    salted = skew.salted_join(big, small, ["key"], row_key="row_id").select(
+        "row_id", "key", "w"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # left join keeps unmatched big rows exactly once
+    plain_l = big.join(small, "key", "left")
+    salted_l = skew.salted_join(big, small, ["key"], row_key="row_id", how="left")
+    assert plain_l.count() == salted_l.count() == 300
+    # the hot key's big rows spread across several salt values
+    import pyspark.sql.functions as F
+    n_salts_used = (
+        big.filter(F.col("key") == "hot")
+        .withColumn("_salt", F.pmod(F.hash(F.col("row_id"), F.lit(11)), F.lit(8)))
+        .select("_salt").distinct().count()
+    )
+    assert n_salts_used > 1
+
+
+def test_salted_join_rejects_right_joins(spark):
+    from doc_agent_spark.plans import skew
+
+    df = spark.createDataFrame([(1, "a")], "row_id long, key string")
+    with pytest.raises(ValueError):
+        skew.salted_join(df, df, ["key"], row_key="row_id", how="right")

@@ -46,3 +46,47 @@ def test_url_canonicalize_idempotent(spark):
     twice = once.select("i", urls.url_canonicalize(F.col("u")).alias("u2"))
     j = once.join(twice, "i")
     assert j.filter(F.col("u") != F.col("u2")).count() == 0
+
+
+def test_url_canonicalize_randomized_parity_and_idempotence(spark):
+    """200 seeded messy URLs: Spark canon == DuckDB mirror canon, and
+    canon is a fixpoint (canon(canon(u)) == canon(u)) on every one."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(42)
+    hosts = ["Example.COM", "www.Sub.Example.org", "API.test.example.NET", "localhost"]
+    params = ["a=1", "b=2", "utm_source=x", "gclid=y", "id=9", "z=0", "fbclid=f"]
+    urls_list = []
+    for i in range(200):
+        scheme = rng.choice(["http", "https"])
+        host = rng.choice(hosts)
+        port = rng.choice(["", ":80", ":443", ":8080"])
+        path = rng.choice(["", "/", "/a", "/a/b", "/a/b/"])
+        q = rng.sample(params, rng.randint(0, 4))
+        frag = rng.choice(["", "#x", "#sec/2"])
+        u = f"{scheme}://{host}{port}{path}"
+        if q:
+            u += "?" + "&".join(q)
+        u += frag
+        urls_list.append((i, u))
+
+    df = spark.createDataFrame(urls_list, "i long, url string")
+    once = df.select("i", urls.url_canonicalize(F.col("url")).alias("c1"))
+    twice = once.select("i", "c1", urls.url_canonicalize(F.col("c1")).alias("c2"))
+    rows = {r.i: (r.c1, r.c2) for r in twice.collect()}
+    assert all(c1 == c2 for c1, c2 in rows.values())
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, '{u}')" for i, u in urls_list)
+        + ") v(i, url)"
+    )
+    orows = dict(
+        con.execute(
+            f"SELECT i, {urls.url_canonicalize_sql('url')} FROM t"
+        ).fetchall()
+    )
+    assert all(rows[i][0] == orows[i] for i in orows)

@@ -1,8 +1,9 @@
 """Checkpoint-resumable training-data curation job — the second deployable
 stage (same resume model as jobs/extract.py, applied to the curation
 funnel: [boilerplate-line strip] → [duplicated-span removal] →
-[fuzzy near-dup drop] → exact dedup → quality/language/[LM-perplexity]
-filter → PII redaction → deterministic sampling).
+[fuzzy near-dup drop] → [per-domain cap] → exact dedup →
+quality/language/[LM-perplexity] filter → PII redaction →
+deterministic sampling).
 
     spark-submit --py-files dist.zip jobs/curate.py \\
         --input warehouse.documents --output warehouse.curated \\
@@ -38,6 +39,14 @@ the drop list cannot be a per-bucket computation — it is computed once
 per run over the post-strip corpus and every bucket (including resumes)
 anti-joins the same committed artifact; exact dedup inside the buckets
 then handles byte-identical survivors as before.
+
+The per-domain cap (``--domain-cap N``, RefinedWeb-style anti-monoculture
+quota) is a corpus-stat stage with the same persisted-drop-list mechanics
+as fuzzy dedup: domain membership crosses content-hash buckets, so the
+over-cap set (everything but each domain's N hash-smallest docs —
+operators/sampling.py cap_per_domain) is computed once per run, persisted
+(``--domain-cap-drops``, default ``<output>_domain_cap_drops``), and
+anti-joined by every bucket including resumes.
 
 LM-perplexity filtering (``--lm-max-ce X``, CCNet-style) is a
 corpus-stat stage as well: the stupid-backoff bigram count model
@@ -167,6 +176,26 @@ def _fuzzy_drops_build(docs, threshold: float, minhash_k: int = 8,
     return build
 
 
+def _domain_cap_drops_build(docs, cap: int, domain_col: str):
+    """Per-domain quota drop list (RefinedWeb anti-monoculture cap): the
+    rows cap_per_domain would NOT keep. A corpus-stat artifact like the
+    fuzzy drop list — domain membership crosses content-hash buckets, so
+    the cap is computed once per run over the post-strip corpus and every
+    bucket (including resumes) anti-joins the same committed parquet."""
+    from doc_agent_spark.operators import sampling
+
+    def build():
+        ids = docs.select("doc_id", domain_col)
+        kept = sampling.cap_per_domain(
+            ids, cap=cap, domain_col=domain_col, key_col="doc_id"
+        )
+        return ids.select("doc_id").join(
+            kept.select("doc_id"), "doc_id", "left_anti"
+        )
+
+    return build
+
+
 def _load_or_build_lm(spark, docs, path: str, min_count: int):
     """Corpus-stat checkpoint for the stupid-backoff bigram count model —
     bespoke (three tables) rather than via :func:`_load_or_build`: totals
@@ -223,6 +252,9 @@ def run_curate(
     span_k: int = 0,
     span_min_count: int = 2,
     span_shingles_path: str | None = None,
+    domain_cap: int = 0,
+    domain_col: str = "source",
+    domain_cap_drops_path: str | None = None,
 ) -> dict:
     from pyspark.sql import Observation
 
@@ -299,6 +331,15 @@ def run_curate(
         # no broadcast hint: the drop list scales with near-dup mass, not
         # with a model size — let AQE pick broadcast vs shuffle join
         docs = docs.join(drops, "doc_id", "left_anti")
+    cap_reused = None
+    n_domain_capped = 0
+    if domain_cap > 0:
+        cpath = domain_cap_drops_path or (output_path.rstrip("/") + "_domain_cap_drops")
+        cap_drops, cap_reused = _load_or_build(
+            spark, cpath, _domain_cap_drops_build(docs, domain_cap, domain_col)
+        )
+        n_domain_capped = cap_drops.count()
+        docs = docs.join(cap_drops, "doc_id", "left_anti")
     lm_reused = None
     if lm_max_ce is not None:
         from doc_agent_spark.operators import lm_quality
@@ -397,6 +438,8 @@ def run_curate(
         "lm_artifact_reused": lm_reused,
         "fuzzy_artifact_reused": fuzzy_reused,
         "fuzzy_dropped": n_fuzzy_dropped,
+        "domain_cap_artifact_reused": cap_reused,
+        "domain_capped": n_domain_capped,
         "resumed_buckets_skipped": len(done),
         "wall_ms": wall_ms,
     }
@@ -441,6 +484,13 @@ def main() -> None:
     ap.add_argument("--span-shingles", default=None,
                     help="path for the persisted duplicated-shingle set "
                          "(default <output>_dup_shingles)")
+    ap.add_argument("--domain-cap", type=int, default=0,
+                    help="keep at most N docs per --domain-col value "
+                         "(hash-smallest win; 0 = off)")
+    ap.add_argument("--domain-col", default="source")
+    ap.add_argument("--domain-cap-drops", default=None,
+                    help="path for the persisted over-cap drop list "
+                         "(default <output>_domain_cap_drops)")
     args = ap.parse_args()
 
     from extract import ship_package  # same zip+addPyFile bootstrap
@@ -457,6 +507,7 @@ def main() -> None:
         args.lm_max_ce, args.lm_min_count, args.lm_model,
         args.fuzzy_jaccard, args.fuzzy_drops,
         args.span_k, args.span_min_count, args.span_shingles,
+        args.domain_cap, args.domain_col, args.domain_cap_drops,
     )
     print(stats)
     spark.stop()

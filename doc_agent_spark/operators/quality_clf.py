@@ -69,6 +69,12 @@ def hashed_nb_scores(
         )
         .withColumn("bucket", _bucket(F.col("w"), n_buckets, seed))
         .drop("w")
+        # three downstream actions branch off this frame (model counts,
+        # token totals, scoring); without a checkpoint each would re-run
+        # the tokenize+hash scan — the conversion_funnel recompute lesson.
+        # The frame is (id, bool, long): far smaller than the text it came
+        # from, so materializing it is the cheap side of the trade.
+        .localCheckpoint(eager=True)
     )
     model = toks.groupBy("bucket").agg(
         F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("long").alias("c_pos"),

@@ -294,3 +294,69 @@ def test_span_removal_shuffles_hash_prefixes_not_tokens(spark, sf_dir):
     for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
         keys = m.group(1)
         assert "ws" not in keys and "text" not in keys, keys
+
+
+def test_bloom_probe_broadcasts_the_word_table(spark, sf_dir):
+    """The bloom filter side is constant-size (m/32 words): the probe join
+    must broadcast it, never shuffle the batch."""
+    from doc_agent_spark.operators import sketches
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = sketches.bloom_build(docs, "text")
+    probed = sketches.bloom_probe(docs, words, "doc_id", "text")
+    plan = _plan(probed)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cap_per_domain_single_window_over_cap_only(spark, sf_dir):
+    """The quota cap routes only over-cap domains into the rank window;
+    the plan carries exactly one Window, and both split joins are
+    broadcast (the over-cap domain list is tiny)."""
+    from doc_agent_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(
+        sampling.cap_per_domain(docs, cap=20, domain_col="source", key_col="doc_id")
+    )
+    assert plan.count("Window [") == 1
+    assert "BroadcastHashJoin" in plan
+    # rank<=cap pushes into the window sort as a group limit (partial map-
+    # side + final), so over-cap domains never fully sort either
+    assert "WindowGroupLimit" in plan
+
+
+def test_nb_scoring_broadcasts_the_model(spark, sf_dir):
+    """Hashed-NB: the log-odds model (n_buckets rows) and both totals rows
+    broadcast; the only shuffles key on 8-byte buckets / doc ids."""
+    from doc_agent_spark.operators import quality_clf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = quality_clf.hashed_nb_scores(
+        docs, "doc_id", "text", F.col("lang") == "en"
+    )
+    plan = _plan(scored)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the one-row totals crossJoins
+
+
+def test_url_canon_is_zero_shuffle_projection(spark, sf_dir):
+    from doc_agent_spark.functions import urls
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = docs.select(
+        urls.url_canonicalize(
+            F.concat(F.lit("https://WWW."), F.col("source"), F.lit(".Example.COM/x"))
+        )
+    )
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_salted_join_keys_include_the_salt(spark, sf_dir):
+    from doc_agent_spark.plans import skew
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    small = docs.select("source").distinct().withColumn("w", F.lit(1.0))
+    out = skew.salted_join(docs, small, ["source"], row_key="doc_id")
+    assert "_salt" in _optimized(out)

@@ -91,6 +91,9 @@ _DET_QUERIES = [
     # bounded by the final 1e-6 round) and duplicated-span removal
     # (collect_list positions re-sorted before the span merge)
     "quality_tokens", "exact_fingerprint_dups",
+    # round-3 continuation: URL canon + compaction plan (file_meta arms),
+    # ANALYZE profile (kmv arm); bloom/cap/NB ride the three entries above
+    "file_meta", "kmv_distinct_users",
 ]
 
 

@@ -236,3 +236,25 @@ def test_cap_per_domain_rejects_zero_cap(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, domain string")
     with pytest.raises(ValueError):
         sampling.cap_per_domain(df, cap=0, domain_col="domain", key_col="doc_id")
+
+
+def test_cap_per_domain_randomized_vs_window(spark):
+    """Seeded Zipfian-ish domains, assorted caps: split-path output equals
+    the plain global window on every run."""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(13)
+    rows = [(i, f"d{min(int(rng.expovariate(0.8)), 9)}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    for cap in (1, 3, 17, 400):
+        got = sampling.cap_per_domain(df, cap=cap, domain_col="domain", key_col="doc_id")
+        h = F.substring(
+            F.md5(F.concat(F.lit("cap42:"), F.col("doc_id").cast("string"))), 1, 8
+        )
+        w = Window.partitionBy("domain").orderBy(h, F.col("doc_id"))
+        ref = df.withColumn("_r", F.row_number().over(w)).filter(
+            F.col("_r") <= cap
+        ).drop("_r")
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect())), cap

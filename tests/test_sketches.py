@@ -134,3 +134,20 @@ def test_bloom_word_table_bounded_and_packed(spark):
     ).collect()
     assert len(words) <= 1024 // 32
     assert all(0 <= r.mask < 2**32 for r in words)  # no sign-bit shifts
+
+
+def test_bloom_randomized_no_false_negatives_and_merge(spark):
+    """120 seeded random corpora-slices in one job: every inserted key
+    probes true, across assorted m/k settings."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, "".join(rng.choices("abcdefgh", k=rng.randint(3, 12))))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for m_bits, k in ((512, 2), (4096, 3), (65536, 5)):
+        words = sketches.bloom_build(df, "text", m_bits=m_bits, n_hashes=k)
+        probed = sketches.bloom_probe(
+            df, words, "doc_id", "text", m_bits=m_bits, n_hashes=k
+        )
+        assert probed.filter(~F.col("maybe_seen")).count() == 0, (m_bits, k)

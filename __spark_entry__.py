@@ -1271,11 +1271,38 @@ def pq_cosine_topk(spark, sf_dir):
 
 
 def media_metadata(spark, sf_dir):
+    """Multimodal arms, union-tagged: per-image decode metadata (Arrow
+    feature pass over opaque binary; FakeCodec dims mirrored as pure
+    arithmetic in the oracle) ∪ video near-dup pairs by frame-hash Jaccard
+    (sample_frames row expansion → frame md5 inverted index with a frame-DF
+    cap — the stop-shingle rule for boilerplate frames; run over the dup
+    corpus so the re-keyed copies are known positives)."""
     docs = load(spark, sf_dir, "documents")
     media = multimodal.media_from_documents(docs)
-    return multimodal.image_features(media).select(
-        "media_ref", "n_bytes", "width", "height", "content_sha256"
+    a = multimodal.image_features(media).select(
+        F.lit("image").alias("variant"),
+        F.col("media_ref").alias("ref"),
+        F.lit(None).cast("string").alias("ref_b"),
+        F.col("width").cast("long").alias("n1"),
+        F.col("height").cast("long").alias("n2"),
+        F.col("n_bytes").cast("double").alias("metric"),
+        F.col("content_sha256").alias("digest"),
     )
+    vids = multimodal.media_videos_from_documents(
+        _dup_corpus(spark, sf_dir).withColumnRenamed("doc_id", "doc_id")
+    )
+    b = multimodal.video_near_dups(
+        vids, threshold=0.5, every_n_bytes=128, max_frames=8
+    ).select(
+        F.lit("video_dup").alias("variant"),
+        F.col("ref_a").alias("ref"),
+        F.col("ref_b"),
+        F.col("n_shared").alias("n1"),
+        F.col("n_union").alias("n2"),
+        F.col("jaccard").alias("metric"),
+        F.lit(None).cast("string").alias("digest"),
+    )
+    return a.unionByName(b)
 
 
 def retrieval_eval(spark, sf_dir):
@@ -2776,13 +2803,40 @@ SELECT id, round({_cos_sql('dv', 'qv')}, 6) AS score
 FROM dv CROSS JOIN q
 ORDER BY score DESC, id ASC LIMIT 10
 """,
-        "media_metadata": """
-SELECT 'media://doc/' || CAST(doc_id AS VARCHAR) || '/full.png' AS media_ref,
-       CAST(strlen(text) AS BIGINT) AS n_bytes,
-       CAST(16 + strlen(text) % 241 AS INTEGER) AS width,
-       CAST(16 + (strlen(text) // 7) % 181 AS INTEGER) AS height,
-       sha256(text) AS content_sha256
+        "media_metadata": f"""
+SELECT 'image' AS variant,
+       'media://doc/' || CAST(doc_id AS VARCHAR) || '/full.png' AS ref,
+       CAST(NULL AS VARCHAR) AS ref_b,
+       CAST(16 + strlen(text) % 241 AS BIGINT) AS n1,
+       CAST(16 + (strlen(text) // 7) % 181 AS BIGINT) AS n2,
+       CAST(strlen(text) AS DOUBLE) AS metric,
+       sha256(text) AS digest
 FROM documents
+UNION ALL
+SELECT 'video_dup', ref_a, ref_b, n_shared, n_union, jaccard,
+       CAST(NULL AS VARCHAR)
+FROM (
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+vids AS (SELECT 'media://doc/' || CAST(doc_id AS VARCHAR) || '/clip.mp4' AS ref,
+                text
+         FROM corpus),
+par AS (SELECT ref, text,
+               least(greatest(strlen(text) // 128, 1), 8) AS nf,
+               greatest(strlen(text)
+                        // least(greatest(strlen(text) // 128, 1), 8), 1) AS n
+        FROM vids),
+fr AS (SELECT DISTINCT ref, md5(substring(text, CAST(i * n + 1 AS INT), CAST(n AS INT))) AS fh
+       FROM (SELECT ref, text, n, unnest(range(0, nf)) AS i FROM par)),
+common AS (SELECT fh FROM fr GROUP BY fh HAVING count(*) > 20),
+fr2 AS (SELECT ref, fh FROM fr WHERE fh NOT IN (SELECT fh FROM common)),
+sz AS (SELECT ref, count(*) AS nsz FROM fr2 GROUP BY ref),
+sh AS (SELECT a.ref AS ref_a, b.ref AS ref_b, count(*) AS n_shared
+       FROM fr2 a JOIN fr2 b ON a.fh = b.fh AND a.ref < b.ref GROUP BY 1, 2)
+SELECT ref_a, ref_b, n_shared,
+       sa.nsz + sb.nsz - n_shared AS n_union,
+       round(CAST(n_shared AS DOUBLE) / (sa.nsz + sb.nsz - n_shared), 6) AS jaccard
+FROM sh JOIN sz sa ON sh.ref_a = sa.ref JOIN sz sb ON sh.ref_b = sb.ref
+WHERE CAST(n_shared AS DOUBLE) / (sa.nsz + sb.nsz - n_shared) >= 0.5)
 """,
         "retrieval_eval": f"""
 WITH q AS (SELECT embedding AS qv, label AS qlabel FROM embeddings WHERE vec_id = 0),

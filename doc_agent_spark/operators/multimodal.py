@@ -243,3 +243,76 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         F.lit("image").alias("media_kind"),
         F.encode(F.col("text"), "utf-8").alias("content"),
     )
+
+
+def video_near_dups(
+    media: DataFrame,
+    threshold: float = 0.5,
+    every_n_bytes: int = 1024,
+    max_frames: int = 8,
+    max_frame_df: int = 20,
+    ref_col: str = "media_ref",
+    content_col: str = "content",
+) -> DataFrame:
+    """Video near-duplicate pairs by FRAME-HASH Jaccard: ``(ref_a, ref_b,
+    n_shared, n_union, jaccard)`` for video pairs whose sampled-frame md5
+    sets overlap at >= threshold — the re-encode/trim-robust video dedup a
+    multimodal corpus needs (same clip re-uploaded with a different
+    container shares most sampled frames even when the files differ
+    byte-wise).
+
+    Composition of the existing machinery: :func:`sample_frames` (Arrow
+    row expansion, codec-agnostic) → frame md5 in a codegen'd projection →
+    the inverted-index pair generation of the n-gram Jaccard dedup
+    (operators/dedup.py): videos never compare all-pairs, they meet ONLY
+    through shared frame hashes (equi-join on the 32-byte digest), and
+    frames appearing in > max_frame_df videos are dropped first — the
+    stop-shingle rule transplanted to frames, bounding any hash's join
+    group (intros/outros/test-pattern frames are the video world's
+    boilerplate). Shuffles move frame DIGESTS, never frame bytes."""
+    frames = sample_frames(
+        media, every_n_bytes=every_n_bytes, max_frames=max_frames,
+        ref_col=ref_col, content_col=content_col,
+    )
+    fh = frames.select(
+        F.col("media_ref").alias("ref"), F.md5(F.col("frame")).alias("fh")
+    ).distinct()
+    common = (
+        fh.groupBy("fh").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_frame_df).select("fh")
+    )
+    fh = fh.join(common, "fh", "left_anti")
+    sizes = fh.groupBy("ref").agg(F.count(F.lit(1)).alias("nsz"))
+    a, b = fh.alias("a"), fh.alias("b")
+    shared = (
+        a.join(b, "fh")
+        .where(F.col("a.ref") < F.col("b.ref"))
+        .groupBy(F.col("a.ref").alias("ref_a"), F.col("b.ref").alias("ref_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("ref").alias("ref_a"), F.col("nsz").alias("_na"))
+    sb = sizes.select(F.col("ref").alias("ref_b"), F.col("nsz").alias("_nb"))
+    out = (
+        shared.join(sa, "ref_a").join(sb, "ref_b")
+        .withColumn("n_union", F.col("_na") + F.col("_nb") - F.col("n_shared"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_shared").cast("double") / F.col("n_union"), 6),
+        )
+        .filter(F.col("n_shared").cast("double") / F.col("n_union") >= threshold)
+        .select("ref_a", "ref_b", "n_shared", "n_union", "jaccard")
+    )
+    return out
+
+
+def media_videos_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic video-flavored media table from documents testdata
+    (content = utf-8 text bytes; ASCII corpus, so the DuckDB oracle's
+    char-indexed substring mirrors the codec's byte slicing exactly)."""
+    return docs.select(
+        F.concat(
+            F.lit("media://doc/"), F.col("doc_id").cast("string"), F.lit("/clip.mp4")
+        ).alias("media_ref"),
+        F.lit("video").alias("media_kind"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )

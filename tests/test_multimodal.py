@@ -93,3 +93,42 @@ def test_media_from_documents_roundtrip(spark, sf_dir):
     assert isinstance(bytes(row.content), bytes)
     feats = multimodal.image_features(media.limit(5)).collect()
     assert len(feats) == 5 and all(f.content_sha256 for f in feats)
+
+
+def test_video_near_dups_frame_jaccard(spark):
+    from doc_agent_spark.operators import multimodal
+
+    base = bytes(range(256)) * 4        # 1024 bytes -> 8 frames at 128B
+    rows = [
+        ("v1", "video", base),
+        ("v2", "video", base),                       # exact dup of v1
+        ("v3", "video", base[:512] + b"\xff" * 512), # half the frames shared
+        ("v4", "video", b"\x01" * 1024),             # disjoint
+    ]
+    media = spark.createDataFrame(
+        rows, "media_ref string, media_kind string, content binary"
+    )
+    out = {
+        (r.ref_a, r.ref_b): r.jaccard
+        for r in multimodal.video_near_dups(
+            media, threshold=0.4, every_n_bytes=128, max_frames=8
+        ).collect()
+    }
+    assert out[("v1", "v2")] == 1.0
+    assert ("v1", "v3") in out and 0.4 <= out[("v1", "v3")] < 1.0
+    assert all("v4" not in pair for pair in out)
+
+
+def test_video_near_dups_frame_df_cap_drops_boilerplate_frames(spark):
+    from doc_agent_spark.operators import multimodal
+
+    # one frame (the whole content) shared by MANY videos: with the cap
+    # below the group size, no pairs emit — the quadratic trap is closed
+    rows = [(f"v{i}", "video", b"same-content-everywhere") for i in range(10)]
+    media = spark.createDataFrame(
+        rows, "media_ref string, media_kind string, content binary"
+    )
+    out = multimodal.video_near_dups(
+        media, threshold=0.1, every_n_bytes=128, max_frames=8, max_frame_df=5
+    )
+    assert out.count() == 0

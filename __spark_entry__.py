@@ -126,6 +126,17 @@ def _bloom_probe_sql() -> str:
     return bloom_sql("hist", "batch", "text", "doc_id", m_bits=16384, n_hashes=3)
 
 
+def _pagerank_docs_sql() -> str:
+    from doc_agent_spark.operators.graphrank import pagerank_sql
+
+    edges = (
+        "SELECT doc_id AS src, "
+        "(doc_id * 7 + 13 * k + 1) % (SELECT count(*) FROM documents) AS dst "
+        "FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)"
+    )
+    return pagerank_sql("SELECT doc_id AS id FROM documents", edges)
+
+
 def _compaction_sql() -> str:
     from doc_agent_spark.operators.maintenance import plan_compaction_sql
 
@@ -1019,17 +1030,42 @@ def dup_clusters(spark, sf_dir):
     rounds — right for LSH's near-clique components) and large-star/
     small-star contraction (O(log n) rounds — the extreme-scale path).
     The banding DAG runs once; the checkpointed pair list feeds both, and
-    the gate hash requires the two algorithms to agree row-for-row."""
+    the gate hash requires the two algorithms to agree row-for-row.
+
+    Third fixpoint arm: PageRank over a deterministically woven link graph
+    (each doc links to 3 ids derived from its own — the Common-Crawl-style
+    host-centrality prior; operators/graphrank.py). Fixed 8 synchronous
+    rounds, bit-matched against the oracle's unrolled-CTE mirror; rank
+    rides the metric column (cluster rows carry NULL metric, rank rows
+    NULL cluster_id)."""
+    from doc_agent_spark.operators import graphrank
+
     pairs = dedup.minhash_lsh_pairs(
         _spread(_dup_corpus(spark, sf_dir)), k=8, bands=4
     ).select("id_a", "id_b").localCheckpoint(eager=True)
     a = dedup.dup_clusters(pairs).select(
-        F.lit("minlabel").alias("algo"), "id", "cluster_id"
+        F.lit("minlabel").alias("algo"), "id", "cluster_id",
+        F.lit(None).cast("double").alias("metric"),
     )
     b = dedup.dup_clusters_star(pairs).select(
-        F.lit("star").alias("algo"), "id", "cluster_id"
+        F.lit("star").alias("algo"), "id", "cluster_id",
+        F.lit(None).cast("double").alias("metric"),
     )
-    return a.unionByName(b)
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    edges = nodes.select(
+        F.col("id").alias("src"),
+        F.explode(
+            F.array(*[(F.col("id") * 7 + 13 * k + 1) % n for k in range(3)])
+        ).alias("dst"),
+    )
+    c = graphrank.pagerank(nodes, edges).select(
+        F.lit("pagerank").alias("algo"), "id",
+        F.lit(None).cast("long").alias("cluster_id"),
+        F.col("rank").alias("metric"),
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def stratified_sample(spark, sf_dir):
@@ -2655,8 +2691,9 @@ reach AS (
   UNION
   SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
 cc AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
-SELECT 'minlabel' AS algo, id, cluster_id FROM cc
-UNION ALL SELECT 'star' AS algo, id, cluster_id FROM cc
+SELECT 'minlabel' AS algo, id, cluster_id, CAST(NULL AS DOUBLE) AS metric FROM cc
+UNION ALL SELECT 'star' AS algo, id, cluster_id, CAST(NULL AS DOUBLE) FROM cc
+UNION ALL SELECT 'pagerank', id, CAST(NULL AS BIGINT), rank FROM ({_pagerank_docs_sql()})
 """,
         "stratified_sample": f"""
 SELECT doc_id, lang, n_chars FROM documents

@@ -1,0 +1,98 @@
+"""Index-build job (jobs/index.py): artifact contents match the direct
+operator outputs, the resume path reuses every committed artifact, and
+the persisted postings reproduce live BM25 statistics."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"))
+
+from pyspark.sql import functions as F
+
+from index import ARTIFACTS, run_index  # jobs/index.py
+
+N = 120
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("index_job")
+    rows = [
+        (i, f"document {i} about the data pipeline and the spark engine "
+            f"plus filler token{i % 7} repeated token{i % 7}")
+        for i in range(N)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    in_p = str(d / "in.parquet")
+    df.write.parquet(in_p)
+    out, lin, met = (str(d / x) for x in ("idx", "lineage", "metrics"))
+    stats = run_index(spark, in_p, out, lin, met, run_id="i1", dim=8,
+                      centroid_stride=20)
+    return stats, in_p, out, lin, met
+
+
+def test_all_artifacts_built_and_counted(spark, built):
+    stats, _, out, lin, _ = built
+    assert stats["artifacts_reused"] == 0
+    assert set(stats["artifacts"]) == set(ARTIFACTS)
+    assert stats["artifacts"]["embeddings"] == N
+    assert stats["artifacts"]["bm25_docstats"] == N
+    assert stats["artifacts"]["sq_stats"] == 1
+    assert stats["artifacts"]["bm25_corpus"] == 1
+    assert spark.read.parquet(lin).count() == len(ARTIFACTS)
+
+
+def test_ivf_cells_cover_corpus_and_partition_by_cell(spark, built):
+    _, _, out, _, _ = built
+    cells = spark.read.parquet(f"{out}/ivf_cells")
+    assert cells.select("id").distinct().count() == N
+    # partitioned layout: cell=... directories exist
+    assert any(p.startswith("cell=") for p in os.listdir(f"{out}/ivf_cells"))
+
+
+def test_postings_reproduce_live_bm25_stats(spark, built):
+    _, in_p, out, _, _ = built
+    docs = spark.read.parquet(in_p)
+    from doc_agent_spark.functions.textfns import words_of
+
+    live_df = (
+        docs.select(F.explode(words_of(F.col("text"))).alias("t"))
+        .filter(F.col("t") == "spark").count()
+    )
+    postings = spark.read.parquet(f"{out}/bm25_postings")
+    persisted = postings.filter(F.col("term") == "spark").agg(
+        F.sum("tf")
+    ).collect()[0][0]
+    assert persisted == live_df
+    corpus = spark.read.parquet(f"{out}/bm25_corpus").collect()[0]
+    assert corpus.n == N and corpus.avgdl > 0
+
+
+def test_rerun_reuses_every_artifact(spark, built):
+    stats, in_p, out, lin, met = built
+    r2 = run_index(spark, in_p, out, lin, met, run_id="i1", dim=8,
+                   centroid_stride=20)
+    assert r2["artifacts_reused"] == len(ARTIFACTS)
+    assert r2["artifacts"] == stats["artifacts"]
+
+
+def test_band_table_artifact_feeds_pair_generation(spark, built):
+    _, in_p, out, _, _ = built
+    from doc_agent_spark.operators import dedup
+
+    docs = spark.read.parquet(in_p)
+    persisted = spark.read.parquet(f"{out}/minhash_bands")
+    a, b = persisted.alias("a"), persisted.alias("b")
+    via_artifact = (
+        a.join(b, ["band", "bucket"]).where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_bands"))
+    )
+    direct = dedup.minhash_lsh_pairs(docs)
+    assert sorted(map(tuple, via_artifact.collect())) == sorted(
+        map(tuple, direct.collect())
+    )

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from doc_agent_spark.functions import textfns, vectors  # noqa: E402
+from doc_agent_spark.functions import gopher, textfns, vectors  # noqa: E402
 from doc_agent_spark.functions.assembly import assemble_page_text  # noqa: E402
 from doc_agent_spark.functions.hashing import path_hash  # noqa: E402
 from doc_agent_spark.functions.mime import filename_of, mime_of  # noqa: E402
@@ -94,6 +94,9 @@ SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
 
 _WORDS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
 
+# words-of the gopher weave column `gp` (same tokenizer, different input col)
+_WGP_SQL = "list_filter(string_split_regex(lower(gp), '[^a-z0-9]+'), w -> w <> '')"
+
 
 def _page_weave() -> F.Column:
     """Deterministic multi-line page woven from (doc_id, text): header/footer
@@ -118,6 +121,36 @@ _PAGE_WEAVE_SQL = """
     (CASE WHEN doc_id % 4 = 0 THEN 'STATEMENT HEADER'
           WHEN doc_id % 4 = 1 THEN 'Page 1 of 1'
           ELSE 'ref ' || CAST(doc_id AS VARCHAR) END)
+""".strip()
+
+
+def _gopher_weave() -> F.Column:
+    """The Gopher-signal page: _page_weave plus a bullet line and a trailing
+    line keyed off doc_id, so the bullet-start / ellipsis-end / symbol
+    signals vary per document (the raw testdata text has no bullets or
+    symbols). Mirrored 1:1 in _GOPHER_WEAVE_SQL."""
+    return F.concat_ws(
+        "\n",
+        _page_weave(),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("• first bullet point"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("- dashed item"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("* starred item"))
+        .otherwise(F.concat(F.lit("note "), F.col("doc_id").cast("string"))),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("to be continued..."))
+        .when(F.col("doc_id") % 3 == 1, F.lit("trailing thought…"))
+        .otherwise(F.lit("closing line # ref")),
+    )
+
+
+_GOPHER_WEAVE_SQL = f"""
+({_PAGE_WEAVE_SQL}) || chr(10) ||
+    (CASE WHEN doc_id % 5 = 0 THEN '• first bullet point'
+          WHEN doc_id % 5 = 1 THEN '- dashed item'
+          WHEN doc_id % 5 = 2 THEN '* starred item'
+          ELSE 'note ' || CAST(doc_id AS VARCHAR) END) || chr(10) ||
+    (CASE WHEN doc_id % 3 = 0 THEN 'to be continued...'
+          WHEN doc_id % 3 = 1 THEN 'trailing thought…'
+          ELSE 'closing line # ref' END)
 """.strip()
 
 def _bloom_probe_sql() -> str:
@@ -971,7 +1004,17 @@ def quality_tokens(spark, sf_dir):
     ~30-word vocabulary, so even this label separates only weakly — the
     gate pins the exact train+score arithmetic (varied scores, preds on
     both sides), while LEARNABILITY is pinned by the disjoint-vocabulary
-    pytest (test_quality_clf.py: perfect self-accuracy)."""
+    pytest (test_quality_clf.py: perfect self-accuracy).
+
+    Round-3 continuation arm: the full Gopher rule battery
+    (functions/gopher.py — Rae et al. 2021 A1.1). Outlier signals run over
+    _gopher_weave() (bullets / ellipses / '#' woven per doc_id — raw
+    testdata text has none) with the combined pass flag; repetition
+    signals (top-{2,3,4}-gram, dup-{5..10}-gram char fractions) run over
+    the raw text through ONE n-tagged gram explode, which also supplies
+    the pre-existing top2gram_char_frac column (identical n=2 semantics
+    to textfns.top_bigram_char_fraction)."""
+    from doc_agent_spark.functions import gopher
     from doc_agent_spark.operators import lm_quality, quality_clf
 
     raw = load(spark, sf_dir, "documents")
@@ -986,7 +1029,29 @@ def quality_tokens(spark, sf_dir):
         textfns.dup_line_fraction(page).alias("dup_line_frac"),
         textfns.dup_line_char_fraction(page).alias("dup_line_char_frac"),
     )
-    top2 = textfns.top_bigram_char_fraction(docs, "doc_id", "text")
+    rep = gopher.ngram_repetition_profile(docs, "doc_id", "text")
+    gp = _gopher_weave()
+    gop = docs.select(
+        "doc_id",
+        F.size(textfns.words_of(gp)).alias("gopher_n_words"),
+        gopher.mean_word_length(gp).alias("gopher_mean_word_len"),
+        gopher.symbol_word_ratio(gp).alias("gopher_symbol_ratio"),
+        gopher.bullet_line_fraction(gp).alias("gopher_bullet_frac"),
+        gopher.ellipsis_line_fraction(gp).alias("gopher_ellipsis_frac"),
+        gopher.alpha_word_fraction(gp).alias("gopher_alpha_frac"),
+        gopher.required_stopword_hits(gp).alias("gopher_stop_hits"),
+    ).withColumn(
+        "gopher_pass",
+        gopher.outlier_pass_cols(
+            F.col("gopher_n_words"),
+            F.col("gopher_mean_word_len"),
+            F.col("gopher_symbol_ratio"),
+            F.col("gopher_bullet_frac"),
+            F.col("gopher_ellipsis_frac"),
+            F.col("gopher_alpha_frac"),
+            F.col("gopher_stop_hits"),
+        ),
+    )
     lm = lm_quality.lm_quality_profile(docs, min_count=2)
     ws = textfns.words_of(F.col("text"))
     nb_label = (
@@ -996,7 +1061,19 @@ def quality_tokens(spark, sf_dir):
     nb = quality_clf.hashed_nb_scores(
         docs, "doc_id", "text", nb_label
     ).withColumnRenamed("id", "doc_id")
-    return base.join(top2, "doc_id").join(lm, "doc_id").join(nb, "doc_id")
+    out = (
+        base.join(rep, "doc_id").join(gop, "doc_id")
+        .join(lm, "doc_id").join(nb, "doc_id")
+    )
+    return out.withColumn(
+        "gopher_rep_pass",
+        gopher.repetition_pass(
+            F.col("dup_line_frac"),
+            F.col("dup_line_char_frac"),
+            {n: F.col(f"top{n}gram_char_frac") for n in (2, 3, 4)},
+            {n: F.col(f"dup{n}gram_char_frac") for n in (5, 6, 7, 8, 9, 10)},
+        ),
+    )
 
 
 def pii_redaction(spark, sf_dir):
@@ -2587,14 +2664,18 @@ ln AS (
     list_filter(list_transform(string_split(page, chr(10)), l -> trim(l)), l -> l <> '') AS lines
   FROM pg
 ),
-grams AS (
+{gopher.ngram_repetition_sql(_WORDS_SQL)},
+gw AS (SELECT doc_id, {_GOPHER_WEAVE_SQL} AS gp FROM documents),
+gsig AS (
   SELECT doc_id,
-    unnest(list_transform(range(1, len({_WORDS_SQL})), i ->
-      {_WORDS_SQL}[i] || ' ' || {_WORDS_SQL}[i+1])) AS gram
-  FROM documents
-),
-gc AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram),
-top AS (SELECT doc_id, max(c * length(gram)) AS top2_chars FROM gc GROUP BY doc_id),
+    CAST(len({_WGP_SQL}) AS INTEGER) AS gopher_n_words,
+    {gopher.mean_word_length_sql(_WGP_SQL)} AS gopher_mean_word_len,
+    {gopher.symbol_word_ratio_sql('gp', _WGP_SQL)} AS gopher_symbol_ratio,
+    {gopher.bullet_line_fraction_sql('gp')} AS gopher_bullet_frac,
+    {gopher.ellipsis_line_fraction_sql('gp')} AS gopher_ellipsis_frac,
+    {gopher.alpha_word_fraction_sql(_WGP_SQL)} AS gopher_alpha_frac,
+    CAST({gopher.required_stopword_hits_sql(_WGP_SQL)} AS INTEGER) AS gopher_stop_hits
+  FROM gw),
 toks AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
 uc AS (SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w),
 tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM uc),
@@ -2614,6 +2695,19 @@ sc AS (SELECT f.doc_id,
 lm AS (SELECT doc_id, count(*) AS n_bigrams,
        round(-sum(lp) / count(*), 6) AS lm_ce FROM sc GROUP BY doc_id),
 {_nb_cte_sql()}
+SELECT q.*,
+  (q.gopher_n_words >= 50 AND q.gopher_n_words <= 100000
+   AND q.gopher_mean_word_len BETWEEN 3.0 AND 10.0
+   AND q.gopher_symbol_ratio <= 0.1 AND q.gopher_bullet_frac < 0.9
+   AND q.gopher_ellipsis_frac < 0.3 AND q.gopher_alpha_frac >= 0.8
+   AND q.gopher_stop_hits >= 2) AS gopher_pass,
+  (q.dup_line_frac <= 0.30 AND q.dup_line_char_frac <= 0.20
+   AND q.top2gram_char_frac <= 0.20 AND q.top3gram_char_frac <= 0.18
+   AND q.top4gram_char_frac <= 0.16 AND q.dup5gram_char_frac <= 0.15
+   AND q.dup6gram_char_frac <= 0.14 AND q.dup7gram_char_frac <= 0.13
+   AND q.dup8gram_char_frac <= 0.12 AND q.dup9gram_char_frac <= 0.11
+   AND q.dup10gram_char_frac <= 0.10) AS gopher_rep_pass
+FROM (
 SELECT ln.doc_id,
   CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS INTEGER) AS n_ws_tokens,
   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
@@ -2639,7 +2733,12 @@ SELECT ln.doc_id,
          - list_aggregate(list_transform(list_distinct(lines), l -> length(l)), 'sum') AS DOUBLE)
       / list_aggregate(list_transform(lines, l -> length(l)), 'sum'), 4)
     ELSE 0.0 END AS dup_line_char_frac,
-  coalesce(round(CAST(top2_chars AS DOUBLE) / length(text), 4), 0.0) AS top2gram_char_frac,
+  g.top2gram_char_frac, g.top3gram_char_frac, g.top4gram_char_frac,
+  g.dup5gram_char_frac, g.dup6gram_char_frac, g.dup7gram_char_frac,
+  g.dup8gram_char_frac, g.dup9gram_char_frac, g.dup10gram_char_frac,
+  gs.gopher_n_words, gs.gopher_mean_word_len, gs.gopher_symbol_ratio,
+  gs.gopher_bullet_frac, gs.gopher_ellipsis_frac, gs.gopher_alpha_frac,
+  gs.gopher_stop_hits,
   lm.n_bigrams AS n_bigrams,
   lm.lm_ce AS lm_ce,
   CASE WHEN lm.lm_ce < 3.39 THEN 'head'
@@ -2647,9 +2746,11 @@ SELECT ln.doc_id,
        ELSE 'tail' END AS lm_tier,
   nbsc.nb_score AS nb_score,
   nbsc.nb_pred AS nb_pred
-FROM ln LEFT JOIN top ON ln.doc_id = top.doc_id
+FROM ln JOIN gop_prof g ON ln.doc_id = g.doc_id
+JOIN gsig gs ON ln.doc_id = gs.doc_id
 JOIN lm ON ln.doc_id = lm.doc_id
 JOIN nbsc ON ln.doc_id = nbsc.id
+) q
 """,
         "quality_weighted_sample": f"""
 WITH s AS (

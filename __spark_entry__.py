@@ -1630,7 +1630,11 @@ def exact_fingerprint_dups(spark, sf_dir):
     snapshot (even-id docs) — every maybe-seen doc is emitted with
     dup_count 1 when it truly duplicates history and 0 for a bloom false
     positive, so the gate pins both the no-false-negative guarantee and
-    the exact (deterministic) collision set."""
+    the exact (deterministic) collision set. The para arm is C4-style
+    corpus-wide exact paragraph dedup (keep the globally-first occurrence
+    of every distinct paragraph, reassemble survivors) over the page-woven
+    dup corpus — key = md5 of the reassembled text, dup_count = paragraphs
+    removed."""
     a = dedup_exact(spark, sf_dir).select(
         F.lit("md5").alias("variant"), F.col("text_md5").alias("key"),
         "keep_id", "dup_count",
@@ -1668,7 +1672,17 @@ def exact_fingerprint_dups(spark, sf_dir):
             F.coalesce("in_hist", F.lit(0)).cast("long").alias("dup_count"),
         )
     )
-    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+    g = dedup.dedup_paragraphs(
+        _spread(_dup_corpus(spark, sf_dir).select("doc_id", _page_weave().alias("text")))
+    ).select(
+        F.lit("para").alias("variant"), F.md5("text_clean").alias("key"),
+        F.col("id").alias("keep_id"),
+        F.col("n_paras_removed").cast("long").alias("dup_count"),
+    )
+    return (
+        a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+        .unionByName(g)
+    )
 
 
 def minhash_verified_pairs(spark, sf_dir):
@@ -3247,6 +3261,23 @@ SELECT md5(pval) AS key, pid AS keep_id,
        CAST(CASE WHEN EXISTS (SELECT 1 FROM hist h WHERE h.text = probed.pval)
             THEN 1 ELSE 0 END AS BIGINT) AS dup_count
 FROM probed WHERE maybe_seen)
+UNION ALL
+SELECT 'para', md5(text_clean), id, n_paras_removed FROM (
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+pg2 AS (SELECT doc_id AS id, {_PAGE_WEAVE_SQL} AS page FROM corpus),
+pl AS (SELECT id, u.pos AS pos, u.para AS para FROM (
+  SELECT id, unnest(list_transform(range(1, len(lines) + 1),
+    i -> {{'pos': i, 'para': lines[i]}})) AS u
+  FROM (SELECT id, list_filter(list_transform(string_split(page, chr(10)),
+        l -> trim(l)), l -> l <> '') AS lines FROM pg2))),
+rk AS (SELECT id, pos, para,
+       row_number() OVER (PARTITION BY md5(para) ORDER BY id, pos) AS rn FROM pl),
+ag AS (SELECT id, string_agg(para, chr(10) ORDER BY pos) AS text_clean,
+       count(*) AS n_kept FROM rk WHERE rn = 1 GROUP BY id),
+tt AS (SELECT id, count(*) AS n_paras FROM pl GROUP BY id)
+SELECT tt.id, coalesce(ag.text_clean, '') AS text_clean,
+       CAST(tt.n_paras - coalesce(ag.n_kept, 0) AS BIGINT) AS n_paras_removed
+FROM tt LEFT JOIN ag ON tt.id = ag.id)
 """,
         "temporal_joins": f"""
 SELECT 'asof' AS variant, event_id, user_id, ts, CAST(NULL AS BIGINT) AS ref_id,

@@ -1163,3 +1163,58 @@ def strip_duplicated_spans(
         .cast("long")
         .alias("n_dup_spans"),
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style corpus-wide exact PARAGRAPH dedup (Raffel et al. 2020 §2.2
+    dedup unit, at paragraph/line granularity): every distinct paragraph
+    keeps exactly its globally-first occurrence — min (id, pos) over all
+    occurrences, same-document repeats included — and every other occurrence
+    is dropped; surviving paragraphs reassemble in original order. The
+    reference has no corpus-level text operator at all (one document per
+    process, extract.ts:11); this is the set-at-a-time formulation.
+
+    Returns (id, text_clean, n_paras, n_paras_removed) for every document
+    with >= 1 non-empty paragraph (paragraph = non-empty trimmed line of
+    ``text_col``; fully-deduped documents get text_clean = '').
+
+    Scale shape: paragraphs shuffle once as (md5, id, pos) — the text
+    rides only to the keeper join, which is by the same hash key (no
+    second shuffle of the paragraph mass). Keeper selection is a map-side-
+    combinable min(struct(id,pos)) aggregate, NOT a window: corpus-wide
+    boilerplate paragraphs ("Page 1 of 1") are exactly the hot keys where
+    a per-key sorted window would straggle. Reassembly is one per-doc
+    hash aggregate; per-doc array sorting is doc-sized.
+    """
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(lines_of(F.col(text_col))).alias("pos", "para"),
+    ).withColumn("h", F.md5("para"))
+    keeper = paras.groupBy("h").agg(F.min(F.struct("id", "pos")).alias("keep"))
+    kept = paras.join(keeper, "h").filter(
+        (F.col("id") == F.col("keep.id")) & (F.col("pos") == F.col("keep.pos"))
+    )
+    agg = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_paras_kept"),
+    )
+    totals = paras.groupBy("id").agg(F.count(F.lit(1)).alias("n_paras"))
+    return totals.join(agg, "id", "left").select(
+        "id",
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        "n_paras",
+        (F.col("n_paras") - F.coalesce("n_paras_kept", F.lit(0))).alias(
+            "n_paras_removed"
+        ),
+    )

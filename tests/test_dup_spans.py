@@ -81,3 +81,52 @@ def test_no_python_in_plan(spark, sf_dir):
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                 "CartesianProduct"):
         assert bad not in plan, f"span removal plan contains {bad}"
+
+
+# ---------------------------------------------------------------------------
+# C4-style corpus-wide exact paragraph dedup (dedup.dedup_paragraphs)
+# ---------------------------------------------------------------------------
+
+def para(spark, rows):
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return {r["id"]: r for r in dedup.dedup_paragraphs(df).collect()}
+
+
+def test_paragraph_keep_first_global(spark):
+    got = para(spark, [(1, "A\nB\nA"), (2, "B\nC"), (3, "A")])
+    # doc1 keeps the first A and B; its own repeat of A drops
+    assert got[1]["text_clean"] == "A\nB"
+    assert (got[1]["n_paras"], got[1]["n_paras_removed"]) == (3, 1)
+    # doc2's B lost to doc1's earlier occurrence
+    assert got[2]["text_clean"] == "C"
+    assert got[2]["n_paras_removed"] == 1
+    # doc3 fully deduped but still present, empty survivor text
+    assert got[3]["text_clean"] == ""
+    assert (got[3]["n_paras"], got[3]["n_paras_removed"]) == (1, 1)
+
+
+def test_paragraph_order_preserved_and_trim(spark):
+    got = para(spark, [(1, "  z last  \n\n a first \nmiddle")])
+    # blank line dropped, trimmed paragraphs keep original order
+    assert got[1]["text_clean"] == "z last\na first\nmiddle"
+    assert got[1]["n_paras_removed"] == 0
+
+
+def test_paragraph_dedup_deterministic(spark, sf_dir):
+    from doc_agent_spark.sources.tables import load
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws("\n", F.lit("HDR"), "text", F.lit("FTR")).alias("text"),
+    )
+    a = sorted(
+        tuple(r) for r in dedup.dedup_paragraphs(docs.repartition(1)).collect()
+    )
+    b = sorted(
+        tuple(r) for r in dedup.dedup_paragraphs(docs.repartition(17)).collect()
+    )
+    assert a == b
+    # HDR/FTR are corpus-wide boilerplate: exactly one doc keeps each
+    kept_hdr = sum(1 for r in a if "HDR" in r[1])
+    assert kept_hdr == 1

@@ -1598,7 +1598,11 @@ def events_rollup(spark, sf_dir):
 def vector_topk_methods(spark, sf_dir):
     """A3 exact cosine + all four ANN/compression strategies (LSH-bucket /
     IVF / int8 scalar quantization / product quantization) over the same
-    query vector, union-tagged."""
+    query vector, union-tagged. The kmeans arm is the index-BUILD step the
+    stride codebook skips: distributed Lloyd training (similarity.
+    kmeans_fit — Arrow assign+partial-sum passes, k×dim driver collect per
+    iteration) with every vector's final cell assignment pinned against
+    the unrolled-CTE DuckDB mirror (score = assigned cell id)."""
     parts = [
         ("exact", cosine_topk), ("lsh", ann_lsh_topk),
         ("ivf", ivf_topk), ("sq", sq_cosine_topk), ("pq", pq_cosine_topk),
@@ -1607,7 +1611,13 @@ def vector_topk_methods(spark, sf_dir):
     for tag, fn in parts:
         d = fn(spark, sf_dir).select(F.lit(tag).alias("method"), "id", "score")
         out = d if out is None else out.unionByName(d)
-    return out
+    emb = load(spark, sf_dir, "embeddings")
+    _, bc = similarity.kmeans_fit(emb, iters=2, centroid_stride=50)
+    km = similarity.ivf_assign(emb, bc, id_col="vec_id", vec_col="embedding").select(
+        F.lit("kmeans").alias("method"), "id",
+        F.col("cell").cast("double").alias("score"),
+    )
+    return out.unionByName(km)
 
 
 def line_boilerplate_dups(spark, sf_dir):
@@ -2955,6 +2965,7 @@ SELECT id, round({_cos_sql('dv', 'qv')}, 6) AS score
 FROM dv CROSS JOIN q
 ORDER BY score DESC, id ASC LIMIT 10
 """,
+        "kmeans_assign": similarity.kmeans_sql(iters=2, centroid_stride=50),
         "media_metadata": f"""
 SELECT 'image' AS variant,
        'media://doc/' || CAST(doc_id AS VARCHAR) || '/full.png' AS ref,
@@ -3131,7 +3142,7 @@ FROM events GROUP BY ROLLUP (event_type, hour(ts))
             for m, q in [
                 ("exact", "cosine_topk"), ("lsh", "ann_lsh_topk"),
                 ("ivf", "ivf_topk"), ("sq", "sq_cosine_topk"),
-                ("pq", "pq_cosine_topk"),
+                ("pq", "pq_cosine_topk"), ("kmeans", "kmeans_assign"),
             ]
         ),
         "retrieval_eval": f"""

@@ -391,3 +391,147 @@ def pq_cosine_topk(
         .orderBy(F.desc("score"), F.asc("id"))
         .limit(k)
     )
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    iters: int = 2,
+    centroid_stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Distributed spherical k-means (Lloyd) for codebook TRAINING — the
+    index-build step the stride-sampled ivf_codebook skips (FAISS trains
+    IVF codebooks exactly this way). Deterministic end to end: seeds are
+    the stride-sampled vectors (no RNG), assignment is the shared
+    argmax-cosine rule (ties break to the lower centroid id), and each
+    update rounds the new means to 6 decimals so the fixpoint is stable
+    across partitionings and engines; empty cells keep their previous
+    centroid (no resampling).
+
+    Scale shape, per iteration: ONE Arrow mapInPandas pass that both
+    assigns a batch (matmul against the broadcast normalized codebook) and
+    pre-aggregates it to per-batch (cell, pos, sum, count) partials — the
+    Python-side map-side combine — so the shuffle carries batches × k × dim
+    tiny rows instead of N vectors or N×dim elements, and the driver
+    collects exactly k × dim means. No per-iteration join back to the
+    vectors, no window.
+
+    Returns (cents DataFrame (cid, cv array<double>), broadcast of
+    (cids, row-normalized numpy matrix)) — the ivf_codebook contract, so
+    ivf_assign / ivf_topk / semdedup / sharded graph-ANN can consume a
+    TRAINED codebook unchanged.
+    """
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    sc = spark.sparkContext
+
+    def norm_rows(m):
+        return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+
+    emb = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    rows = sorted(
+        (int(r.id), list(r.v))
+        for r in emb.filter(F.col("id") % centroid_stride == 0).collect()
+    )
+    cids = np.array([c for c, _ in rows], dtype=np.int64)
+    M = np.array([v for _, v in rows], dtype=np.float64)
+    k, dim = M.shape
+
+    for _ in range(iters):
+        bc_it = sc.broadcast((cids, norm_rows(M)))
+
+        def partials(batches, _bc=bc_it, _k=k, _dim=dim):
+            import numpy as np
+            import pandas as pd
+
+            _, nm = _bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+                a = np.argmax(V @ nm.T, axis=1)
+                sums = np.zeros((_k, _dim))
+                counts = np.zeros(_k, dtype=np.int64)
+                np.add.at(sums, a, V)
+                np.add.at(counts, a, 1)
+                nz = np.flatnonzero(counts)
+                yield pd.DataFrame(
+                    {
+                        "ci": np.repeat(nz, _dim),
+                        "pos": np.tile(np.arange(_dim), len(nz)),
+                        "s": sums[nz].ravel(),
+                        "c": np.repeat(counts[nz], _dim),
+                    }
+                )
+
+        mm = (
+            emb.mapInPandas(partials, "ci long, pos long, s double, c long")
+            .groupBy("ci", "pos")
+            .agg(F.round(F.sum("s") / F.sum("c"), 6).alias("m"))
+            .collect()
+        )
+        newM = M.copy()
+        for r in mm:
+            newM[r["ci"], r["pos"]] = r["m"]
+        M = newM
+
+    cents = spark.createDataFrame(
+        [(int(c), [float(x) for x in row]) for c, row in zip(cids, M)],
+        "cid long, cv array<double>",
+    )
+    return cents, sc.broadcast((cids, norm_rows(M)))
+
+
+def kmeans_sql(
+    iters: int = 2,
+    centroid_stride: int = 50,
+    source: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB mirror of kmeans_fit + a final assignment pass: unrolled CTE
+    per Lloyd iteration (the dup_clusters/pagerank fixpoint-oracle
+    pattern). Produces (id, cell) of every vector against the trained
+    codebook — the gate pins seeds, every update's rounded means, and the
+    assignment rule in one result."""
+    dv = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    parts = [
+        f"emb AS (SELECT {id_col} AS id, {dv} AS dv FROM {source})",
+        f"cents0 AS (SELECT id AS cid, dv AS cv FROM emb WHERE id % {centroid_stride} = 0)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"""nc{p} AS (SELECT cid, list_transform(cv,
+  x -> x / greatest(sqrt(list_dot_product(cv, cv)), 1e-300)) AS ncv FROM cents{p}),
+as{i} AS (SELECT id, cid FROM (
+  SELECT e.id, c.cid, row_number() OVER (PARTITION BY e.id
+    ORDER BY list_dot_product(e.dv, c.ncv) DESC, c.cid ASC) AS rn
+  FROM emb e CROSS JOIN nc{p} c) WHERE rn = 1),
+ex{i} AS (SELECT cid, u.pos AS pos, u.val AS val FROM (
+  SELECT a.cid, unnest(list_transform(range(1, len(e.dv) + 1),
+    p -> {{'pos': p, 'val': e.dv[p]}})) AS u
+  FROM as{i} a JOIN emb e ON a.id = e.id)),
+mm{i} AS (SELECT cid, pos, round(avg(val), 6) AS m FROM ex{i} GROUP BY cid, pos),
+cents{i} AS (SELECT s.cid, coalesce(l.cv2, s.cv) AS cv FROM cents{p} s
+  LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS cv2 FROM mm{i} GROUP BY cid) l
+  ON s.cid = l.cid)"""
+        )
+    parts.append(
+        f"""ncf AS (SELECT cid, list_transform(cv,
+  x -> x / greatest(sqrt(list_dot_product(cv, cv)), 1e-300)) AS ncv FROM cents{iters})"""
+    )
+    ctes = ",\n".join(parts)
+    # (id, score) with score = assigned cell id — the vector_topk_methods
+    # union-arm shape (the gate compares every vector's final assignment)
+    return f"""
+WITH {ctes}
+SELECT id, CAST(cid AS DOUBLE) AS score FROM (
+  SELECT e.id, c.cid, row_number() OVER (PARTITION BY e.id
+    ORDER BY list_dot_product(e.dv, c.ncv) DESC, c.cid ASC) AS rn
+  FROM emb e CROSS JOIN ncf c) WHERE rn = 1
+""".strip()

@@ -202,14 +202,20 @@ def _nb_cte_sql() -> str:
 
 
 def _kmv_users_sql() -> str:
-    from doc_agent_spark.operators.sketches import cms_sql, kmv_sql
+    from doc_agent_spark.operators.sketches import cms_sql, hll_sql, kmv_sql
 
     from doc_agent_spark.operators.maintenance import profile_table_sql
 
     kmv = kmv_sql("user_id", k=256).format(table="events")
     cms = cms_sql("events", "event_type", depth=4, width=64)
+    hll = hll_sql("user_id").format(table="events")
     profile = profile_table_sql(
         "documents", ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    # the hll summary subquery is reused for the register arm via its CTE:
+    # re-issue hll_sql's regs CTE standalone for the hll_reg rows
+    hll_regs = hll.split("\nSELECT", 1)[0] + (
+        "\nSELECT CAST(bucket AS VARCHAR) AS key, CAST(rank AS BIGINT) AS n FROM regs"
     )
     return f"""
 SELECT 'kmv' AS variant, CAST(NULL AS VARCHAR) AS key,
@@ -221,6 +227,12 @@ FROM ({cms})
 UNION ALL
 SELECT 'profile', col_name, n_nonnull, n_distinct, avg_len
 FROM ({profile})
+UNION ALL
+SELECT 'hll', CAST(NULL AS VARCHAR), s_scaled, estimate, CAST(zeros AS DOUBLE)
+FROM ({hll})
+UNION ALL
+SELECT 'hll_reg', key, n, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM ({hll_regs})
 """.strip()
 
 
@@ -575,7 +587,10 @@ def kmv_distinct_users(spark, sf_dir):
     types (depth×width counter table; point estimates = min over rows,
     exact count alongside) ∪ the single-scan ANALYZE column profile over
     documents (operators/maintenance.py profile_table: per-column
-    non-null/distinct/avg-length in one multi-distinct aggregation).
+    non-null/distinct/avg-length in one multi-distinct aggregation) ∪ the
+    deterministic HyperLogLog over event users (summary row n = the exact
+    integer-scaled harmonic sum, plus one hll_reg row per live register —
+    the FULL sketch state is value-checked, not just the estimate).
     All bit-identical to the DuckDB oracle."""
     from doc_agent_spark.operators import sketches
 
@@ -612,7 +627,21 @@ def kmv_distinct_users(spark, sf_dir):
         F.col("n_distinct").alias("est"),
         F.col("avg_len").alias("aux"),
     )
-    return a.unionByName(b).unionByName(c)
+    d = sketches.hll_distinct_estimate(ev, "user_id").select(
+        F.lit("hll").alias("variant"),
+        F.lit(None).cast("string").alias("key"),
+        F.col("s_scaled").alias("n"),
+        F.col("estimate").alias("est"),
+        F.col("zeros").cast("double").alias("aux"),
+    )
+    e = sketches.hll_registers(ev, "user_id").select(
+        F.lit("hll_reg").alias("variant"),
+        F.col("bucket").cast("string").alias("key"),
+        F.col("rank").cast("long").alias("n"),
+        F.lit(None).cast("double").alias("est"),
+        F.lit(None).cast("double").alias("aux"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
 
 
 def value_quantiles(spark, sf_dir):

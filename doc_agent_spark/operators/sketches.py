@@ -276,3 +276,93 @@ probed AS (SELECT pid, pval,
            FROM probes LEFT JOIN words ON probes.bit // 32 = words.word
            GROUP BY 1, 2)
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet 2007) — deterministic, oracle-exact variant
+# ---------------------------------------------------------------------------
+
+_HLL_B = 8                      # 2^8 = 256 registers
+_HLL_M = 1 << _HLL_B
+_HLL_W_BITS = 60 - _HLL_B       # rank source width (60-bit md5 prefix)
+_HLL_R = _HLL_W_BITS + 1        # max possible rank (w == 0)
+# alpha_m for m = 256 (Flajolet 2007 §4); repr'd into both engines' SQL so
+# the constant is the identical double on each side.
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+# numerator alpha * m^2 * 2^R precomputed in Python: one double, exact 2^R
+# scaling, so estimate = NUM / S is a single deterministic IEEE division.
+_HLL_NUM = _HLL_ALPHA * float(_HLL_M * _HLL_M) * float(2 ** _HLL_R)
+
+
+def hll_registers(df: DataFrame, value_col: str, seed: str = "hll") -> DataFrame:
+    """Register table ``(bucket int, rank int)`` — ≤ m = 256 rows.
+
+    Deterministic HLL: 60-bit md5 prefix h; bucket = low 8 bits, rank =
+    leading-zero count of the remaining 52 bits + 1 (via the binary-string
+    length, portable to DuckDB's identical ``bin()``), register = max rank
+    per bucket. The groupBy(max) is map-side partial — each task reduces to
+    ≤256 rows before the exchange — and two register tables (partitions,
+    days, snapshot + delta) merge by the same per-bucket max, the
+    mergeability contract shared by the KMV/CMS/Bloom sketches above.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col(value_col).cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    w = F.shiftright(h, _HLL_B)
+    rank = F.when(w == 0, F.lit(_HLL_R)).otherwise(
+        F.lit(_HLL_R) - F.length(F.bin(w))
+    ).cast("int")
+    probes = df.select(
+        h.bitwiseAND(F.lit(_HLL_M - 1)).cast("int").alias("bucket"),
+        rank.alias("rank"),
+    )
+    return probes.groupBy("bucket").agg(F.max("rank").alias("rank"))
+
+
+def hll_distinct_estimate(df: DataFrame, value_col: str, seed: str = "hll") -> DataFrame:
+    """One row: ``(m_used int, zeros int, s_scaled bigint, estimate double)``.
+
+    Estimate = alpha·m²/Σ 2^(−M_j) with the harmonic sum kept EXACT: every
+    term 2^(−M_j) is scaled by 2^R (R = 53) into an integer 2^(R−M_j), so
+    Σ is a bigint (≤ m·2^R < 2^62) and no float-summation order can differ
+    between engines — the one place a naive HLL port loses bit-equality.
+    Empty buckets contribute 2^R each (rank 0). The raw estimate is left
+    uncorrected (no log-based linear counting in the data plane — ln(x)
+    is libm-dependent across engines); ``zeros`` rides along so a consumer
+    applies Flajolet's small-range correction driver-side when
+    estimate < 2.5·m and zeros > 0 (see tests/test_sketches.py).
+    """
+    regs = hll_registers(df, value_col, seed)
+    return regs.agg(
+        F.count(F.lit(1)).cast("int").alias("m_used"),
+        (F.lit(_HLL_M) - F.count(F.lit(1))).cast("int").alias("zeros"),
+        (
+            F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_R} - rank)"))
+            + (F.lit(_HLL_M) - F.count(F.lit(1))).cast("long") * F.lit(2 ** _HLL_R).cast("long")
+        ).alias("s_scaled"),
+    ).select(
+        "m_used", "zeros", "s_scaled",
+        F.round(F.lit(_HLL_NUM) / F.col("s_scaled").cast("double"), 3).alias("estimate"),
+    )
+
+
+def hll_sql(value_expr: str, seed: str = "hll") -> str:
+    """DuckDB mirror of hll_registers + hll_distinct_estimate over
+    ``{table}``: same md5 prefix, same bucket/rank bit algebra, same exact
+    integer harmonic sum, same single rounded division."""
+    h = f"CAST(('0x' || substr(md5('{seed}:' || CAST({value_expr} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    return f"""
+WITH hh AS (SELECT {h} AS h FROM {{table}}),
+regs AS (SELECT CAST(h & {_HLL_M - 1} AS INTEGER) AS bucket,
+                max(CASE WHEN (h >> {_HLL_B}) = 0 THEN {_HLL_R}
+                         ELSE {_HLL_R} - length(bin(h >> {_HLL_B})) END) AS rank
+         FROM hh GROUP BY 1)
+SELECT CAST(count(*) AS INTEGER) AS m_used,
+       CAST({_HLL_M} - count(*) AS INTEGER) AS zeros,
+       CAST(sum(1::BIGINT << ({_HLL_R} - rank))
+            + ({_HLL_M} - count(*)) * {2 ** _HLL_R}::BIGINT AS BIGINT) AS s_scaled,
+       round({_HLL_NUM!r} / CAST(sum(1::BIGINT << ({_HLL_R} - rank))
+            + ({_HLL_M} - count(*)) * {2 ** _HLL_R}::BIGINT AS DOUBLE), 3) AS estimate
+FROM regs
+""".strip()

@@ -151,3 +151,47 @@ def test_bloom_randomized_no_false_negatives_and_merge(spark):
             df, words, "doc_id", "text", m_bits=m_bits, n_hashes=k
         )
         assert probed.filter(~F.col("maybe_seen")).count() == 0, (m_bits, k)
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """m=256 -> relative standard error ~1.04/sqrt(256) = 6.5%; allow 4σ.
+    n=20000 distinct is far above the small-range regime so the raw
+    estimate applies uncorrected."""
+    df = _texts(spark, range(20000))
+    row = sketches.hll_distinct_estimate(df, "text").collect()[0]
+    assert abs(row.estimate - 20000) / 20000 < 0.26
+    assert row.zeros == 0
+
+
+def test_hll_small_range_correction_driver_side(spark):
+    """The data-plane row deliberately omits log-based linear counting
+    (libm portability); the documented consumer-side correction recovers
+    small cardinalities from the (zeros, estimate) pair."""
+    import math
+
+    df = _texts(spark, range(40))
+    row = sketches.hll_distinct_estimate(df, "text").collect()[0]
+    m = 256
+    assert row.zeros > 0 and row.estimate < 2.5 * m
+    corrected = m * math.log(m / row.zeros)
+    assert abs(corrected - 40) / 40 < 0.25
+
+
+def test_hll_registers_merge_by_max(spark):
+    """Sketch mergeability: registers built over two halves, merged by
+    per-bucket max, equal the registers built over the union — the
+    cross-partition / cross-snapshot merge contract."""
+    lo, hi = _texts(spark, range(0, 5000)), _texts(spark, range(5000, 9000))
+    merged = (
+        sketches.hll_registers(lo, "text")
+        .unionByName(sketches.hll_registers(hi, "text"))
+        .groupBy("bucket").agg(F.max("rank").alias("rank"))
+    )
+    whole = sketches.hll_registers(lo.unionByName(hi), "text")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_hll_register_table_bounded(spark):
+    regs = sketches.hll_registers(_texts(spark, range(30000)), "text").collect()
+    assert len(regs) <= 256
+    assert all(1 <= r.rank <= 53 for r in regs)

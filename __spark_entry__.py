@@ -179,6 +179,12 @@ def _compaction_sql() -> str:
     )
 
 
+def _zorder_metric_sql() -> str:
+    from doc_agent_spark.operators.maintenance import zorder_sql
+
+    return zorder_sql("doc_id", "n_chars")
+
+
 def _url_canon_sql() -> str:
     from doc_agent_spark.functions.urls import url_canonicalize_sql
 
@@ -1839,7 +1845,11 @@ def file_meta(spark, sf_dir):
     groups over a manifest woven from documents (partition=source,
     bytes=n_chars, target 500) — key = partition, digest = group id,
     metric = file bytes; right-sized files and single-small-file
-    partitions are correctly absent."""
+    partitions are correctly absent. The zorder arm is the layout
+    optimizer's key (operators/maintenance.py zorder_key): the Morton
+    Z-value of (doc_id, n_chars) via magic-number bit spreading — metric =
+    the 32-bit Z-value every row would range-partition on in the OPTIMIZE
+    ZORDER rewrite."""
     a = mime_dispatch(spark, sf_dir).select(
         F.lit("mime").alias("variant"),
         F.lit(None).cast("long").alias("doc_id"),
@@ -1891,7 +1901,14 @@ def file_meta(spark, sf_dir):
         F.col("group_id").cast("string").alias("digest"),
         F.col("bytes").cast("long").alias("metric"),
     )
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    e = docs.select(
+        F.lit("zorder").alias("variant"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lit(None).cast("string").alias("key"),
+        F.lit(None).cast("string").alias("digest"),
+        maintenance.zorder_key(F.col("doc_id"), F.col("n_chars")).alias("metric"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
 
 
 _URL_WEAVE_SQL = """
@@ -3249,6 +3266,10 @@ UNION ALL
 SELECT 'compact', CAST(file_id AS BIGINT), partition,
        CAST(group_id AS VARCHAR), CAST(bytes AS BIGINT)
 FROM ({_compaction_sql()})
+UNION ALL
+SELECT 'zorder', CAST(doc_id AS BIGINT), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST({_zorder_metric_sql()} AS BIGINT)
+FROM documents
 """,
         "simhash_dedup": f"""
 SELECT 'cluster' AS variant, CAST(simhash AS BIGINT) AS key_a,

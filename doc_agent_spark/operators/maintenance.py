@@ -135,3 +135,60 @@ def profile_table_sql(table: str, cols: list[str]) -> str:
         for c in cols
     ]
     return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Z-order data layout (multi-dimensional clustering for scan pruning)
+# ---------------------------------------------------------------------------
+
+# magic-number bit spread (Warren, Hacker's Delight §7-2): 16 bits fan out
+# to even positions of a 32-bit word in 4 shift-or-mask steps instead of 16
+# per-bit extracts — pure integer algebra, identical in DuckDB.
+_SPREAD_STEPS = ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555))
+
+
+def _spread16(c: Column) -> Column:
+    c = c.bitwiseAND(F.lit(0xFFFF)).cast("long")
+    for sh, mask in _SPREAD_STEPS:
+        c = (c.bitwiseOR(F.shiftleft(c, sh))).bitwiseAND(F.lit(mask))
+    return c
+
+
+def zorder_key(x: Column, y: Column) -> Column:
+    """Morton/Z-value of two 16-bit dimensions: bit i of ``x`` lands at
+    position 2i, of ``y`` at 2i+1 (higher dims = spread again with stride
+    k). Sorting/range-partitioning by this key co-locates rows that are
+    close in BOTH dimensions, so per-file min/max stats prune scans on
+    EITHER predicate — the OPTIMIZE ZORDER layout job at 100 TB, where a
+    sort key can only serve one column but a Z-curve serves the whole
+    filter family. Inputs are truncated to their low 16 bits (callers
+    bucket/scale real values first)."""
+    return _spread16(x).bitwiseOR(F.shiftleft(_spread16(y), 1))
+
+
+def zorder_sql(x: str, y: str) -> str:
+    """DuckDB mirror of :func:`zorder_key` (same spread steps)."""
+    def spread(e: str) -> str:
+        e = f"(CAST({e} AS BIGINT) & 65535)"
+        for sh, mask in _SPREAD_STEPS:
+            e = f"(({e} | ({e} << {sh})) & {mask})"
+        return e
+    return f"({spread(x)} | ({spread(y)} << 1))"
+
+
+def cluster_by_zorder(
+    df: DataFrame, x: str, y: str, n_files: int = 64
+) -> DataFrame:
+    """The layout REWRITE: range-partition on the Z-value (one global
+    sample-based range exchange — the same machinery as a global sort) and
+    sort within each output file. Each of the ``n_files`` outputs then
+    covers a compact Z-interval ⇒ a small bounding box in (x, y), which is
+    what makes the file-level min/max stats selective. Deterministic given
+    the input (ties broken by the key itself)."""
+    z = zorder_key(F.col(x), F.col(y)).alias("__z")
+    return (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )

@@ -99,3 +99,70 @@ def test_salted_join_rejects_right_joins(spark):
     df = spark.createDataFrame([(1, "a")], "row_id long, key string")
     with pytest.raises(ValueError):
         skew.salted_join(df, df, ["key"], row_key="row_id", how="right")
+
+
+def test_zorder_key_golden_and_range(spark):
+    """Hand-computed Morton values + 16-bit truncation."""
+    import pyspark.sql.functions as F
+
+    from doc_agent_spark.operators import maintenance
+
+    df = spark.createDataFrame(
+        [(0, 0), (3, 5), (65535, 65535), (65536 + 3, 5), (1, 0), (0, 1)],
+        "x long, y long",
+    )
+    got = [
+        r.z for r in df.select(
+            maintenance.zorder_key(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    ]
+    # (3,5): x bits at even positions = 0b010101 & x-spread -> 5; y -> 34
+    assert got == [0, 39, (1 << 32) - 1, 39, 1, 2]
+
+
+def test_zorder_clustering_prunes_both_dimensions(spark):
+    """The property the layout exists for, measured as min/max file-stat
+    pruning: for a point predicate on ONE column, how many of the 16
+    files overlap (must be scanned)? The x-sorted layout is perfect for x
+    (1 file) but useless for y (all 16); the Z-layout serves BOTH at ~4 —
+    the summed scan cost over an even x/y predicate mix is far lower."""
+    import pyspark.sql.functions as F
+
+    from doc_agent_spark.operators import maintenance
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+
+    def files_touched(df, col):
+        # a file must be read for value v iff min<=v<=max for its stats
+        ext = (
+            df.withColumn("p", F.spark_partition_id())
+            .groupBy("p").agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+            .collect()
+        )
+        return sum(
+            sum(1 for e in ext if e.lo <= v <= e.hi) for v in range(64)
+        ) / 64.0
+
+    zl = maintenance.cluster_by_zorder(grid, "x", "y", n_files=16)
+    zl.persist().count()
+    lin = grid.repartitionByRange(16, "x")
+    lin.persist().count()
+    z_cost = files_touched(zl, "x") + files_touched(zl, "y")
+    lin_cost = files_touched(lin, "x") + files_touched(lin, "y")
+    assert z_cost < lin_cost / 1.5, (z_cost, lin_cost)
+
+
+def test_zorder_rewrite_is_a_range_exchange(spark):
+    """Plan shape: ONE range exchange (the global-sort machinery), no
+    extra shuffle for the within-file sort."""
+    from doc_agent_spark.operators import maintenance
+
+    df = spark.range(1000).selectExpr("id AS x", "id % 37 AS y")
+    plan = (
+        maintenance.cluster_by_zorder(df, "x", "y", n_files=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" in plan.lower()

@@ -1149,13 +1149,20 @@ def dup_clusters(spark, sf_dir):
     host-centrality prior; operators/graphrank.py). Fixed 8 synchronous
     rounds, bit-matched against the oracle's unrolled-CTE mirror; rank
     rides the metric column (cluster rows carry NULL metric, rank rows
-    NULL cluster_id)."""
-    from doc_agent_spark.operators import graphrank
+    NULL cluster_id).
+
+    Fourth arm: the leakage-safe train/val/test split
+    (operators/sampling.py leak_safe_split) — every member of a near-dup
+    cluster hashes on its min-label representative so no val/test doc has
+    a near-duplicate in train; cluster_id carries the effective group key,
+    algo the assigned split."""
+    from doc_agent_spark.operators import graphrank, sampling
 
     pairs = dedup.minhash_lsh_pairs(
         _spread(_dup_corpus(spark, sf_dir)), k=8, bands=4
     ).select("id_a", "id_b").localCheckpoint(eager=True)
-    a = dedup.dup_clusters(pairs).select(
+    cc = dedup.dup_clusters(pairs)
+    a = cc.select(
         F.lit("minlabel").alias("algo"), "id", "cluster_id",
         F.lit(None).cast("double").alias("metric"),
     )
@@ -1177,7 +1184,16 @@ def dup_clusters(spark, sf_dir):
         F.lit(None).cast("long").alias("cluster_id"),
         F.col("rank").alias("metric"),
     )
-    return a.unionByName(b).unionByName(c)
+    ids = _dup_corpus(spark, sf_dir).select(F.col("doc_id").alias("id"))
+    d = sampling.leak_safe_split(
+        ids, cc, {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select(
+        F.concat(F.lit("split_"), F.col("split")).alias("algo"),
+        "id",
+        F.col("group_key").alias("cluster_id"),
+        F.lit(None).cast("double").alias("metric"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def stratified_sample(spark, sf_dir):
@@ -2865,6 +2881,10 @@ cc AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
 SELECT 'minlabel' AS algo, id, cluster_id, CAST(NULL AS DOUBLE) AS metric FROM cc
 UNION ALL SELECT 'star' AS algo, id, cluster_id, CAST(NULL AS DOUBLE) FROM cc
 UNION ALL SELECT 'pagerank', id, CAST(NULL AS BIGINT), rank FROM ({_pagerank_docs_sql()})
+UNION ALL SELECT 'split_' || ({sampling.split_assign_sql({"train": 0.9, "val": 0.05, "test": 0.05}, "g.gk")}),
+          g.id, g.gk, CAST(NULL AS DOUBLE)
+FROM (SELECT c.doc_id AS id, coalesce(cc.cluster_id, c.doc_id) AS gk
+      FROM corpus c LEFT JOIN cc ON cc.id = c.doc_id) g
 """,
         "stratified_sample": f"""
 SELECT doc_id, lang, n_chars FROM documents

@@ -261,3 +261,29 @@ SELECT * EXCLUDE (_r) FROM (
   FROM {table})
 WHERE _r <= {cap}
 """.strip()
+
+
+def leak_safe_split(
+    ids: DataFrame,
+    clusters: DataFrame,
+    splits: dict[str, float],
+    seed: str = "split42",
+) -> DataFrame:
+    """Contamination-safe train/val/test assignment: every member of a
+    near-dup cluster gets the SAME split, so a validation document can
+    never have a near-duplicate sitting in train (the leakage a plain
+    per-doc hash split ignores — doc-level splitting leaks whenever
+    dedup was fuzzy, Lee et al. 2021 §6.2).
+
+    ``ids`` is (id); ``clusters`` is the (id, cluster_id) output of
+    :func:`~doc_agent_spark.operators.dedup.dup_clusters` (or the star
+    variant) covering only clustered docs. The split key is
+    coalesce(cluster_id, id): unclustered docs hash on their own id (the
+    split distribution is unchanged for the non-dup mass), cluster
+    members hash on the min-label representative. One broadcast-or-shuffle
+    left join + the zero-shuffle split projection; output
+    ``(id, group_key, split)``."""
+    eff = ids.join(clusters, "id", "left").select(
+        "id", F.coalesce(F.col("cluster_id"), F.col("id")).alias("group_key")
+    )
+    return split_assign(eff, splits, "group_key", seed)

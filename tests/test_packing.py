@@ -196,3 +196,27 @@ def test_shuffle_windows_seed_changes_the_permutation(spark, corpus):
         wins, seed="epoch2", partitions=2, stream_cols=()).toLocalIterator()]
     assert sorted(one) == sorted(two)  # same windows
     assert one != two                  # different epoch order
+
+
+def test_leak_safe_split_keeps_clusters_together(spark):
+    ids = spark.range(0, 500).select(F.col("id").cast("long"))
+    # clusters: {0..9}->0, {100..104}->100; everything else unclustered
+    members = [(i, 0) for i in range(10)] + [(100 + i, 100) for i in range(5)]
+    clusters = spark.createDataFrame(members, "id long, cluster_id long")
+    out = sampling.leak_safe_split(
+        ids, clusters, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    rows = {r["id"]: (r["group_key"], r["split"]) for r in out.collect()}
+    assert len(rows) == 500  # total: every id assigned exactly once
+    # leakage invariant: every cluster member shares one split
+    assert len({rows[i][1] for i in range(10)}) == 1
+    assert len({rows[100 + i][1] for i in range(5)}) == 1
+    # unclustered docs hash on their own id — same as a plain split
+    plain = sampling.split_assign(
+        ids.withColumnRenamed("id", "k"), {"train": 0.8, "val": 0.1, "test": 0.1},
+        key_col="k",
+    )
+    plain_map = {r["k"]: r["split"] for r in plain.collect()}
+    clustered = {m[0] for m in members}
+    for i in set(rows) - clustered:
+        assert rows[i][1] == plain_map[i]

@@ -197,6 +197,14 @@ def _url_rd_sql() -> str:
     return registered_domain_sql("raw_url")
 
 
+def _dsir_sql() -> str:
+    from doc_agent_spark.operators.dsir import dsir_sql
+
+    return dsir_sql(
+        "documents", "doc_id", _WORDS_SQL, "lang = 'en'", k=100, n_buckets=512
+    )
+
+
 def _nb_cte_sql() -> str:
     from doc_agent_spark.operators.quality_clf import hashed_nb_sql
 
@@ -1805,9 +1813,16 @@ def retrieval_eval_all(spark, sf_dir):
 
 def deterministic_samples(spark, sf_dir):
     """Stratified sampling, quality-weighted sampling, train/val/test
-    split assignment, domain-mixture resampling, and the hard per-domain
-    quota cap, union-tagged (metric = stratum size proxy / kept-row
-    quality / doc size / token mass / doc size)."""
+    split assignment, domain-mixture resampling, the hard per-domain
+    quota cap, and DSIR importance resampling, union-tagged (metric =
+    stratum size proxy / kept-row quality / doc size / token mass / doc
+    size / importance log-weight).
+
+    The dsir arm (operators/dsir.py; Xie et al. 2023) scores every doc
+    against a hashed-bigram model of the English slice (the trusted-
+    target stand-in) and Gumbel-top-k-resamples 100 docs ∝ importance
+    weight — the deterministic content-hash Gumbel makes the draw
+    reproducible at any cluster size."""
     a = stratified_sample(spark, sf_dir).select(
         F.lit("stratified").alias("variant"), "doc_id", "lang",
         F.col("n_chars").cast("double").alias("metric"),
@@ -1828,7 +1843,25 @@ def deterministic_samples(spark, sf_dir):
         F.concat(F.lit("cap_"), F.col("domain")).alias("variant"),
         "doc_id", "lang", F.col("n_chars").cast("double").alias("metric"),
     )
-    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+    from doc_agent_spark.operators import dsir
+
+    docs = load(spark, sf_dir, "documents")
+    sel = dsir.dsir_select(
+        docs, docs.filter(F.col("lang") == "en"),
+        k=100, n_buckets=512, id_col="doc_id",
+    ).withColumnRenamed("id", "doc_id")
+    g = (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(sel), "doc_id")  # ≤k rows after the top-k
+        .select(
+            F.lit("dsir").alias("variant"), "doc_id", "lang",
+            F.col("logw").alias("metric"),
+        )
+    )
+    return (
+        a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+        .unionByName(g)
+    )
 
 
 def text_profile(spark, sf_dir):
@@ -3270,6 +3303,9 @@ FROM ({base['mixture_resample']})
 UNION ALL
 SELECT 'cap_' || domain, doc_id, lang, CAST(n_chars AS DOUBLE)
 FROM ({sampling.cap_per_domain_sql(f"({_DOMAIN_CAPPED_SQL_BODY})", cap=20, domain_expr="domain", key_expr="doc_id")})
+UNION ALL
+SELECT 'dsir', k.id, d.lang, k.logw
+FROM ({_dsir_sql()}) k JOIN documents d ON d.doc_id = k.id
 """,
         "file_meta": f"""
 SELECT 'mime' AS variant, CAST(NULL AS BIGINT) AS doc_id, mime AS key,

@@ -1,9 +1,9 @@
 """Checkpoint-resumable training-data curation job — the second deployable
 stage (same resume model as jobs/extract.py, applied to the curation
 funnel: [boilerplate-line strip] → [duplicated-span removal] →
-[fuzzy near-dup drop] → [per-domain cap] → exact dedup →
-quality/language/[LM-perplexity] filter → PII redaction →
-deterministic sampling).
+[fuzzy near-dup drop] → [per-domain cap] → [DSIR resample] →
+exact dedup → quality/language/[LM-perplexity] filter →
+PII redaction → deterministic sampling).
 
     spark-submit --py-files dist.zip jobs/curate.py \\
         --input warehouse.documents --output warehouse.curated \\
@@ -47,6 +47,17 @@ over-cap set (everything but each domain's N hash-smallest docs —
 operators/sampling.py cap_per_domain) is computed once per run, persisted
 (``--domain-cap-drops``, default ``<output>_domain_cap_drops``), and
 anti-joined by every bucket including resumes.
+
+DSIR resampling (``--dsir-keep N``, Xie et al. 2023) is a corpus-stat
+stage with KEEP-list mechanics (selection keeps k ≪ corpus docs, so the
+artifact is the kept set, semi-joined, rather than a drop list): the two
+hashed-bigram models (target = ``--dsir-target`` predicate, raw = the
+post-cap corpus) and the Gumbel-top-k draw are computed once per run,
+the selected doc_ids persist to ``--dsir-keep-list`` (default
+``<output>_dsir_keep``), and every bucket — including resumes —
+semi-joins the same committed artifact. The Gumbel noise derives from
+content hashes (operators/dsir.py), so a rebuild after a pre-commit
+crash selects the identical set.
 
 LM-perplexity filtering (``--lm-max-ce X``, CCNet-style) is a
 corpus-stat stage as well: the stupid-backoff bigram count model
@@ -176,6 +187,24 @@ def _fuzzy_drops_build(docs, threshold: float, minhash_k: int = 8,
     return build
 
 
+def _dsir_keep_build(docs, k: int, target_pred: str, n_buckets: int):
+    """DSIR keep list (operators/dsir.py; Xie et al. 2023): score every doc
+    against the hashed-bigram model of the ``target_pred`` subset and
+    Gumbel-top-k-resample ``k`` docs ∝ importance weight. A corpus-stat
+    artifact like the others — the two models and the resample are
+    corpus-level — but a KEEP list rather than a drop list (k ≪ corpus is
+    the point of selection), so buckets semi-join instead of anti-join."""
+    from doc_agent_spark.operators import dsir
+
+    def build():
+        target = docs.filter(F.expr(target_pred))
+        return dsir.dsir_select(
+            docs, target, k=k, n_buckets=n_buckets, id_col="doc_id"
+        ).select(F.col("id").alias("doc_id"))
+
+    return build
+
+
 def _domain_cap_drops_build(docs, cap: int, domain_col: str):
     """Per-domain quota drop list (RefinedWeb anti-monoculture cap): the
     rows cap_per_domain would NOT keep. A corpus-stat artifact like the
@@ -255,6 +284,10 @@ def run_curate(
     domain_cap: int = 0,
     domain_col: str = "source",
     domain_cap_drops_path: str | None = None,
+    dsir_keep: int = 0,
+    dsir_target: str = "lang = 'en'",
+    dsir_buckets: int = 4096,
+    dsir_keep_path: str | None = None,
 ) -> dict:
     from pyspark.sql import Observation
 
@@ -340,6 +373,17 @@ def run_curate(
         )
         n_domain_capped = cap_drops.count()
         docs = docs.join(cap_drops, "doc_id", "left_anti")
+    dsir_reused = None
+    n_dsir_kept = 0
+    if dsir_keep > 0:
+        dpath = dsir_keep_path or (output_path.rstrip("/") + "_dsir_keep")
+        keep, dsir_reused = _load_or_build(
+            spark, dpath,
+            _dsir_keep_build(docs, dsir_keep, dsir_target, dsir_buckets),
+        )
+        n_dsir_kept = keep.count()
+        # keep list is at most dsir_keep rows — let AQE broadcast it
+        docs = docs.join(keep, "doc_id", "left_semi")
     lm_reused = None
     if lm_max_ce is not None:
         from doc_agent_spark.operators import lm_quality
@@ -440,6 +484,8 @@ def run_curate(
         "fuzzy_dropped": n_fuzzy_dropped,
         "domain_cap_artifact_reused": cap_reused,
         "domain_capped": n_domain_capped,
+        "dsir_artifact_reused": dsir_reused,
+        "dsir_kept": n_dsir_kept,
         "resumed_buckets_skipped": len(done),
         "wall_ms": wall_ms,
     }
@@ -491,6 +537,16 @@ def main() -> None:
     ap.add_argument("--domain-cap-drops", default=None,
                     help="path for the persisted over-cap drop list "
                          "(default <output>_domain_cap_drops)")
+    ap.add_argument("--dsir-keep", type=int, default=0,
+                    help="DSIR-resample this many docs toward the "
+                         "--dsir-target distribution (0 = off)")
+    ap.add_argument("--dsir-target", default="lang = 'en'",
+                    help="SQL predicate defining the trusted target subset")
+    ap.add_argument("--dsir-buckets", type=int, default=4096,
+                    help="hashed-ngram feature buckets for the DSIR models")
+    ap.add_argument("--dsir-keep-list", default=None,
+                    help="path for the persisted DSIR keep list "
+                         "(default <output>_dsir_keep)")
     args = ap.parse_args()
 
     from extract import ship_package  # same zip+addPyFile bootstrap
@@ -508,6 +564,8 @@ def main() -> None:
         args.fuzzy_jaccard, args.fuzzy_drops,
         args.span_k, args.span_min_count, args.span_shingles,
         args.domain_cap, args.domain_col, args.domain_cap_drops,
+        args.dsir_keep, args.dsir_target, args.dsir_buckets,
+        args.dsir_keep_list,
     )
     print(stats)
     spark.stop()

@@ -360,3 +360,20 @@ def test_salted_join_keys_include_the_salt(spark, sf_dir):
     small = docs.select("source").distinct().withColumn("w", F.lit(1.0))
     out = skew.salted_join(docs, small, ["source"], row_key="doc_id")
     assert "_salt" in _optimized(out)
+
+
+def test_dsir_broadcasts_models_and_takeordered_topk(spark, sf_dir):
+    """DSIR: both hashed-ngram models (≤ n_buckets rows) broadcast into the
+    scoring join, the top-k is TakeOrderedAndProject (never a global sort),
+    and nothing drops to Python."""
+    from doc_agent_spark.operators import dsir
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sel = dsir.dsir_select(
+        docs, docs.filter(F.col("lang") == "en"),
+        k=50, n_buckets=256, id_col="doc_id",
+    )
+    plan = _plan(sel)
+    assert "BroadcastHashJoin" in plan       # p/q models ride broadcasts
+    assert "TakeOrderedAndProject" in plan   # bounded top-k, no global Sort
+    assert "Python" not in plan and "ArrowEval" not in plan

@@ -205,6 +205,19 @@ def _dsir_sql() -> str:
     )
 
 
+def _unimax_sql() -> str:
+    from doc_agent_spark.operators.sampling import token_budget_cap_sql
+
+    toks = (
+        "(SELECT doc_id, lang, len(regexp_extract_all(text, "
+        "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tok FROM documents)"
+    )
+    return token_budget_cap_sql(
+        toks, budget=3000, lang_expr="lang", key_expr="doc_id",
+        weight_expr="n_tok",
+    )
+
+
 def _nb_cte_sql() -> str:
     from doc_agent_spark.operators.quality_clf import hashed_nb_sql
 
@@ -1056,7 +1069,14 @@ def quality_tokens(spark, sf_dir):
     signals (top-{2,3,4}-gram, dup-{5..10}-gram char fractions) run over
     the raw text through ONE n-tagged gram explode, which also supplies
     the pre-existing top2gram_char_frac column (identical n=2 semantics
-    to textfns.top_bigram_char_fraction)."""
+    to textfns.top_bigram_char_fraction).
+
+    Blocklist arm: the C4 bad-words page filter (Raffel et al. 2020 §2.2
+    — drop any page containing a listed token; functions/textfns.py
+    blocklist_hits). 'forbidden' is woven into every 13th doc (raw
+    testdata has no blocklisted vocabulary beyond the rare 'dup'), so the
+    gate pins hits > 0 on the woven docs and the natural 'dup' carriers,
+    block_pass elsewhere."""
     from doc_agent_spark.functions import gopher
     from doc_agent_spark.operators import lm_quality, quality_clf
 
@@ -1071,6 +1091,13 @@ def quality_tokens(spark, sf_dir):
         textfns.fingerprint(F.col("text")).alias("fp"),
         textfns.dup_line_fraction(page).alias("dup_line_frac"),
         textfns.dup_line_char_fraction(page).alias("dup_line_char_frac"),
+        textfns.blocklist_hits(
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 13 == 0, F.lit(" forbidden"))
+                .otherwise(F.lit("")),
+            )
+        ).alias("block_hits"),
     )
     rep = gopher.ngram_repetition_profile(docs, "doc_id", "text")
     gp = _gopher_weave()
@@ -1116,7 +1143,7 @@ def quality_tokens(spark, sf_dir):
             {n: F.col(f"top{n}gram_char_frac") for n in (2, 3, 4)},
             {n: F.col(f"dup{n}gram_char_frac") for n in (5, 6, 7, 8, 9, 10)},
         ),
-    )
+    ).withColumn("block_pass", F.col("block_hits") == 0)
 
 
 def pii_redaction(spark, sf_dir):
@@ -1822,7 +1849,11 @@ def deterministic_samples(spark, sf_dir):
     against a hashed-bigram model of the English slice (the trusted-
     target stand-in) and Gumbel-top-k-resamples 100 docs ∝ importance
     weight — the deterministic content-hash Gumbel makes the draw
-    reproducible at any cluster size."""
+    reproducible at any cluster size.
+
+    The unimax arms (sampling.token_budget_cap; Chung et al. 2023) keep
+    each language's hash-smallest docs until 3000 tokens — the byte-budget
+    analog of the domain cap, with the same under-budget-bypass split."""
     a = stratified_sample(spark, sf_dir).select(
         F.lit("stratified").alias("variant"), "doc_id", "lang",
         F.col("n_chars").cast("double").alias("metric"),
@@ -1858,9 +1889,19 @@ def deterministic_samples(spark, sf_dir):
             F.col("logw").alias("metric"),
         )
     )
+    h = sampling.token_budget_cap(
+        docs.select(
+            "doc_id", "lang",
+            textfns.bpe_ish_token_count(F.col("text")).alias("n_tok"),
+        ),
+        budget=3000, lang_col="lang", key_col="doc_id", weight_col="n_tok",
+    ).select(
+        F.concat(F.lit("unimax_"), F.col("lang")).alias("variant"),
+        "doc_id", "lang", F.col("n_tok").cast("double").alias("metric"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
-        .unionByName(g)
+        .unionByName(g).unionByName(h)
     )
 
 
@@ -2825,7 +2866,8 @@ SELECT q.*,
    AND q.top4gram_char_frac <= 0.16 AND q.dup5gram_char_frac <= 0.15
    AND q.dup6gram_char_frac <= 0.14 AND q.dup7gram_char_frac <= 0.13
    AND q.dup8gram_char_frac <= 0.12 AND q.dup9gram_char_frac <= 0.11
-   AND q.dup10gram_char_frac <= 0.10) AS gopher_rep_pass
+   AND q.dup10gram_char_frac <= 0.10) AS gopher_rep_pass,
+  (q.block_hits = 0) AS block_pass
 FROM (
 SELECT ln.doc_id,
   CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS INTEGER) AS n_ws_tokens,
@@ -2852,6 +2894,9 @@ SELECT ln.doc_id,
          - list_aggregate(list_transform(list_distinct(lines), l -> length(l)), 'sum') AS DOUBLE)
       / list_aggregate(list_transform(lines, l -> length(l)), 'sum'), 4)
     ELSE 0.0 END AS dup_line_char_frac,
+  CAST({textfns.blocklist_hits_sql(
+      "text || CASE WHEN ln.doc_id % 13 = 0 THEN ' forbidden' ELSE '' END"
+  )} AS INTEGER) AS block_hits,
   g.top2gram_char_frac, g.top3gram_char_frac, g.top4gram_char_frac,
   g.dup5gram_char_frac, g.dup6gram_char_frac, g.dup7gram_char_frac,
   g.dup8gram_char_frac, g.dup9gram_char_frac, g.dup10gram_char_frac,
@@ -3306,6 +3351,9 @@ FROM ({sampling.cap_per_domain_sql(f"({_DOMAIN_CAPPED_SQL_BODY})", cap=20, domai
 UNION ALL
 SELECT 'dsir', k.id, d.lang, k.logw
 FROM ({_dsir_sql()}) k JOIN documents d ON d.doc_id = k.id
+UNION ALL
+SELECT 'unimax_' || lang, doc_id, lang, CAST(n_tok AS DOUBLE)
+FROM ({_unimax_sql()})
 """,
         "file_meta": f"""
 SELECT 'mime' AS variant, CAST(NULL AS BIGINT) AS doc_id, mime AS key,

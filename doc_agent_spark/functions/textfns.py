@@ -220,3 +220,26 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
     return F.when(F.size(w) >= n, F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
     )).otherwise(F.array())
+
+
+# Stand-in blocklist for the C4 "bad words" page filter (Raffel et al. 2020
+# §2.2 drop any page containing a listed word; the real deployment loads the
+# full public list). Tokens, not substrings — 'dup' must not flag 'dupont'.
+C4_BLOCKLIST = ("dup", "forbidden")
+
+
+def blocklist_hits(text: Column, words: tuple[str, ...] = C4_BLOCKLIST) -> Column:
+    """Count of blocklisted-token occurrences (C4 drops the doc iff > 0).
+    A zero-shuffle projection; at scale a >~1k-word list moves from the
+    array literal to a broadcast join against the exploded token stream."""
+    blk = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(words_of(text), lambda w: F.array_contains(blk, w)))
+
+
+def blocklist_hits_sql(text_expr: str, words: tuple[str, ...] = C4_BLOCKLIST) -> str:
+    """DuckDB mirror of :func:`blocklist_hits`."""
+    in_list = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"len(list_filter(list_filter(string_split_regex(lower({text_expr}), "
+        f"'[^a-z0-9]+'), w -> w <> ''), w -> w IN ({in_list})))"
+    )

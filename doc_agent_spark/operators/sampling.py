@@ -287,3 +287,83 @@ def leak_safe_split(
         "id", F.coalesce(F.col("cluster_id"), F.col("id")).alias("group_key")
     )
     return split_assign(eff, splits, "group_key", seed)
+
+
+def token_budget_cap(
+    df: DataFrame,
+    budget: int,
+    lang_col: str,
+    key_col: str,
+    weight_col: str,
+    seed: str = "unimax42",
+) -> DataFrame:
+    """UniMax-style per-language token budget (Chung et al. 2023,
+    arXiv:2304.09151): keep each language's hash-smallest documents until
+    the language has contributed ``budget`` tokens — the byte-budget
+    analog of :func:`cap_per_domain`'s doc-count quota, and the fairness
+    primitive for multilingual mixtures (head languages truncate at the
+    budget, tail languages pass through whole instead of being starved by
+    proportional sampling).
+
+    Keep rule (pinned, mirrored by :func:`token_budget_cap_sql`): a doc is
+    kept iff the cumulative weight of strictly-earlier docs in its
+    language's (hash, key) order is < ``budget`` — so every language keeps
+    at least one doc, and the kept mass overshoots by at most one doc (the
+    standard prefix-budget convention; an inclusive rule could keep zero
+    docs from a language whose first doc alone exceeds the budget).
+
+    100 TB shape, same split as :func:`cap_per_domain`: a per-language
+    mass aggregate first; under-budget languages (the long tail) bypass
+    via a broadcast anti-join and never enter a window; only over-budget
+    languages shuffle into the cumsum, and their KEPT mass is bounded at
+    ~budget each. The window still sorts the head language's full input —
+    at extreme scale, pre-filter to the hash-smallest ≈(budget/mass)·(1+ε)
+    fraction with :func:`sample_stratified` first and run the exact cumsum
+    on the survivor set; the one-phase form here is the exact reference
+    semantics the oracle mirrors."""
+    from pyspark.sql import Window
+
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    over = (
+        df.groupBy(lang_col)
+        .agg(F.sum(weight_col).alias("_m"))
+        .filter(F.col("_m") > budget)
+        .select(lang_col)
+    )
+    under_rows = df.join(F.broadcast(over), lang_col, "left_anti")
+    w = Window.partitionBy(lang_col).orderBy(
+        _hash8(F.col(key_col), seed), F.col(key_col)
+    )
+    over_rows = (
+        df.join(F.broadcast(over), lang_col, "left_semi")
+        .withColumn(
+            "_cum_before",
+            F.sum(weight_col).over(w) - F.col(weight_col),
+        )
+        .filter(F.col("_cum_before") < budget)
+        .drop("_cum_before")
+    )
+    return under_rows.unionByName(over_rows).select(*df.columns)
+
+
+def token_budget_cap_sql(
+    table: str,
+    budget: int,
+    lang_expr: str,
+    key_expr: str,
+    weight_expr: str,
+    seed: str = "unimax42",
+) -> str:
+    """DuckDB mirror: the plain global-window form the split-path Spark
+    plan is provably equivalent to (an under-budget language's every doc
+    has prefix mass < budget)."""
+    h = hash8_sql(key_expr, seed)
+    return f"""
+SELECT * EXCLUDE (_cb) FROM (
+  SELECT *, sum({weight_expr}) OVER (
+      PARTITION BY {lang_expr} ORDER BY {h}, {key_expr}
+      ROWS UNBOUNDED PRECEDING) - {weight_expr} AS _cb
+  FROM {table})
+WHERE _cb < {budget}
+""".strip()

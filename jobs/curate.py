@@ -94,7 +94,8 @@ from pyspark.sql import functions as F
 
 
 def curate_bucket_plan(docs, min_quality: float, langs: list[str] | None,
-                       sample_fraction: float, lm_max_ce: float | None = None):
+                       sample_fraction: float, lm_max_ce: float | None = None,
+                       blocklist: tuple[str, ...] | None = None):
     """The per-bucket curation funnel as one narrow-after-one-shuffle plan.
     Returns a frame with a `_stage` classification per doc: 0=duplicate,
     1=failed quality/lang filters, 2=sampled out, 3=kept — so funnel
@@ -123,6 +124,12 @@ def curate_bucket_plan(docs, min_quality: float, langs: list[str] | None,
         # through the when(_filtered_out, ...) classification as "kept"
         keep_filter = keep_filter & (
             F.col("lm_ce").isNotNull() & (F.col("lm_ce") <= lm_max_ce)
+        )
+    if blocklist:
+        # C4 bad-words page filter (Raffel et al. 2020 §2.2): drop the doc
+        # if ANY blocklisted token appears — per-row, no corpus stat needed
+        keep_filter = keep_filter & (
+            textfns.blocklist_hits(F.col("text"), tuple(blocklist)) == 0
         )
     flt = scored.withColumn("_filtered_out", ~keep_filter)
     sampled = flt.withColumn(
@@ -288,6 +295,7 @@ def run_curate(
     dsir_target: str = "lang = 'en'",
     dsir_buckets: int = 4096,
     dsir_keep_path: str | None = None,
+    blocklist: list[str] | None = None,
 ) -> dict:
     from pyspark.sql import Observation
 
@@ -408,7 +416,7 @@ def run_curate(
     docs = docs.repartition(max(buckets, spark.sparkContext.defaultParallelism), "bucket")
 
     staged = curate_bucket_plan(docs, min_quality, langs, sample_fraction,
-                                lm_max_ce)
+                                lm_max_ce, tuple(blocklist) if blocklist else None)
 
     obs = Observation("curate_metrics")
     staged = staged.observe(
@@ -547,6 +555,9 @@ def main() -> None:
     ap.add_argument("--dsir-keep-list", default=None,
                     help="path for the persisted DSIR keep list "
                          "(default <output>_dsir_keep)")
+    ap.add_argument("--blocklist", default=None,
+                    help="comma-separated bad-word token list; docs "
+                         "containing any listed token fail the filter stage")
     args = ap.parse_args()
 
     from extract import ship_package  # same zip+addPyFile bootstrap
@@ -566,6 +577,7 @@ def main() -> None:
         args.domain_cap, args.domain_col, args.domain_cap_drops,
         args.dsir_keep, args.dsir_target, args.dsir_buckets,
         args.dsir_keep_list,
+        args.blocklist.split(",") if args.blocklist else None,
     )
     print(stats)
     spark.stop()

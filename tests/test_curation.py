@@ -258,3 +258,81 @@ def test_cap_per_domain_randomized_vs_window(spark):
             F.col("_r") <= cap
         ).drop("_r")
         assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect())), cap
+
+
+def test_token_budget_cap_prefix_rule(spark):
+    """UniMax cap: over-budget langs truncate at the prefix-budget boundary
+    (cum-before < budget), under-budget langs pass through whole, every
+    lang keeps at least one doc even when its first doc exceeds budget."""
+    rows = (
+        [(i, "en", 40) for i in range(50)]          # mass 2000, over budget
+        + [(100 + i, "de", 30) for i in range(5)]   # mass 150, under
+        + [(200, "fr", 10_000)]                     # single huge doc
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tok long")
+    out = sampling.token_budget_cap(
+        df, budget=400, lang_col="lang", key_col="doc_id", weight_col="n_tok"
+    )
+    got = out.collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r.lang, []).append(r.doc_id)
+    assert sorted(by_lang["de"]) == [100 + i for i in range(5)]  # untouched
+    assert by_lang["fr"] == [200]  # first doc always kept
+    # en kept mass: strictly-earlier mass < 400 ⇒ exactly 10 docs of 40,
+    # the 11th has cum_before = 400 (not < 400)
+    assert len(by_lang["en"]) == 10
+    # layout-invariant
+    again = sampling.token_budget_cap(
+        df.repartition(7), budget=400, lang_col="lang",
+        key_col="doc_id", weight_col="n_tok",
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_token_budget_cap_matches_sql_mirror(spark):
+    import duckdb
+
+    rows = [(i, f"l{i % 4}", (i * 7) % 90 + 1) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tok long")
+    out = sampling.token_budget_cap(
+        df, budget=300, lang_col="lang", key_col="doc_id", weight_col="n_tok"
+    )
+    spark_rows = sorted(map(tuple, out.collect()))
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    sql = sampling.token_budget_cap_sql(
+        "t", budget=300, lang_expr="lang", key_expr="doc_id",
+        weight_expr="n_tok",
+    )
+    duck_rows = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert duck_rows == spark_rows
+
+
+def test_token_budget_cap_rejects_zero_budget(spark):
+    df = spark.createDataFrame([(1, "en", 5)], "doc_id long, lang string, n_tok long")
+    with pytest.raises(ValueError):
+        sampling.token_budget_cap(
+            df, budget=0, lang_col="lang", key_col="doc_id", weight_col="n_tok"
+        )
+
+
+def test_blocklist_hits_tokens_not_substrings(spark):
+    from doc_agent_spark.functions import textfns
+
+    df = spark.createDataFrame(
+        [
+            (1, "a dup row appears here"),          # 1 hit
+            (2, "dupont is fine and so is update"),  # substrings don't count
+            (3, "forbidden word plus dup twice dup"),  # 3 hits
+            (4, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.h
+        for r in df.select(
+            "doc_id", textfns.blocklist_hits(F.col("text")).alias("h")
+        ).collect()
+    }
+    assert got == {1: 1, 2: 0, 3: 3, 4: 0}

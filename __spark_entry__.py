@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from doc_agent_spark.functions import gopher, textfns, vectors  # noqa: E402
+from doc_agent_spark.functions import c4rules, gopher, textfns, vectors  # noqa: E402
 from doc_agent_spark.functions.assembly import assemble_page_text  # noqa: E402
 from doc_agent_spark.functions.hashing import path_hash  # noqa: E402
 from doc_agent_spark.functions.mime import filename_of, mime_of  # noqa: E402
@@ -1632,20 +1632,55 @@ def top_orders_per_segment(spark, sf_dir):
 
 def boilerplate_strip(spark, sf_dir):
     """Readability/Boilerpipe-style block scoring over an HTML-wrapped doc
-    (nav/footer boilerplate must be dropped, prose kept, tags stripped)."""
+    (nav/footer boilerplate must be dropped, prose kept, tags stripped).
+
+    c4 arm (functions/c4rules.py; Raffel et al. 2020 §2.2): the rule-based
+    line/page cleaner over a woven multi-line page — three keepable
+    sentences plus a too-short line, a javascript line and an
+    unterminated line (all three dropped); every 11th doc carries a
+    'lorem ipsum' line and every 17th a curly-brace line (page flags read
+    the RAW page, so those docs fail page_pass even where the line itself
+    is kept/dropped)."""
+    from doc_agent_spark.functions import c4rules
+
     docs = _spread(load(spark, sf_dir, "documents"))
     html = F.concat(
         F.lit("<nav><a href=/>Home</a> | <a href=/about>About</a></nav>\n\n"),
         F.col("text"),
         F.lit("\n\n<footer>(c) 2024 <a href=/terms>Terms</a></footer>"),
     )
-    return docs.select(
+    a = docs.select(
+        F.lit("block").alias("variant"),
         "doc_id",
-        boilerplate.main_content(html).alias("main_content"),
+        boilerplate.main_content(html).alias("content"),
         F.size(
             F.filter(boilerplate.block_scores(html), lambda s: s.is_content)
-        ).alias("n_content_blocks"),
+        ).alias("metric"),
+        F.lit(None).cast("boolean").alias("page_pass"),
     )
+    page = F.concat(
+        F.col("text"), F.lit(" and the page continues here.\n"),
+        F.lit("the second sentence of the page is right here.\n"),
+        F.lit("the third sentence rounds out the page nicely.\n"),
+        F.lit("too short.\n"),
+        F.lit("please enable javascript to continue viewing.\n"),
+        F.lit("no terminal punctuation on this line at all"),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.lit("\nlorem ipsum dolor sit amet consectetur elit sed."))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 17 == 0,
+               F.lit("\nvar config = { debug: false };"))
+        .otherwise(F.lit("")),
+    )
+    clean = c4rules.c4_clean(page)
+    b = docs.select(
+        F.lit("c4").alias("variant"),
+        "doc_id",
+        clean.alias("content"),
+        c4rules.n_sentences(clean).alias("metric"),
+        c4rules.c4_page_pass(page, clean).alias("page_pass"),
+    )
+    return a.unionByName(b)
 
 
 def layout_runs(spark, sf_dir):
@@ -2288,12 +2323,32 @@ scored AS (
   SELECT doc_id,
          list_filter(blocks, b -> {_BP_IS_CONTENT}) AS content
   FROM blk)
-SELECT doc_id,
+SELECT 'block' AS variant, doc_id,
   coalesce(array_to_string(list_transform(content,
     b -> trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), '[ \\t]+', ' ', 'g'))),
-    chr(10) || chr(10)), '') AS main_content,
-  CAST(len(content) AS INTEGER) AS n_content_blocks
+    chr(10) || chr(10)), '') AS content,
+  CAST(len(content) AS INTEGER) AS metric,
+  CAST(NULL AS BOOLEAN) AS page_pass
 FROM scored
+UNION ALL
+SELECT 'c4', doc_id, c4_content,
+  CAST({c4rules.n_sentences_sql("c4_content")} AS INTEGER),
+  {c4rules.c4_page_pass_sql("page", "c4_content")}
+FROM (
+  SELECT doc_id, page, {c4rules.c4_clean_sql("page")} AS c4_content FROM (
+    SELECT doc_id,
+      text || ' and the page continues here.' || chr(10)
+      || 'the second sentence of the page is right here.' || chr(10)
+      || 'the third sentence rounds out the page nicely.' || chr(10)
+      || 'too short.' || chr(10)
+      || 'please enable javascript to continue viewing.' || chr(10)
+      || 'no terminal punctuation on this line at all'
+      || CASE WHEN doc_id % 11 = 0
+           THEN chr(10) || 'lorem ipsum dolor sit amet consectetur elit sed.'
+           ELSE '' END
+      || CASE WHEN doc_id % 17 = 0
+           THEN chr(10) || 'var config = {{ debug: false }};' ELSE '' END AS page
+    FROM documents))
 """.strip()
 
 _LAYOUT_RUNS_SQL = r"""

@@ -1,9 +1,16 @@
 """Checkpoint-resumable training-data curation job — the second deployable
 stage (same resume model as jobs/extract.py, applied to the curation
-funnel: [boilerplate-line strip] → [duplicated-span removal] →
-[fuzzy near-dup drop] → [per-domain cap] → [DSIR resample] →
-exact dedup → quality/language/[LM-perplexity] filter →
+funnel: [C4 line/page rules] → [boilerplate-line strip] →
+[duplicated-span removal] → [fuzzy near-dup drop] → [per-domain cap] →
+[DSIR resample] → exact dedup →
+quality/language/[LM-perplexity]/[bad-words]/[C4-page] filter →
 PII redaction → deterministic sampling).
+
+The C4 rules (``--c4-rules``, Raffel et al. 2020 §2.2) run FIRST and need
+no corpus stat: text is rewritten to the kept-lines form (terminal
+punctuation, ≥5 words, no 'javascript') before content-hash bucketing —
+so dedup sees cleaned pages — and the raw-text page flags (lorem ipsum /
+curly brace / <3 sentences) fail the doc in the filter stage.
 
     spark-submit --py-files dist.zip jobs/curate.py \\
         --input warehouse.documents --output warehouse.curated \\
@@ -95,7 +102,8 @@ from pyspark.sql import functions as F
 
 def curate_bucket_plan(docs, min_quality: float, langs: list[str] | None,
                        sample_fraction: float, lm_max_ce: float | None = None,
-                       blocklist: tuple[str, ...] | None = None):
+                       blocklist: tuple[str, ...] | None = None,
+                       c4_rules: bool = False):
     """The per-bucket curation funnel as one narrow-after-one-shuffle plan.
     Returns a frame with a `_stage` classification per doc: 0=duplicate,
     1=failed quality/lang filters, 2=sampled out, 3=kept — so funnel
@@ -131,6 +139,10 @@ def curate_bucket_plan(docs, min_quality: float, langs: list[str] | None,
         keep_filter = keep_filter & (
             textfns.blocklist_hits(F.col("text"), tuple(blocklist)) == 0
         )
+    if c4_rules:
+        # page flag computed upstream on the RAW text (run_curate rewrites
+        # text to the line-cleaned form before bucketing)
+        keep_filter = keep_filter & F.col("_c4_pass")
     flt = scored.withColumn("_filtered_out", ~keep_filter)
     sampled = flt.withColumn(
         "_sampled_out",
@@ -296,6 +308,7 @@ def run_curate(
     dsir_buckets: int = 4096,
     dsir_keep_path: str | None = None,
     blocklist: list[str] | None = None,
+    c4_rules: bool = False,
 ) -> dict:
     from pyspark.sql import Observation
 
@@ -308,6 +321,20 @@ def run_curate(
         spark.read.parquet(input_path) if "/" in input_path
         else spark.read.table(input_path)
     )
+    if c4_rules:
+        # C4 line/page rules FIRST (Raffel et al. 2020 §2.2): the page flag
+        # reads the raw text; the kept text is the line-cleaned form, so
+        # every downstream stage — including content-hash bucketing, hence
+        # dedup — sees the cleaned page. Pure per-row projection, no
+        # artifact needed.
+        from doc_agent_spark.functions import c4rules as c4f
+
+        clean = c4f.c4_clean(F.col("text"))
+        docs = (
+            docs.withColumn("_c4_pass", c4f.c4_page_pass(F.col("text"), clean))
+            .withColumn("text", clean)
+            .withColumn("n_chars", F.length("text").cast("long"))
+        )
     boiler_reused = None
     if strip_min_docs > 0:
         bpath = boilerplate_path or (output_path.rstrip("/") + "_boilerplate_lines")
@@ -416,7 +443,8 @@ def run_curate(
     docs = docs.repartition(max(buckets, spark.sparkContext.defaultParallelism), "bucket")
 
     staged = curate_bucket_plan(docs, min_quality, langs, sample_fraction,
-                                lm_max_ce, tuple(blocklist) if blocklist else None)
+                                lm_max_ce, tuple(blocklist) if blocklist else None,
+                                c4_rules)
 
     obs = Observation("curate_metrics")
     staged = staged.observe(
@@ -558,6 +586,11 @@ def main() -> None:
     ap.add_argument("--blocklist", default=None,
                     help="comma-separated bad-word token list; docs "
                          "containing any listed token fail the filter stage")
+    ap.add_argument("--c4-rules", action="store_true",
+                    help="apply the C4 line/page rules first: rewrite text "
+                         "to the kept-lines form and fail pages flagged by "
+                         "the raw-text rules (lorem ipsum / brace / <3 "
+                         "sentences)")
     args = ap.parse_args()
 
     from extract import ship_package  # same zip+addPyFile bootstrap
@@ -578,6 +611,7 @@ def main() -> None:
         args.dsir_keep, args.dsir_target, args.dsir_buckets,
         args.dsir_keep_list,
         args.blocklist.split(",") if args.blocklist else None,
+        args.c4_rules,
     )
     print(stats)
     spark.stop()

@@ -1016,9 +1016,24 @@ def ann_lsh_topk(spark, sf_dir):
 
 
 def bm25_topk(spark, sf_dir):
+    """BM25 top-10, plus the RM3 pseudo-relevance-feedback arm
+    (operators/search.py rm3_scores; Lavrenko & Croft 2001): top-10 BM25
+    docs feed the relevance-model term weights, the top-5 expansion terms
+    score a second pass, and the final ranking interpolates
+    s1 + 0.4·s2 — the classic query-expansion loop, fully relational."""
     docs = load(spark, sf_dir, "documents")
-    scores = search.bm25_scores(docs, ["spark", "join", "window"])
-    return scores.orderBy(F.desc("score"), F.asc("id")).limit(10)
+    qt = ["spark", "join", "window"]
+    a = (
+        search.bm25_scores(docs, qt)
+        .orderBy(F.desc("score"), F.asc("id")).limit(10)
+        .select(F.lit("bm25").alias("variant"), "id", "score")
+    )
+    b = (
+        search.rm3_scores(docs, qt)
+        .orderBy(F.desc("score"), F.asc("id")).limit(10)
+        .select(F.lit("rm3").alias("variant"), "id", "score")
+    )
+    return a.unionByName(b)
 
 
 def rrf_fusion(spark, sf_dir):
@@ -2829,6 +2844,7 @@ FROM b, qb WHERE b.bucket = qb.qbucket
 ORDER BY score DESC, id ASC LIMIT 10
 """,
         "bm25_topk": f"""
+SELECT 'bm25' AS variant, id, score FROM (
 WITH toks AS (SELECT doc_id AS id, {_WORDS_SQL} AS w FROM documents),
 stats AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM toks),
 t2 AS (SELECT id, CAST(len(w) AS INTEGER) AS dl, unnest(w) AS term FROM toks),
@@ -2841,7 +2857,12 @@ scored AS (
          * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl)) AS ts
   FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN stats)
 SELECT id, round(sum(ts), 6) AS score FROM scored GROUP BY id
-ORDER BY score DESC, id ASC LIMIT 10
+ORDER BY score DESC, id ASC LIMIT 10)
+UNION ALL
+SELECT 'rm3', id, score FROM (
+  SELECT id, score FROM ({search.rm3_sql(_WORDS_SQL, "documents", "doc_id",
+                                          ["spark", "join", "window"])})
+  ORDER BY score DESC, id ASC LIMIT 10)
 """,
         "rrf_fusion": f"""
 WITH sa AS ({_cosine_scores_sql(0)}),

@@ -251,3 +251,173 @@ def rrf_fuse(
             ).alias("rrf_score"),
         )
     )
+
+
+def bm25_scores_for_terms(
+    docs: DataFrame,
+    terms: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """:func:`bm25_scores` with the query terms as a DataFrame (one ``term``
+    column) instead of a Python list — the form RM3 needs, where the second-
+    pass terms are DATA (the expansion set), not driver-side constants. The
+    terms frame broadcasts into the token stream, so the plan shape is
+    identical to the isin() variant."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), words_of(F.col(text_col)).alias("w")
+    ).withColumn("dl", F.size("w"))
+    n_docs_avgdl = toks.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.select("id", "dl", F.explode("w").alias("term"))
+        .join(F.broadcast(terms.select("term")), "term")
+        .groupBy("id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(n_docs_avgdl))
+        .withColumn(
+            "idf",
+            F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    return scored.groupBy("id").agg(F.round(F.sum("term_score"), 6).alias("score"))
+
+
+def rm3_expansion_terms(
+    docs: DataFrame,
+    query_terms: list[str],
+    first_pass: DataFrame | None = None,
+    k_fb: int = 10,
+    m: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RM3 pseudo-relevance feedback expansion terms (Lavrenko & Croft 2001
+    relevance models; the Anserini-default RM3 shape): take the top ``k_fb``
+    first-pass BM25 docs, weight every non-query term by
+    Σ_d score(d) · tf(t,d)/dl(d) (the relevance-model estimate with BM25
+    scores standing in for query likelihood), and keep the top ``m`` terms.
+    Weight rounded to 6 decimals BEFORE ranking (sum-order discipline),
+    ties broken by term — the selection is engine-deterministic.
+
+    Returns (term, rm_weight), at most m rows. ``first_pass`` lets the
+    caller reuse an already-checkpointed stage-1 frame."""
+    s1 = first_pass if first_pass is not None else bm25_scores(
+        docs, query_terms, id_col, text_col
+    )
+    fb = s1.orderBy(F.desc("score"), F.asc("id")).limit(k_fb)
+    occ = docs.select(
+        F.col(id_col).alias("id"), words_of(F.col(text_col)).alias("w")
+    ).withColumn("dl", F.size("w")).select(
+        "id", "dl", F.explode("w").alias("term")
+    )
+    return (
+        occ.join(F.broadcast(fb), "id")  # k_fb rows — always broadcastable
+        .where(~F.col("term").isin(query_terms))
+        .groupBy("term")
+        .agg(F.round(F.sum(F.col("score") / F.col("dl")), 6).alias("rm_weight"))
+        .orderBy(F.desc("rm_weight"), F.asc("term"))
+        .limit(m)
+    )
+
+
+def rm3_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k_fb: int = 10,
+    m: int = 5,
+    beta: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full RM3: first-pass BM25 + expansion + interpolated second pass —
+    final(d) = round(s1(d) + beta · s2(d), 6) over the union of both result
+    sets, where s2 scores ONLY the expansion terms (the original terms keep
+    their exact first-pass weight; beta is the feedback interpolation).
+
+    Scale shape: stage 1 is the plain BM25 plan; the (id, score) result is
+    localCheckpoint'ed because both the feedback join and the final
+    interpolation consume it (the conversion_funnel recompute lesson — the
+    frame is two columns, far smaller than re-running the explode). The
+    expansion set is ≤ m rows, broadcast into the second pass; the final
+    merge is a full outer join of two score frames keyed on id."""
+    s1 = bm25_scores(docs, query_terms, id_col, text_col).localCheckpoint(
+        eager=True
+    )
+    exp = rm3_expansion_terms(
+        docs, query_terms, first_pass=s1, k_fb=k_fb, m=m,
+        id_col=id_col, text_col=text_col,
+    )
+    s2 = bm25_scores_for_terms(docs, exp, id_col, text_col)
+    a = s1.withColumnRenamed("score", "s1")
+    c = s2.withColumnRenamed("score", "s2")
+    return (
+        a.join(c, "id", "full_outer")
+        .select(
+            "id",
+            F.round(
+                F.coalesce(F.col("s1"), F.lit(0.0))
+                + F.lit(beta) * F.coalesce(F.col("s2"), F.lit(0.0)),
+                6,
+            ).alias("score"),
+        )
+    )
+
+
+def rm3_sql(
+    words_sql: str,
+    table: str,
+    id_expr: str,
+    query_terms: list[str],
+    k_fb: int = 10,
+    m: int = 5,
+    beta: float = 0.4,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB mirror of :func:`rm3_scores` — a complete SELECT returning
+    (id, score), expression-for-expression the Spark double math."""
+    qt = ", ".join(f"'{t}'" for t in query_terms)
+
+    def bm25_ctes(tag: str, term_pred: str) -> str:
+        return f"""
+tf{tag} AS (SELECT id, dl, term, count(*) AS tf FROM rm3t2
+       WHERE {term_pred} GROUP BY 1, 2, 3),
+dft{tag} AS (SELECT term, count(DISTINCT id) AS df FROM tf{tag} GROUP BY term),
+sc{tag} AS (
+  SELECT tf{tag}.id,
+         ln(1 + (rm3stats.n - dft{tag}.df + 0.5) / (dft{tag}.df + 0.5))
+         * (tf{tag}.tf * ({k1} + 1))
+         / (tf{tag}.tf + {k1} * (1 - {b} + {b} * tf{tag}.dl / rm3stats.avgdl)) AS ts
+  FROM tf{tag} JOIN dft{tag} ON tf{tag}.term = dft{tag}.term CROSS JOIN rm3stats),
+s{tag} AS (SELECT id, round(sum(ts), 6) AS score FROM sc{tag} GROUP BY id)"""
+
+    return f"""
+WITH rm3toks AS (SELECT {id_expr} AS id, {words_sql} AS w FROM {table}),
+rm3stats AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM rm3toks),
+rm3t2 AS (SELECT id, CAST(len(w) AS INTEGER) AS dl, unnest(w) AS term FROM rm3toks),
+{bm25_ctes("1", f"term IN ({qt})")},
+rm3fb AS (SELECT id, score FROM s1 ORDER BY score DESC, id ASC LIMIT {k_fb}),
+rm3w AS (SELECT term, round(sum(rm3fb.score / rm3t2.dl), 6) AS rm_weight
+         FROM rm3t2 JOIN rm3fb USING (id)
+         WHERE term NOT IN ({qt})
+         GROUP BY term),
+rm3exp AS (SELECT term FROM rm3w ORDER BY rm_weight DESC, term ASC LIMIT {m}),
+{bm25_ctes("2", "term IN (SELECT term FROM rm3exp)")}
+SELECT coalesce(s1.id, s2.id) AS id,
+       round(coalesce(s1.score, 0.0) + {beta} * coalesce(s2.score, 0.0), 6) AS score
+FROM s1 FULL OUTER JOIN s2 ON s1.id = s2.id
+""".strip()

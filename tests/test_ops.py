@@ -351,3 +351,50 @@ def test_ngram_jaccard_block_col_restricts_pairs(spark, texts):
     assert (1, 2) in got      # same block, jaccard 1.0
     # docs 1 and 5 tokenize identically but live in different blocks
     assert (1, 5) not in got and (2, 5) not in got
+
+
+def test_rm3_expansion_pulls_cooccurring_terms(spark):
+    """RM3: terms co-occurring with the query in top-ranked docs become
+    expansion terms; docs matching only the expansions get promoted."""
+    rows = (
+        # 'spark' docs mention 'tungsten' TWICE (tf=2 beats the tf=1
+        # co-terms, so the selection tests weighting, not the tiebreak)
+        [(i, "spark engine tungsten codegen tungsten pipeline") for i in range(4)]
+        # tungsten-only docs: invisible to the raw query, found via RM3
+        + [(10 + i, "tungsten memory format columnar layout") for i in range(3)]
+        # background noise
+        + [(20 + i, "the quick brown fox jumps over dogs") for i in range(6)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exp = search.rm3_expansion_terms(docs, ["spark"], k_fb=4, m=3)
+    terms = [r.term for r in exp.collect()]
+    assert "tungsten" in terms and "spark" not in terms
+    final = {r.id: r.score for r in search.rm3_scores(
+        docs, ["spark"], k_fb=4, m=3).collect()}
+    assert set(range(4)) <= set(final)          # original hits kept
+    assert {10, 11, 12} <= set(final)           # expansion-only docs surfaced
+    assert all(final[i] > final[10] for i in range(4))  # originals still rank higher
+
+
+def test_rm3_matches_sql_mirror(spark):
+    import duckdb
+
+    rows = [
+        (i, "spark engine tungsten codegen pipeline" if i % 3 == 0 else
+            ("tungsten memory format columnar" if i % 3 == 1 else
+             "the quick brown fox jumps over dogs"))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spark_rows = sorted(
+        (r.id, r.score) for r in search.rm3_scores(docs, ["spark"], k_fb=5, m=2).collect()
+    )
+    con = duckdb.connect()
+    con.execute("SET threads=2")
+    con.register("t", docs.toPandas())
+    sql = search.rm3_sql(
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')",
+        "t", "doc_id", ["spark"], k_fb=5, m=2,
+    )
+    duck_rows = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert duck_rows == spark_rows

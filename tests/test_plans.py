@@ -377,3 +377,17 @@ def test_dsir_broadcasts_models_and_takeordered_topk(spark, sf_dir):
     assert "BroadcastHashJoin" in plan       # p/q models ride broadcasts
     assert "TakeOrderedAndProject" in plan   # bounded top-k, no global Sort
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_c4_clean_is_zero_shuffle_projection(spark, sf_dir):
+    from doc_agent_spark.functions import c4rules
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clean = c4rules.c4_clean(F.col("text"))
+    out = docs.select(
+        "doc_id", clean.alias("clean"),
+        c4rules.c4_page_pass(F.col("text"), clean).alias("ok"),
+    )
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "Arrow" not in plan

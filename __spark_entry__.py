@@ -1699,15 +1699,40 @@ def boilerplate_strip(spark, sf_dir):
 
 
 def layout_runs(spark, sf_dir):
-    """Line/column-run segmentation over a deterministic two-line columnar
-    text (variable-width first cell exercises real offset arithmetic)."""
+    """Line/column-run segmentation over a deterministic four-line page:
+    two variable-width header lines (real offset arithmetic, no shared
+    signature) plus a two-row fixed-pitch TABLE block (rpad-aligned cells
+    at col_starts 0/10/18).
+
+    table arm (layout.table_regions): gaps-and-islands over per-line
+    column signatures finds the line-item table — the block every invoice
+    extractor has to locate. Column mapping in the union: line_no =
+    start_line, run_idx = end_line, col_start = n_cols, run_text = sig.
+    The header lines each have 2 runs but unique signatures, so they
+    pin the negative case (islands of height 1 are rejected)."""
     docs = load(spark, sf_dir, "documents")
     txt = F.concat_ws(
         "\n",
         F.concat(F.lit("doc"), F.col("doc_id").cast("string"), F.lit("      "), F.col("lang")),
         F.concat(F.col("source"), F.lit("   "), F.col("n_chars").cast("string")),
+        F.concat(F.rpad(F.lit("alpha"), 10, " "), F.rpad(F.col("lang"), 8, " "),
+                 F.col("n_chars").cast("string")),
+        F.concat(F.rpad(F.lit("beta"), 10, " "), F.rpad(F.col("source"), 8, " "),
+                 F.col("doc_id").cast("string")),
     )
-    return layout.line_column_runs(docs.select("doc_id", txt.alias("text")))
+    runs = layout.line_column_runs(docs.select("doc_id", txt.alias("text")))
+    a = runs.select(
+        F.lit("run").alias("variant"), "id", "line_no", "run_idx",
+        "col_start", "run_text",
+    )
+    t = layout.table_regions(runs).select(
+        F.lit("table").alias("variant"), "id",
+        F.col("start_line").alias("line_no"),
+        F.col("end_line").alias("run_idx"),
+        F.col("n_cols").alias("col_start"),
+        F.col("sig").alias("run_text"),
+    )
+    return a.unionByName(t)
 
 
 def events_rollup(spark, sf_dir):
@@ -2370,13 +2395,16 @@ _LAYOUT_RUNS_SQL = r"""
 WITH t AS (
   SELECT doc_id,
          'doc' || CAST(doc_id AS VARCHAR) || '      ' || lang || chr(10) ||
-         source || '   ' || CAST(n_chars AS VARCHAR) AS txt
+         source || '   ' || CAST(n_chars AS VARCHAR) || chr(10) ||
+         rpad('alpha', 10, ' ') || rpad(lang, 8, ' ') || CAST(n_chars AS VARCHAR) || chr(10) ||
+         rpad('beta', 10, ' ') || rpad(source, 8, ' ') || CAST(doc_id AS VARCHAR) AS txt
   FROM documents),
 lines AS (
   SELECT doc_id,
          unnest(list_transform(string_split(txt, chr(10)),
                 (x, i) -> {'line_no': CAST(i - 1 AS INTEGER), 'line': x})) AS L
-  FROM t)
+  FROM t),
+runs AS (
 SELECT doc_id AS id, L.line_no,
   unnest(
     list_transform(
@@ -2393,8 +2421,12 @@ SELECT doc_id AS id, L.line_no,
                  'col_start': CAST(coalesce(e.col_start, 0) AS INTEGER),
                  'run_text': e.run_text}),
     recursive := true)
-FROM lines
-""".strip()
+FROM lines)
+SELECT 'run' AS variant, id, line_no, run_idx, col_start, run_text FROM runs
+UNION ALL
+SELECT 'table', id, start_line, end_line, n_cols, sig
+FROM (__TABLE_SQL__)
+""".strip().replace("__TABLE_SQL__", layout.table_regions_sql("runs"))
 
 
 def oracle_sql() -> dict[str, str]:

@@ -76,3 +76,78 @@ def column_profile(runs: DataFrame) -> DataFrame:
         .agg(F.countDistinct("line_no").alias("n_lines"))
         .filter(F.col("n_lines") > 1)
     )
+
+
+def line_signatures(runs: DataFrame) -> DataFrame:
+    """Per-line column signature: (id, line_no, sig, n_cols) where sig is
+    the comma-joined sorted col_start list — two lines with the same sig
+    have their cells at IDENTICAL offsets (the fixed-pitch table test)."""
+    return runs.groupBy("id", "line_no").agg(
+        # sort NUMERICALLY before stringifying (lexicographic would put
+        # "10" before "2" and diverge from the oracle's list_sort on ints)
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list(F.col("col_start"))),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("sig"),
+        F.count(F.lit(1)).cast("int").alias("n_cols"),
+    )
+
+
+def table_regions(runs: DataFrame, min_rows: int = 2, min_cols: int = 2) -> DataFrame:
+    """Table-region detection over line/column runs — the layout stage that
+    finds the LINE-ITEM TABLES the extractor reads out of invoices and
+    statements (reference: the vision LLM does this implicitly;
+    packages/extract/src/ocr.ts hands the raw page to the model).
+
+    A table region is a maximal block of CONSECUTIVE lines sharing one
+    column signature with ≥ ``min_cols`` cells, at least ``min_rows`` lines
+    tall. Classic gaps-and-islands: island = line_no − row_number() within
+    (id, sig), so a signature interrupted by a different line starts a new
+    island. Returns (id, start_line, end_line, n_rows, n_cols, sig).
+
+    Scale shape: one per-doc aggregation (signatures) + one window
+    partitioned by (id, sig) — both key on the document, so partitions are
+    bounded by a document's line count, never corpus-sized; no UDF."""
+    from pyspark.sql import Window
+
+    sigs = line_signatures(runs).filter(F.col("n_cols") >= min_cols)
+    w = Window.partitionBy("id", "sig").orderBy("line_no")
+    islands = sigs.withColumn(
+        "island", F.col("line_no") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("id", "sig", "island")
+        .agg(
+            F.min("line_no").alias("start_line"),
+            F.max("line_no").alias("end_line"),
+            F.count(F.lit(1)).cast("int").alias("n_rows"),
+            F.first("n_cols").alias("n_cols"),
+        )
+        .filter(F.col("n_rows") >= min_rows)
+        .select("id", "start_line", "end_line", "n_rows", "n_cols", "sig")
+    )
+
+
+def table_regions_sql(runs_cte: str, min_rows: int = 2, min_cols: int = 2) -> str:
+    """DuckDB mirror of :func:`table_regions` over a runs relation with
+    columns (id, line_no, col_start)."""
+    return f"""
+SELECT id, start_line, end_line, n_rows, n_cols, sig FROM (
+  SELECT id, sig, island,
+         min(line_no) AS start_line, max(line_no) AS end_line,
+         CAST(count(*) AS INTEGER) AS n_rows, any_value(n_cols) AS n_cols
+  FROM (
+    SELECT id, line_no, sig, n_cols,
+           line_no - row_number() OVER (PARTITION BY id, sig ORDER BY line_no) AS island
+    FROM (
+      SELECT id, line_no,
+             array_to_string(list_sort(list(col_start)), ',') AS sig,
+             CAST(count(*) AS INTEGER) AS n_cols
+      FROM {runs_cte} GROUP BY id, line_no)
+    WHERE n_cols >= {min_cols})
+  GROUP BY id, sig, island)
+WHERE n_rows >= {min_rows}
+""".strip()

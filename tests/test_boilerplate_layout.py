@@ -105,3 +105,45 @@ def test_layout_runs_leading_gap(spark):
     df = spark.createDataFrame([(1, "   indented   x")], "doc_id long, text string")
     runs = [(r.col_start, r.run_text) for r in layout.line_column_runs(df).collect()]
     assert runs == [(3, "indented"), (14, "x")]
+
+
+def test_table_regions_finds_aligned_block(spark):
+    """A fixed-pitch 3-row block is one table; the interrupting line breaks
+    a would-be 4-row island into the 3-row block only; 1-run lines and
+    unique-signature lines never form tables."""
+    page = "\n".join([
+        "INVOICE",                                # line 0: 1 run
+        "item      qty   price",                  # 1: table row (0,10,16)
+        "apples    3     1.50",                   # 2: same sig
+        "pears     12    0.75",                   # 3: same sig
+        "thanks for your business",               # 4: 1 run (single spaces)
+        "total     99.99",                        # 5: (0,10) — alone
+    ])
+    df = spark.createDataFrame([(7, page)], "doc_id long, text string")
+    runs = layout.line_column_runs(df)
+    got = layout.table_regions(runs).collect()
+    assert len(got) == 1
+    t = got[0]
+    assert (t.start_line, t.end_line, t.n_rows, t.n_cols) == (1, 3, 3, 3)
+    assert t.sig == "0,10,16"
+
+
+def test_table_regions_interrupted_signature_splits_islands(spark):
+    page = "\n".join([
+        "a         b",       # sig 0,10
+        "c         d",       # sig 0,10
+        "an interrupting prose line with single spaces only",
+        "e         f",       # sig 0,10 again — new island, height 1 < 2
+    ])
+    df = spark.createDataFrame([(1, page)], "doc_id long, text string")
+    got = layout.table_regions(layout.line_column_runs(df)).collect()
+    assert len(got) == 1
+    assert (got[0].start_line, got[0].end_line) == (0, 1)
+
+
+def test_table_regions_respects_min_cols(spark):
+    page = "a         b\nc         d"
+    df = spark.createDataFrame([(1, page)], "doc_id long, text string")
+    assert layout.table_regions(
+        layout.line_column_runs(df), min_cols=3
+    ).count() == 0

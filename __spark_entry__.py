@@ -1709,7 +1709,10 @@ def layout_runs(spark, sf_dir):
     extractor has to locate. Column mapping in the union: line_no =
     start_line, run_idx = end_line, col_start = n_cols, run_text = sig.
     The header lines each have 2 runs but unique signatures, so they
-    pin the negative case (islands of height 1 are rejected)."""
+    pin the negative case (islands of height 1 are rejected).
+
+    cell arm (layout.table_cells): the typed grid inside each region —
+    run_idx = row_idx, col_start = col_idx, run_text = cell."""
     docs = load(spark, sf_dir, "documents")
     txt = F.concat_ws(
         "\n",
@@ -1725,14 +1728,21 @@ def layout_runs(spark, sf_dir):
         F.lit("run").alias("variant"), "id", "line_no", "run_idx",
         "col_start", "run_text",
     )
-    t = layout.table_regions(runs).select(
+    regions = layout.table_regions(runs)
+    t = regions.select(
         F.lit("table").alias("variant"), "id",
         F.col("start_line").alias("line_no"),
         F.col("end_line").alias("run_idx"),
         F.col("n_cols").alias("col_start"),
         F.col("sig").alias("run_text"),
     )
-    return a.unionByName(t)
+    c = layout.table_cells(runs, regions).select(
+        F.lit("cell").alias("variant"), "id", "line_no",
+        F.col("row_idx").alias("run_idx"),
+        F.col("col_idx").alias("col_start"),
+        F.col("cell").alias("run_text"),
+    )
+    return a.unionByName(t).unionByName(c)
 
 
 def events_rollup(spark, sf_dir):
@@ -2421,12 +2431,15 @@ SELECT doc_id AS id, L.line_no,
                  'col_start': CAST(coalesce(e.col_start, 0) AS INTEGER),
                  'run_text': e.run_text}),
     recursive := true)
-FROM lines)
+FROM lines),
+regions AS (__TABLE_SQL__)
 SELECT 'run' AS variant, id, line_no, run_idx, col_start, run_text FROM runs
 UNION ALL
-SELECT 'table', id, start_line, end_line, n_cols, sig
-FROM (__TABLE_SQL__)
-""".strip().replace("__TABLE_SQL__", layout.table_regions_sql("runs"))
+SELECT 'table', id, start_line, end_line, n_cols, sig FROM regions
+UNION ALL
+SELECT 'cell', id, line_no, row_idx, col_idx, cell FROM (__CELLS_SQL__)
+""".strip().replace("__TABLE_SQL__", layout.table_regions_sql("runs")).replace(
+    "__CELLS_SQL__", layout.table_cells_sql("runs", "regions"))
 
 
 def oracle_sql() -> dict[str, str]:

@@ -151,3 +151,43 @@ SELECT id, start_line, end_line, n_rows, n_cols, sig FROM (
   GROUP BY id, sig, island)
 WHERE n_rows >= {min_rows}
 """.strip()
+
+
+def table_cells(runs: DataFrame, regions: DataFrame) -> DataFrame:
+    """Cell extraction from detected table regions: every run inside a
+    region becomes (id, line_no, row_idx, col_idx, cell) with row_idx
+    0-based inside its table and col_idx the position of the run's
+    col_start in the region signature — the typed grid the line-item
+    field extractor (spec.py) reads descriptions/quantities/prices from.
+
+    Region line ranges are disjoint by construction (an island is a
+    maximal consecutive same-signature block, so two regions can never
+    interleave lines), which makes the range join unambiguous. One equi-
+    join on id narrowed by the line-range predicate; regions are
+    tables-per-doc-sized, so AQE broadcasts them in practice."""
+    r = regions.select("id", "start_line", "end_line", "sig")
+    sig_arr = F.split(F.col("sig"), ",")
+    return (
+        runs.join(r, "id")
+        .where(F.col("line_no").between(F.col("start_line"), F.col("end_line")))
+        .select(
+            "id", "line_no",
+            (F.col("line_no") - F.col("start_line")).cast("int").alias("row_idx"),
+            (F.array_position(sig_arr, F.col("col_start").cast("string")) - 1)
+            .cast("int").alias("col_idx"),
+            F.col("run_text").alias("cell"),
+        )
+    )
+
+
+def table_cells_sql(runs_cte: str, regions_cte: str) -> str:
+    """DuckDB mirror of :func:`table_cells`."""
+    return f"""
+SELECT r.id, r.line_no,
+       CAST(r.line_no - g.start_line AS INTEGER) AS row_idx,
+       CAST(list_position(string_split(g.sig, ','), CAST(r.col_start AS VARCHAR)) - 1
+            AS INTEGER) AS col_idx,
+       r.run_text AS cell
+FROM {runs_cte} r JOIN {regions_cte} g ON r.id = g.id
+WHERE r.line_no BETWEEN g.start_line AND g.end_line
+""".strip()

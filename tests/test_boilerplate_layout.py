@@ -147,3 +147,18 @@ def test_table_regions_respects_min_cols(spark):
     assert layout.table_regions(
         layout.line_column_runs(df), min_cols=3
     ).count() == 0
+
+
+def test_table_cells_grid(spark):
+    page = "\n".join([
+        "item      qty   price",
+        "apples    3     1.50",
+    ])
+    df = spark.createDataFrame([(1, page)], "doc_id long, text string")
+    runs = layout.line_column_runs(df)
+    cells = layout.table_cells(runs, layout.table_regions(runs)).collect()
+    grid = {(c.row_idx, c.col_idx): c.cell for c in cells}
+    assert grid == {
+        (0, 0): "item", (0, 1): "qty", (0, 2): "price",
+        (1, 0): "apples", (1, 1): "3", (1, 2): "1.50",
+    }

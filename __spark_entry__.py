@@ -1020,7 +1020,11 @@ def bm25_topk(spark, sf_dir):
     (operators/search.py rm3_scores; Lavrenko & Croft 2001): top-10 BM25
     docs feed the relevance-model term weights, the top-5 expansion terms
     score a second pass, and the final ranking interpolates
-    s1 + 0.4·s2 — the classic query-expansion loop, fully relational."""
+    s1 + 0.4·s2 — the classic query-expansion loop, fully relational.
+
+    ql arm (search.ql_scores; Zhai & Lafferty 2001): Dirichlet-smoothed
+    query likelihood — the LM-retrieval classic beside BM25; every doc
+    scores under smoothing, top-10 kept."""
     docs = load(spark, sf_dir, "documents")
     qt = ["spark", "join", "window"]
     a = (
@@ -1033,7 +1037,12 @@ def bm25_topk(spark, sf_dir):
         .orderBy(F.desc("score"), F.asc("id")).limit(10)
         .select(F.lit("rm3").alias("variant"), "id", "score")
     )
-    return a.unionByName(b)
+    c = (
+        search.ql_scores(docs, qt)
+        .orderBy(F.desc("score"), F.asc("id")).limit(10)
+        .select(F.lit("ql").alias("variant"), "id", "score")
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def rrf_fusion(spark, sf_dir):
@@ -2907,6 +2916,11 @@ UNION ALL
 SELECT 'rm3', id, score FROM (
   SELECT id, score FROM ({search.rm3_sql(_WORDS_SQL, "documents", "doc_id",
                                           ["spark", "join", "window"])})
+  ORDER BY score DESC, id ASC LIMIT 10)
+UNION ALL
+SELECT 'ql', id, score FROM (
+  SELECT id, score FROM ({search.ql_sql(_WORDS_SQL, "documents", "doc_id",
+                                         ["spark", "join", "window"])})
   ORDER BY score DESC, id ASC LIMIT 10)
 """,
         "rrf_fusion": f"""

@@ -421,3 +421,89 @@ SELECT coalesce(s1.id, s2.id) AS id,
        round(coalesce(s1.score, 0.0) + {beta} * coalesce(s2.score, 0.0), 6) AS score
 FROM s1 FULL OUTER JOIN s2 ON s1.id = s2.id
 """.strip()
+
+
+def ql_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    mu: float = 2000.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty 2001) —
+    the language-model retrieval classic beside BM25:
+
+        score(d) = Σ_q ln( (tf(q,d) + μ·cf(q)/|C|) / (dl(d) + μ) )
+
+    EVERY document scores (smoothing gives unseen terms mass), so the
+    result has one row per doc; final sum rounded to 6 decimals. Query
+    terms absent from the corpus entirely are dropped from the query (the
+    standard convention — their cf is 0 and ln(0) is undefined).
+
+    Scale shape: corpus stats are one aggregate (|C|) + one filtered
+    term count (≤ |query| rows, broadcast); per-doc tf is the usual
+    filtered explode + (id, term) partial agg; the scorer is a crossJoin
+    against the ≤|query|-row term table + one left join + per-doc sum."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), words_of(F.col(text_col)).alias("w")
+    ).withColumn("dl", F.size("w"))
+    total = toks.agg(F.sum("dl").cast("double").alias("t"))
+    cf = (
+        toks.select(F.explode("w").alias("term"))
+        .where(F.col("term").isin(query_terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("cf"))
+        .crossJoin(F.broadcast(total))
+        .select("term", (F.col("cf") / F.col("t")).alias("p_c"))
+    )
+    tf = (
+        toks.select("id", F.explode("w").alias("term"))
+        .where(F.col("term").isin(query_terms))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    return (
+        toks.select("id", "dl")
+        .crossJoin(F.broadcast(cf))
+        .join(tf, ["id", "term"], "left")
+        .groupBy("id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log(
+                        (F.coalesce(F.col("tf"), F.lit(0.0)) + F.lit(mu) * F.col("p_c"))
+                        / (F.col("dl") + F.lit(mu))
+                    )
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+
+
+def ql_sql(
+    words_sql: str,
+    table: str,
+    id_expr: str,
+    query_terms: list[str],
+    mu: float = 2000.0,
+) -> str:
+    """DuckDB mirror of :func:`ql_scores`."""
+    qt = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH qlt AS (SELECT {id_expr} AS id, {words_sql} AS w FROM {table}),
+qld AS (SELECT id, CAST(len(w) AS INTEGER) AS dl, w FROM qlt),
+qltot AS (SELECT CAST(sum(dl) AS DOUBLE) AS t FROM qld),
+qlcf AS (SELECT term, CAST(count(*) AS DOUBLE) / (SELECT t FROM qltot) AS p_c
+         FROM (SELECT unnest(w) AS term FROM qld)
+         WHERE term IN ({qt}) GROUP BY term),
+qltf AS (SELECT id, term, CAST(count(*) AS DOUBLE) AS tf
+         FROM (SELECT id, unnest(w) AS term FROM qld)
+         WHERE term IN ({qt}) GROUP BY id, term)
+SELECT qld.id,
+       round(sum(ln((coalesce(qltf.tf, 0.0) + {mu} * qlcf.p_c) / (qld.dl + {mu}))), 6)
+         AS score
+FROM qld CROSS JOIN qlcf
+LEFT JOIN qltf ON qld.id = qltf.id AND qlcf.term = qltf.term
+GROUP BY qld.id
+""".strip()

@@ -398,3 +398,12 @@ def test_rm3_matches_sql_mirror(spark):
     )
     duck_rows = sorted(map(tuple, con.execute(sql).fetchall()))
     assert duck_rows == spark_rows
+
+
+def test_ql_dirichlet_scores_every_doc(spark, texts):
+    out = {r.id: r.score for r in search.ql_scores(
+        texts, ["spark", "fox"], mu=100.0).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}          # smoothing: every doc scores
+    assert out[4] == max(out.values())          # the only 'spark' doc wins
+    # all scores are negative log-likelihood sums
+    assert all(v < 0 for v in out.values())

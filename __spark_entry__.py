@@ -1493,6 +1493,18 @@ def pq_cosine_topk(spark, sf_dir):
     return similarity.pq_cosine_topk(emb, list(q), k=10, n_sub=8, codebook_stride=50)
 
 
+def bq_cosine_topk(spark, sf_dir):
+    """Binary (1-bit) quantized vector search: packed sign-bit signatures
+    (similarity.bq_quantize, 32x smaller than float32), Hamming-distance
+    prefilter to 50 candidates, exact-cosine rerank over the survivors.
+    The extreme-compression end of the quantization ladder (sq=4x, pq=~32x
+    code bytes, bq=32x with pure bit ops) — at 10^10 rows the signature
+    table is scan-resident while the float vectors stay cold."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0].embedding
+    return similarity.bq_cosine_topk(emb, list(q), k=10, dim=64, n_candidates=50)
+
+
 def media_metadata(spark, sf_dir):
     """Multimodal arms, union-tagged: per-image decode metadata (Arrow
     feature pass over opaque binary; FakeCodec dims mirrored as pure
@@ -1786,6 +1798,7 @@ def vector_topk_methods(spark, sf_dir):
     parts = [
         ("exact", cosine_topk), ("lsh", ann_lsh_topk),
         ("ivf", ivf_topk), ("sq", sq_cosine_topk), ("pq", pq_cosine_topk),
+        ("bq", bq_cosine_topk),
     ]
     out = None
     for tag, fn in parts:
@@ -3244,6 +3257,9 @@ SELECT id, round({_cos_sql('dv', 'qv')}, 6) AS score
 FROM dv CROSS JOIN q
 ORDER BY score DESC, id ASC LIMIT 10
 """,
+        "bq_cosine_topk": similarity.bq_sql(
+            query_vec_id=0, dim=64, word_bits=32, n_candidates=50, k=10
+        ),
         "kmeans_assign": similarity.kmeans_sql(iters=2, centroid_stride=50),
         "media_metadata": f"""
 SELECT 'image' AS variant,
@@ -3421,7 +3437,8 @@ FROM events GROUP BY ROLLUP (event_type, hour(ts))
             for m, q in [
                 ("exact", "cosine_topk"), ("lsh", "ann_lsh_topk"),
                 ("ivf", "ivf_topk"), ("sq", "sq_cosine_topk"),
-                ("pq", "pq_cosine_topk"), ("kmeans", "kmeans_assign"),
+                ("pq", "pq_cosine_topk"), ("bq", "bq_cosine_topk"),
+                ("kmeans", "kmeans_assign"),
             ]
         ),
         "retrieval_eval": f"""

@@ -535,3 +535,135 @@ SELECT id, CAST(cid AS DOUBLE) AS score FROM (
     ORDER BY list_dot_product(e.dv, c.ncv) DESC, c.cid ASC) AS rn
   FROM emb e CROSS JOIN ncf c) WHERE rn = 1
 """.strip()
+
+
+def bq_quantize(
+    embeddings: DataFrame,
+    dim: int = 64,
+    word_bits: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary (1-bit) quantization: bit i of the signature is set iff
+    component i > 0, packed little-endian into ``word_bits``-bit words
+    stored as longs — 32x smaller than float32 (dim=64 -> two words).
+
+    The packing is a flat sum of per-bit CASE terms, not an F.aggregate
+    fold, so the whole signature stays inside whole-stage codegen (the
+    repo's documented interpreted-fold lesson, BASELINE.md §4). Sign
+    bits are the classic extreme-compression index for normalized /
+    random-projected embeddings: at 100 TB the signatures of a 10^10-row
+    corpus fit in ~80 GB, a broadcast-or-scan-resident prefilter while
+    the float vectors stay in cold storage for the rerank join.
+    Returns (id, words array<long>).
+    """
+    v = F.col(vec_col)
+    n_words = (dim + word_bits - 1) // word_bits
+    words = []
+    for w in range(n_words):
+        acc = None
+        for b in range(word_bits):
+            i = w * word_bits + b
+            if i >= dim:
+                break
+            t = (
+                F.when(F.element_at(v, i + 1) > 0, F.lit(1 << b).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+            acc = t if acc is None else acc + t
+        words.append(acc)
+    return embeddings.select(F.col(id_col).alias("id"), F.array(*words).alias("words"))
+
+
+def pack_sign_bits(vec: list[float], dim: int = 64, word_bits: int = 32) -> list[int]:
+    """Driver-side mirror of bq_quantize for a single (query) vector."""
+    n_words = (dim + word_bits - 1) // word_bits
+    out = []
+    for w in range(n_words):
+        acc = 0
+        for b in range(word_bits):
+            i = w * word_bits + b
+            if i < dim and float(vec[i]) > 0:
+                acc |= 1 << b
+        out.append(acc)
+    return out
+
+
+def bq_cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    dim: int = 64,
+    word_bits: int = 32,
+    n_candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage binary-quantized search: Hamming distance over packed
+    sign bits prefilters ``n_candidates`` ids (ties broken by id), then
+    the exact cosine reranks only those via a broadcast semi-join back
+    to the float vectors — the scan touches 1 bit/dim, full precision
+    touches n_candidates rows. Deterministic end to end.
+    """
+    sig = bq_quantize(embeddings, dim=dim, word_bits=word_bits,
+                      id_col=id_col, vec_col=vec_col)
+    qw = pack_sign_bits(query_vec, dim=dim, word_bits=word_bits)
+    ham = None
+    for j, w in enumerate(qw):
+        t = F.bit_count(F.element_at("words", j + 1).bitwiseXOR(F.lit(w).cast("long")))
+        ham = t if ham is None else ham + t
+    cand = (
+        sig.select("id", ham.cast("int").alias("hamming"))
+        .orderBy(F.asc("hamming"), F.asc("id"))
+        .limit(n_candidates)
+        .select("id")
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        embeddings.join(F.broadcast(cand), F.col(id_col) == F.col("id"))
+        .select("id", F.round(cosine(F.col(vec_col), q), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def bq_sql(
+    query_vec_id: int = 0,
+    dim: int = 64,
+    word_bits: int = 32,
+    n_candidates: int = 50,
+    k: int = 10,
+    cos_sql: str | None = None,
+) -> str:
+    """DuckDB mirror of bq_cosine_topk over the ``embeddings`` view:
+    identical sign packing, Hamming prefilter, and exact-cosine rerank."""
+    n_words = (dim + word_bits - 1) // word_bits
+    hx = " + ".join(
+        f"bit_count(xor(CAST(s.words[{j + 1}] AS BIGINT), CAST(q.words[{j + 1}] AS BIGINT)))"
+        for j in range(n_words)
+    )
+    if cos_sql is None:
+        cos_sql = (
+            "list_aggregate(list_transform(range(1, len(e.embedding) + 1),"
+            " i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qv[i] AS DOUBLE)), 'sum')"
+            " / (sqrt(list_aggregate(list_transform(range(1, len(e.embedding) + 1),"
+            " i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 'sum'))"
+            " * sqrt(list_aggregate(list_transform(range(1, len(qv.qv) + 1),"
+            " i -> CAST(qv.qv[i] AS DOUBLE) * CAST(qv.qv[i] AS DOUBLE)), 'sum')))"
+        )
+    return f"""
+WITH sig AS (
+  SELECT vec_id AS id,
+         list_transform(range(0, {n_words}), w ->
+           list_aggregate(list_transform(range(1, {word_bits + 1}),
+             b -> CASE WHEN embedding[w * {word_bits} + b] > 0
+                       THEN 1::BIGINT << (b - 1) ELSE 0::BIGINT END), 'sum')) AS words
+  FROM embeddings),
+q AS (SELECT words FROM sig WHERE id = {query_vec_id}),
+ham AS (SELECT s.id, {hx} AS h FROM sig s CROSS JOIN q),
+cand AS (SELECT id FROM ham ORDER BY h ASC, id ASC LIMIT {n_candidates}),
+qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id})
+SELECT e.vec_id AS id, round({cos_sql}, 6) AS score
+FROM embeddings e JOIN cand c ON e.vec_id = c.id CROSS JOIN qv
+ORDER BY score DESC, id ASC LIMIT {k}
+""".strip()

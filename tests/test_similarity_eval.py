@@ -138,6 +138,33 @@ def test_pq_codebook_members_reconstruct_exactly(emb):
         assert set(codes) <= cids
 
 
+def test_bq_pack_matches_driver_mirror(emb):
+    """Spark-side bq_quantize and the driver-side pack_sign_bits produce
+    identical packed words for every row — the invariant that makes the
+    query-vector Hamming prefilter comparable to the corpus signatures."""
+    rows = similarity.bq_quantize(emb, dim=64).collect()
+    orig = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    assert rows
+    for r in rows:
+        assert list(r.words) == similarity.pack_sign_bits(orig[r.id], dim=64)
+        assert len(r.words) == 2  # 64 dims / 32-bit words
+
+
+def test_bq_topk_exact_rerank(emb):
+    """The Hamming prefilter only selects candidates; survivors are scored
+    by the exact cosine, so the query itself (Hamming 0) must lead with
+    score 1.0 and scores must be non-increasing. With n_candidates covering
+    a large slice of sf0.001, recall vs exact stays high."""
+    q = list(emb.filter(F.col("vec_id") == 0).collect()[0].embedding)
+    exact = [r.id for r in similarity.cosine_topk(emb, q, k=10).collect()]
+    bq = similarity.bq_cosine_topk(emb, q, k=10, dim=64, n_candidates=50).collect()
+    assert bq[0].id == 0 and bq[0].score == pytest.approx(1.0)
+    scores = [r.score for r in bq]
+    assert scores == sorted(scores, reverse=True)
+    # sign-bit Hamming on random uniform vectors: floor recall@10 >= 0.4
+    assert len(set(exact) & {r.id for r in bq}) >= 4
+
+
 def test_pq_topk_close_to_exact(emb):
     q = list(emb.filter(F.col("vec_id") == 0).collect()[0].embedding)
     exact = [r.id for r in similarity.cosine_topk(emb, q, k=10).collect()]

@@ -38,6 +38,7 @@ from doc_agent_spark.operators import (  # noqa: E402
     sampling,
     search,
     similarity,
+    sketches,
 )
 from doc_agent_spark.operators.normalize import (  # noqa: E402
     amount_coalesce,
@@ -229,7 +230,9 @@ def _nb_cte_sql() -> str:
 
 
 def _kmv_users_sql() -> str:
-    from doc_agent_spark.operators.sketches import cms_sql, hll_sql, kmv_sql
+    from doc_agent_spark.operators.sketches import (
+        cms_sql, hll_sql, kmv_overlap_sql, kmv_sql,
+    )
 
     from doc_agent_spark.operators.maintenance import profile_table_sql
 
@@ -243,6 +246,12 @@ def _kmv_users_sql() -> str:
     # re-issue hll_sql's regs CTE standalone for the hll_reg rows
     hll_regs = hll.split("\nSELECT", 1)[0] + (
         "\nSELECT CAST(bucket AS VARCHAR) AS key, CAST(rank AS BIGINT) AS n FROM regs"
+    )
+    overlap = kmv_overlap_sql(
+        "SELECT user_id AS v FROM events WHERE event_type = 'view'",
+        "SELECT user_id AS v FROM events WHERE event_type = 'click'",
+        "v",
+        k=256,
     )
     return f"""
 SELECT 'kmv' AS variant, CAST(NULL AS VARCHAR) AS key,
@@ -260,6 +269,9 @@ FROM ({hll})
 UNION ALL
 SELECT 'hll_reg', key, n, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
 FROM ({hll_regs})
+UNION ALL
+SELECT 'overlap', op, n, est, aux
+FROM ({overlap})
 """.strip()
 
 
@@ -617,7 +629,11 @@ def kmv_distinct_users(spark, sf_dir):
     non-null/distinct/avg-length in one multi-distinct aggregation) ∪ the
     deterministic HyperLogLog over event users (summary row n = the exact
     integer-scaled harmonic sum, plus one hll_reg row per live register —
-    the FULL sketch state is value-checked, not just the estimate).
+    the FULL sketch state is value-checked, not just the estimate) ∪ KMV
+    set-operation estimates between the view-users and click-users keysets
+    (Beyer et al. 2007 ρ-estimator: union cardinality + intersection +
+    Jaccard from one merged k-min sketch — the crawl-overlap primitive,
+    no join between the two keysets).
     All bit-identical to the DuckDB oracle."""
     from doc_agent_spark.operators import sketches
 
@@ -668,18 +684,45 @@ def kmv_distinct_users(spark, sf_dir):
         F.lit(None).cast("double").alias("est"),
         F.lit(None).cast("double").alias("aux"),
     )
-    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+    ov = sketches.kmv_overlap_estimate(
+        ev.filter(F.col("event_type") == "view").select("user_id"),
+        ev.filter(F.col("event_type") == "click").select("user_id"),
+        "user_id",
+        k=256,
+    ).select(
+        F.lit("overlap").alias("variant"),
+        F.col("op").alias("key"),
+        F.col("n"),
+        F.col("est"),
+        F.col("aux"),
+    )
+    return (
+        a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+        .unionByName(ov)
+    )
 
 
 def value_quantiles(spark, sf_dir):
-    """Exact interpolated quantiles per event type (Spark percentile ==
-    DuckDB quantile_cont — both sort-based, order-independent)."""
+    """Quantiles per event type, union-tagged: exact interpolated
+    quantiles (Spark percentile == DuckDB quantile_cont — both sort-based,
+    order-independent; the full-sort cost at 10^12 rows) ∪ the bottom-m
+    hash-sample estimate (sketches.hash_sample_quantiles: per-group m
+    hash-smallest rows via a WindowGroupLimit-pushed rank, exact
+    interpolation over the m survivors — deterministic at any cluster
+    size and mergeable snapshot+delta, unlike approx_percentile's GK
+    sketch which is neither engine- nor order-portable)."""
+    from doc_agent_spark.operators import sketches
+
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    exact = ev.groupBy("event_type").agg(
         F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
         F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
         F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
-    )
+    ).select(F.lit("exact").alias("variant"), "event_type", "p50", "p90", "p99")
+    sampled = sketches.hash_sample_quantiles(
+        ev, "value", "event_id", "event_type", m=128
+    ).select(F.lit("sample128").alias("variant"), "event_type", "p50", "p90", "p99")
+    return exact.unionByName(sampled)
 
 
 def conversion_funnel(spark, sf_dir):
@@ -2571,12 +2614,15 @@ stale AS (
   WHERE md5(v2.text) <> md5(d.text))
 SELECT doc_id AS id, {_embedding_sql('text', 16)} AS embedding FROM stale
 """, 16),
-        "value_quantiles": """
-SELECT event_type,
+        "value_quantiles": f"""
+SELECT 'exact' AS variant, event_type,
        round(quantile_cont(value, 0.5), 6) AS p50,
        round(quantile_cont(value, 0.9), 6) AS p90,
        round(quantile_cont(value, 0.99), 6) AS p99
 FROM events GROUP BY event_type
+UNION ALL
+SELECT 'sample128' AS variant, event_type, p50, p90, p99
+FROM ({sketches.hash_sample_quantiles_sql("events", "value", "event_id", "event_type", m=128)})
 """,
         "conversion_funnel": """
 WITH pu AS (

@@ -95,6 +95,191 @@ FROM hs
 """.strip()
 
 
+def kmv_overlap_estimate(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    k: int = 256,
+    seed: str = "kmv",
+    arrow_partial: bool = True,
+) -> DataFrame:
+    """KMV set-operation estimates between two keysets (Beyer et al.,
+    SIGMOD 2007): union cardinality from the merged sketch's k-th smallest
+    hash, intersection via the ρ-estimator — the fraction of the union's
+    k-min hashes present in BOTH sides, scaled by the union estimate.
+    The crawl-overlap primitive: "how many of this snapshot's URLs/users
+    did the previous crawl already have" without joining two 10^12-row
+    keysets — each side reduces to ≤k hashes per task before the exchange,
+    and the merge is the same k-min that unions KMV sketches on a cluster.
+
+    Membership flags are EXACT under per-side k-min truncation: any hash
+    among the union's k smallest has fewer than k predecessors in either
+    side, so it survives both sides' k-min reductions. When the union has
+    fewer than k distinct values every count is exact (union_est = |A∪B|,
+    inter rows = |A∩B|).
+
+    Returns two rows ``(op, n long, est double, aux double)``:
+    ('union', k_used, union_est, kth_hash) and
+    ('intersection', n_both, inter_est, jaccard).
+    """
+    ha = df_a.select(kmv_hash(F.col(value_col), seed).alias("h"))
+    hb = df_b.select(kmv_hash(F.col(value_col), seed).alias("h"))
+    if arrow_partial:
+        ha = ha.mapInPandas(_kmv_partial(k), "h double")
+        hb = hb.mapInPandas(_kmv_partial(k), "h double")
+    flagged = ha.distinct().select(
+        "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    ).unionByName(
+        hb.distinct().select("h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    )
+    merged = (
+        flagged.groupBy("h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        .orderBy("h")
+        .limit(k)
+    )
+    # one tiny aggregate over ≤k rows; expression order mirrored verbatim
+    # in kmv_overlap_sql so IEEE doubles stay bit-identical across engines
+    stats = merged.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max("h").alias("u"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+    )
+    exact = F.col("k_used") < k
+    union_est = F.when(exact, F.col("k_used").cast("double")).otherwise(
+        (F.lit(float(k)) - 1.0) / F.col("u")
+    )
+    inter_est = F.when(exact, F.col("n_both").cast("double")).otherwise(
+        ((F.lit(float(k)) - 1.0) / F.col("u"))
+        * (F.col("n_both").cast("double") / F.col("k_used").cast("double"))
+    )
+    jacc = F.col("n_both").cast("double") / F.col("k_used").cast("double")
+    return stats.select(
+        F.expr(
+            "stack(2, 'union', k_used, 'intersection', n_both)"
+        ).alias("op", "n"),
+        F.round(union_est, 4).alias("u_est"),
+        F.round(inter_est, 4).alias("i_est"),
+        F.round(F.col("u"), 12).alias("kth"),
+        F.round(jacc, 6).alias("jc"),
+    ).select(
+        "op",
+        "n",
+        F.when(F.col("op") == "union", F.col("u_est")).otherwise(F.col("i_est")).alias("est"),
+        F.when(F.col("op") == "union", F.col("kth")).otherwise(F.col("jc")).alias("aux"),
+    )
+
+
+def kmv_overlap_sql(
+    a_query: str, b_query: str, value_expr: str = "v",
+    k: int = 256, seed: str = "kmv",
+) -> str:
+    """DuckDB mirror of kmv_overlap_estimate: identical hash, k-min merge,
+    flag algebra, and double-operation order. ``a_query``/``b_query`` are
+    subqueries producing a ``{value_expr}`` column."""
+    h = (
+        f"(CAST(('0x' || substr(md5('{seed}:' || CAST({value_expr} AS VARCHAR)), 1, 12)) AS UBIGINT)"
+        f" + 1.0) / {float(16 ** 12)!r}"
+    )
+    return f"""
+WITH ha AS (SELECT DISTINCT {h} AS h FROM ({a_query})),
+hb AS (SELECT DISTINCT {h} AS h FROM ({b_query})),
+merged AS (
+  SELECT h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+    SELECT h, 1 AS in_a, 0 AS in_b FROM ha
+    UNION ALL
+    SELECT h, 0 AS in_a, 1 AS in_b FROM hb)
+  GROUP BY h ORDER BY h LIMIT {k}),
+stats AS (
+  SELECT count(*) AS k_used, max(h) AS u, sum(in_a * in_b) AS n_both
+  FROM merged),
+rows_ AS (
+  SELECT 'union' AS op, CAST(k_used AS BIGINT) AS n,
+         round(CASE WHEN k_used < {k} THEN CAST(k_used AS DOUBLE)
+                    ELSE ({k} - 1.0) / u END, 4) AS est,
+         round(u, 12) AS aux
+  FROM stats
+  UNION ALL
+  SELECT 'intersection', CAST(n_both AS BIGINT),
+         round(CASE WHEN k_used < {k} THEN CAST(n_both AS DOUBLE)
+                    ELSE (({k} - 1.0) / u)
+                         * (CAST(n_both AS DOUBLE) / CAST(k_used AS DOUBLE)) END, 4),
+         round(CAST(n_both AS DOUBLE) / CAST(k_used AS DOUBLE), 6)
+  FROM stats)
+SELECT * FROM rows_
+""".strip()
+
+
+def hash_sample_quantiles(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    group_col: str,
+    m: int = 128,
+    seed: str = "qsk",
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Quantile estimation over a deterministic bottom-m hash sample per
+    group: rank rows by md5(key) within each group, keep the m smallest,
+    take EXACT interpolated quantiles of the survivors. The per-group
+    bottom-m is the KMV shape applied to sampling — a uniform m-subset
+    that is (a) reproducible at any cluster size (content hash, no RNG,
+    no data order), (b) mergeable (the bottom-m of a union is the
+    bottom-m of the per-part bottom-m's — snapshot + delta compose), and
+    (c) exact whenever a group has ≤ m rows. Unlike approx_percentile's
+    GK sketch, the same rows are sampled on every engine, so the DuckDB
+    oracle reproduces the estimate bit-for-bit.
+
+    The rank filter compiles to WindowGroupLimit (per-group top-m pushed
+    before the full sort), the same bounded-window discipline as
+    cap_per_domain. ``key_col`` must be unique per row (md5 ties would
+    make rank order nondeterministic).
+    """
+    h = kmv_hash(F.col(key_col), seed).alias("h")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy("h")
+    sampled = (
+        df.select(group_col, value_col, h)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= m)
+    )
+    aggs = [
+        F.round(F.percentile(value_col, F.lit(q)), 6).alias(f"p{int(round(q * 100))}")
+        for q in quantiles
+    ]
+    return sampled.groupBy(group_col).agg(*aggs)
+
+
+def hash_sample_quantiles_sql(
+    table: str,
+    value_expr: str,
+    key_expr: str,
+    group_expr: str,
+    m: int = 128,
+    seed: str = "qsk",
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> str:
+    """DuckDB mirror: identical hash, per-group row_number bottom-m,
+    quantile_cont (same linear interpolation as Spark's percentile)."""
+    h = (
+        f"(CAST(('0x' || substr(md5('{seed}:' || CAST({key_expr} AS VARCHAR)), 1, 12)) AS UBIGINT)"
+        f" + 1.0) / {float(16 ** 12)!r}"
+    )
+    qs = ",\n       ".join(
+        f"round(quantile_cont({value_expr}, {q}), 6) AS p{int(round(q * 100))}"
+        for q in quantiles
+    )
+    return f"""
+WITH ranked AS (
+  SELECT {group_expr} AS grp, {value_expr},
+         row_number() OVER (PARTITION BY {group_expr} ORDER BY {h}) AS rn
+  FROM {table})
+SELECT grp AS {group_expr}, {qs}
+FROM ranked WHERE rn <= {m} GROUP BY grp
+""".strip()
+
+
 def cms_bucket(value: Column, row: int, width: int, seed: str = "cms") -> Column:
     """Deterministic bucket for counter row ``row``: 48 md5 bits mod width
     (md5 keeps the sketch bit-identical in the DuckDB oracle)."""

@@ -325,6 +325,36 @@ def test_cap_per_domain_single_window_over_cap_only(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
+def test_hash_sample_quantiles_partial_group_limit(spark, sf_dir):
+    """The bottom-m hash sample must reduce BEFORE the exchange: a Partial
+    WindowGroupLimit caps each task at m rows per group, so the shuffle
+    carries ≤ m·groups rows per task no matter the corpus size."""
+    from doc_agent_spark.operators import sketches
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _plan(
+        sketches.hash_sample_quantiles(ev, "value", "event_id", "event_type", m=128)
+    )
+    assert "WindowGroupLimit" in plan
+    assert ", Partial" in plan  # map-side reduction before the exchange
+    assert plan.count("Window [") == 1
+
+
+def test_kmv_overlap_merge_is_k_rows(spark, sf_dir):
+    """The overlap sketch's final sort-merge sees only per-task k-mins:
+    the plan ends in a TakeOrderedAndProject over the flag aggregation,
+    and the sides are Arrow-reduced (PythonMapInArrow/MapInPandas) before
+    any exchange."""
+    from doc_agent_spark.operators import sketches
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = ev.filter(F.col("event_type") == "view").select("user_id")
+    b = ev.filter(F.col("event_type") == "click").select("user_id")
+    plan = _plan(sketches.kmv_overlap_estimate(a, b, "user_id", k=64))
+    assert "TakeOrderedAndProject" in plan
+    assert "MapInPandas" in plan or "PythonMapInArrow" in plan or "ArrowEvalPython" in plan
+
+
 def test_nb_scoring_broadcasts_the_model(spark, sf_dir):
     """Hashed-NB: the log-odds model (n_buckets rows) and both totals rows
     broadcast; the only shuffles key on 8-byte buckets / doc ids."""

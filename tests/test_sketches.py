@@ -195,3 +195,83 @@ def test_hll_register_table_bounded(spark):
     regs = sketches.hll_registers(_texts(spark, range(30000)), "text").collect()
     assert len(regs) <= 256
     assert all(1 <= r.rank <= 53 for r in regs)
+
+
+def _ovl(spark, a_range, b_range, k=256):
+    a = spark.range(*a_range).select(F.col("id").alias("v"))
+    b = spark.range(*b_range).select(F.col("id").alias("v"))
+    rows = {r.op: r for r in
+            sketches.kmv_overlap_estimate(a, b, "v", k=k).collect()}
+    return rows["union"], rows["intersection"]
+
+
+def test_kmv_overlap_exact_below_k(spark):
+    """Union of 60 + 50 with 20 shared < k: every number is exact."""
+    u, i = _ovl(spark, (0, 60), (40, 90))
+    assert (u.n, u.est) == (90, 90.0)
+    assert (i.n, i.est) == (20, 20.0)
+    assert i.aux == pytest.approx(20 / 90, abs=1e-6)
+
+
+def test_kmv_overlap_identical_and_disjoint(spark):
+    """A==B gives Jaccard 1 and inter_est == union_est; disjoint sets
+    give zero intersection — at any k, sketched or exact."""
+    u, i = _ovl(spark, (0, 5000), (0, 5000), k=128)
+    assert i.aux == pytest.approx(1.0)
+    assert i.est == u.est
+    u2, i2 = _ovl(spark, (0, 5000), (5000, 10000), k=128)
+    assert (i2.n, i2.est) == (0, 0.0)
+
+
+def test_kmv_overlap_estimates_within_error_bound(spark):
+    """50% overlap of two 6000-element sets: union 9000, inter 3000,
+    Jaccard 1/3 — the ρ-estimator lands within ~4σ of each."""
+    u, i = _ovl(spark, (0, 6000), (3000, 9000))
+    assert abs(u.est - 9000) / 9000 < 0.25
+    assert abs(i.est - 3000) / 3000 < 0.4
+    assert abs(i.aux - 1 / 3) < 0.12
+
+
+def test_kmv_overlap_partial_truncation_lossless(spark):
+    """The per-side arrow k-min reduction changes nothing: membership of
+    every union-k-min hash survives both sides' truncation."""
+    a = spark.range(4000).select((F.col("id") % 2017).alias("v")).repartition(11)
+    b = spark.range(4000).select(((F.col("id") % 1511) + 1000).alias("v")).repartition(7)
+    fast = sketches.kmv_overlap_estimate(a, b, "v", k=128, arrow_partial=True)
+    slow = sketches.kmv_overlap_estimate(a, b, "v", k=128, arrow_partial=False)
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+
+
+def test_hash_sample_quantiles_exact_when_group_fits(spark):
+    """m >= group size: the sample IS the group, so the estimate equals
+    the exact interpolated quantile."""
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.col("id").cast("double").alias("x"),
+    )
+    est = sketches.hash_sample_quantiles(
+        df, "x", "k", "g", m=1000, quantiles=(0.5, 0.9)
+    )
+    exact = df.groupBy("g").agg(
+        F.round(F.percentile("x", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("x", F.lit(0.9)), 6).alias("p90"),
+    )
+    assert sorted(map(tuple, est.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_hash_sample_quantiles_layout_invariant_and_close(spark):
+    """The bottom-m hash sample ignores partitioning/order (content hash,
+    no RNG) and tracks the true quantiles of a uniform column."""
+    df = spark.range(20000).select(
+        F.col("id").alias("k"),
+        F.lit("g").alias("g"),
+        ((F.col("id") * 48271) % 100003).cast("double").alias("x"),
+    )
+    a = sketches.hash_sample_quantiles(df.repartition(3), "x", "k", "g", m=256)
+    b = sketches.hash_sample_quantiles(
+        df.repartition(17, "x").sortWithinPartitions("x"), "x", "k", "g", m=256)
+    ra, rb = a.collect()[0], b.collect()[0]
+    assert tuple(ra) == tuple(rb)
+    assert abs(ra.p50 - 50000) / 50000 < 0.15
+    assert abs(ra.p90 - 90000) / 90000 < 0.15

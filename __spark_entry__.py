@@ -2161,8 +2161,24 @@ _URL_WEAVE_SQL = """
 """.strip().replace("\n", " ")
 
 
+def scd2_user_value(spark, sf_dir):
+    """SCD2 dimension history built from the view-event stream: per-user
+    validity intervals with change-only compression (temporal.scd2_intervals
+    — one shuffle, per-key windows; valid_to NULL = current version)."""
+    from doc_agent_spark.operators import temporal
+
+    ev = load(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    upd = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return temporal.scd2_intervals(upd, "user_id", "ts", ("value",))
+
+
 def temporal_joins(spark, sf_dir):
-    """ASOF join (union+window formulation) and range join (bin expansion)
+    """ASOF join (union+window formulation), range join (bin expansion),
+    and SCD2 dimension versioning (change-compressed validity intervals)
     union-tagged; nullable columns carry each variant's extras."""
     a = asof_join_events(spark, sf_dir).select(
         F.lit("asof").alias("variant"), "event_id", "user_id", "ts",
@@ -2180,7 +2196,18 @@ def temporal_joins(spark, sf_dir):
         F.lit(None).cast("double").alias("v1"),
         F.lit(None).cast("double").alias("v2"),
     )
-    return a.unionByName(b)
+    c = scd2_user_value(spark, sf_dir).select(
+        F.lit("scd2").alias("variant"),
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        F.col("valid_from").alias("ts"),
+        F.col("version").cast("long").alias("ref_id"),
+        F.col("valid_from").alias("t1"),
+        F.col("valid_to").alias("t2"),
+        F.col("value").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def grouping_sets(spark, sf_dir):
@@ -2674,6 +2701,19 @@ l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
 SELECT l.event_id, l.user_id, l.ts, l.value,
        r.ts AS matched_ts, r.value AS matched_value
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+        "scd2_user_value": """
+WITH upd AS (SELECT user_id, ts, max(value) AS value
+             FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+ch AS (SELECT user_id, ts, value,
+              lag(ts) OVER w AS pts, lag(value) OVER w AS pv
+       FROM upd WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+kept AS (SELECT user_id, ts, value FROM ch
+         WHERE pts IS NULL OR value IS DISTINCT FROM pv)
+SELECT user_id, ts AS valid_from, value,
+       lead(ts) OVER w AS valid_to,
+       CAST(row_number() OVER w AS INTEGER) AS version
+FROM kept WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 """,
         "range_join_events": """
 WITH iv AS (SELECT event_id AS interval_id, ts AS start_ts,
@@ -3650,6 +3690,11 @@ UNION ALL
 SELECT 'range', event_id, user_id, ts, CAST(interval_id AS BIGINT),
        start_ts, end_ts, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
 FROM ({base['range_join_events']})
+UNION ALL
+SELECT 'scd2', CAST(NULL AS BIGINT), user_id, valid_from,
+       CAST(version AS BIGINT), valid_from, valid_to, value,
+       CAST(NULL AS DOUBLE)
+FROM ({base['scd2_user_value']})
 """,
         "ngram_overlap": f"""
 SELECT 'dedup_capped' AS variant, id_a, id_b, jaccard AS score

@@ -70,3 +70,69 @@ def test_range_join_binned_boundaries_and_bin_crossing(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_intervals_change_compression_and_chain(spark):
+    """Updates 1.0, 1.0, 2.0, 2.0, 1.0 collapse to three versions whose
+    intervals chain exactly (each valid_to = next valid_from; last open)."""
+    upd = spark.createDataFrame(
+        [(7, _t(0), 1.0), (7, _t(5), 1.0), (7, _t(10), 2.0),
+         (7, _t(15), 2.0), (7, _t(20), 1.0), (9, _t(3), 5.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    rows = sorted(
+        temporal.scd2_intervals(upd).collect(),
+        key=lambda r: (r.user_id, r.version),
+    )
+    u7 = [r for r in rows if r.user_id == 7]
+    assert [(r.version, r.value) for r in u7] == [(1, 1.0), (2, 2.0), (3, 1.0)]
+    assert [r.valid_from for r in u7] == [_t(0), _t(10), _t(20)]
+    assert [r.valid_to for r in u7] == [_t(10), _t(20), None]
+    u9 = [r for r in rows if r.user_id == 9]
+    assert [(r.version, r.valid_to) for r in u9] == [(1, None)]
+
+
+def test_scd2_no_dedupe_keeps_every_update(spark):
+    upd = spark.createDataFrame(
+        [(7, _t(0), 1.0), (7, _t(5), 1.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    rows = temporal.scd2_intervals(upd, dedupe_unchanged=False).collect()
+    assert len(rows) == 2
+
+
+def test_scd2_null_value_transitions(spark):
+    """NULL→1.0 and 1.0→NULL are changes; NULL→NULL is not (IS DISTINCT
+    FROM semantics, matching the DuckDB oracle)."""
+    upd = spark.createDataFrame(
+        [(7, _t(0), None), (7, _t(5), None), (7, _t(10), 1.0), (7, _t(15), None)],
+        "user_id long, ts timestamp, value double",
+    )
+    rows = sorted(temporal.scd2_intervals(upd).collect(), key=lambda r: r.version)
+    assert [(r.version, r.value) for r in rows] == [(1, None), (2, 1.0), (3, None)]
+
+
+def test_scd2_snapshot_governing_version(spark):
+    upd = spark.createDataFrame(
+        [(7, _t(0), 1.0), (7, _t(10), 2.0), (9, _t(20), 9.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    hist = temporal.scd2_intervals(upd)
+    snap = {
+        r.user_id: r.value
+        for r in temporal.scd2_snapshot(hist, F.lit(_t(12)).cast("timestamp")).collect()
+    }
+    assert snap == {7: 2.0}  # user 9's first version starts later
+
+
+def test_scd2_single_exchange(spark):
+    """All three window passes share one hash exchange on the key."""
+    upd = spark.createDataFrame(
+        [(7, _t(0), 1.0), (7, _t(10), 2.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    plan = (
+        temporal.scd2_intervals(upd)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1

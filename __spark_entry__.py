@@ -1106,6 +1106,36 @@ def lang_id_counts(spark, sf_dir):
     )
 
 
+# woven dirty-text variants for the normalize arm — identical Python
+# strings feed the Spark literals and the DuckDB SQL, so both engines
+# normalize the same bytes (decomposed accent, NBSP, zero-width space,
+# tab runs / controls / CRLF / trailing blanks / ASCII fast path).
+_DIRTY_PREFIX_0 = "Cafe\u0301\u00a0menu\u200b  \t"  # decomposed e+acute, NBSP, ZWSP
+_DIRTY_PREFIX_1 = "A\x0b\x1fB\r\nC "
+
+
+def normalize_digest(spark, sf_dir):
+    """Unicode normalization (textfns.normalize_text): NFC via the
+    ASCII-guarded Arrow UDF, then the codegen'd cleanup chain. Per-doc
+    md5 of the normalized text + the character-count delta — every byte
+    of every normalized doc is value-checked against DuckDB's
+    nfc_normalize + the identical regexp_replace chain."""
+    docs = load(spark, sf_dir, "documents")
+    variants = F.array(
+        F.concat(F.lit(_DIRTY_PREFIX_0), F.col("text"), F.lit("  ")),
+        F.concat(F.lit(_DIRTY_PREFIX_1), F.col("text")),
+        F.col("text"),
+    )
+    dirty = F.element_at(variants, (F.col("doc_id") % 3 + 1).cast("int"))
+    out = docs.select("doc_id", dirty.alias("dirty"))
+    norm = textfns.normalize_text(F.col("dirty"))
+    return out.select(
+        "doc_id",
+        F.md5(norm).alias("digest"),
+        (F.length("dirty") - F.length(norm)).cast("long").alias("delta"),
+    )
+
+
 def quality_tokens(spark, sf_dir):
     """Per-document quality/repetition profile (training-data filter row):
     token counts, blended quality score, fingerprint, plus the Gopher-style
@@ -2056,8 +2086,10 @@ def deterministic_samples(spark, sf_dir):
 
 
 def text_profile(spark, sf_dir):
-    """Language-ID counts, the token-length histogram, and the top-20
-    frequent-trigram table in one (variant, key, n_docs) frame."""
+    """Language-ID counts, the token-length histogram, the top-20
+    frequent-trigram table, and the per-doc unicode-normalization digest
+    (normalize arm — key carries doc_id:md5(normalized), n_docs the
+    char-count delta) in one (variant, key, n_docs) frame."""
     a = lang_id_counts(spark, sf_dir).select(
         F.lit("lang").alias("variant"), F.col("pred_lang").alias("key"), "n_docs"
     )
@@ -2069,7 +2101,12 @@ def text_profile(spark, sf_dir):
         F.lit("top_trigram").alias("variant"),
         F.col("gram").alias("key"), "n_docs",
     )
-    return a.unionByName(b).unionByName(c)
+    d = normalize_digest(spark, sf_dir).select(
+        F.lit("normalize").alias("variant"),
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("digest")).alias("key"),
+        F.col("delta").alias("n_docs"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def file_meta(spark, sf_dir):
@@ -3048,6 +3085,18 @@ p AS (
   FROM c)
 SELECT pred_lang, count(*) AS n_docs FROM p GROUP BY pred_lang
 """,
+        "normalize_digest": f"""
+WITH w AS (
+  SELECT doc_id,
+         (['{_DIRTY_PREFIX_0}' || text || '  ',
+           '{_DIRTY_PREFIX_1}' || text,
+           text])[CAST(doc_id % 3 + 1 AS INTEGER)] AS dirty
+  FROM documents)
+SELECT doc_id,
+       md5({textfns.clean_unicode_sql('dirty')}) AS digest,
+       CAST(length(dirty) - length({textfns.clean_unicode_sql('dirty')}) AS BIGINT) AS delta
+FROM w
+""",
         "quality_tokens": f"""
 WITH pg AS (
   SELECT doc_id, text, {_PAGE_WEAVE_SQL} AS page
@@ -3571,6 +3620,9 @@ UNION ALL
 SELECT 'token_bucket', CAST(bucket AS VARCHAR), n_docs FROM ({base['token_histogram']})
 UNION ALL
 SELECT 'top_trigram', gram, n_docs FROM ({base['top_trigrams']})
+UNION ALL
+SELECT 'normalize', CAST(doc_id AS VARCHAR) || ':' || digest, delta
+FROM ({base['normalize_digest']})
 """,
         "deterministic_samples": f"""
 SELECT 'stratified' AS variant, doc_id, lang, CAST(n_chars AS DOUBLE) AS metric

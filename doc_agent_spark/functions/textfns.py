@@ -243,3 +243,74 @@ def blocklist_hits_sql(text_expr: str, words: tuple[str, ...] = C4_BLOCKLIST) ->
         f"len(list_filter(list_filter(string_split_regex(lower({text_expr}), "
         f"'[^a-z0-9]+'), w -> w <> ''), w -> w IN ({in_list})))"
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization (the encoding-cleanup stage every web corpus needs
+# before tokenization/dedup: decomposed accents, exotic spaces, zero-width
+# characters, stray controls and \r\n all make byte-level hashes diverge for
+# visually identical text).
+
+# Literal character classes shared verbatim by the Java (Spark) and RE2
+# (DuckDB) regex engines — built from codepoints so both engines receive the
+# identical UTF-8 pattern bytes.
+UNICODE_SPACE_CLASS = "[" + "".join(
+    chr(c) for c in [0x00A0, 0x1680, *range(0x2000, 0x200B), 0x202F, 0x205F, 0x3000]
+) + "]"
+ZERO_WIDTH_CLASS = "[" + "".join(chr(c) for c in [0x200B, 0x200C, 0x200D, 0xFEFF]) + "]"
+CONTROL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"  # keeps \t \n; \r folds first
+
+
+def nfc_normalize_udf():
+    """Arrow-batched NFC normalizer with an ASCII fast path: composition
+    can only change non-ASCII text, so the overwhelmingly-ASCII web corpus
+    skips Python's unicodedata entirely per element. This is the ONE
+    Python stage in the cleanup (the JVM has no NFC expression); everything
+    downstream is codegen'd regexp_replace. DuckDB's nfc_normalize is
+    verified bit-identical on the gate arm."""
+    import pandas as pd  # noqa: F401
+
+    @F.pandas_udf("string")
+    def nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda t: t if t is None or t.isascii() else unicodedata.normalize("NFC", t)
+        )
+
+    return nfc
+
+
+def clean_unicode(c: Column) -> Column:
+    """Post-NFC cleanup, pure JVM expressions: \\r\\n→\\n, strip controls,
+    fold unicode spaces to ASCII space, drop zero-width characters,
+    collapse space/tab runs, trim around newlines and ends. Operation
+    order is part of the contract — clean_unicode_sql mirrors it exactly."""
+    c = F.regexp_replace(c, r"\r\n?", "\n")
+    c = F.regexp_replace(c, CONTROL_CLASS, "")
+    c = F.regexp_replace(c, UNICODE_SPACE_CLASS, " ")
+    c = F.regexp_replace(c, ZERO_WIDTH_CLASS, "")
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    return F.trim(c)
+
+
+def normalize_text(c: Column) -> Column:
+    """NFC (Arrow, ASCII-guarded) then clean_unicode (JVM)."""
+    return clean_unicode(nfc_normalize_udf()(c))
+
+
+def clean_unicode_sql(expr: str) -> str:
+    """DuckDB mirror of normalize_text: nfc_normalize + the identical
+    regexp_replace chain (RE2 and Java both read these literal classes)."""
+    c = f"nfc_normalize({expr})"
+    for pat, rep in [
+        (r"\r\n?", "chr(10)"),
+        (CONTROL_CLASS, "''"),
+        (UNICODE_SPACE_CLASS, "' '"),
+        (ZERO_WIDTH_CLASS, "''"),
+        (r"[ \t]+", "' '"),
+        (r" ?\n ?", "chr(10)"),
+    ]:
+        c = f"regexp_replace({c}, '{pat}', {rep}, 'g')"
+    return f"trim({c})"

@@ -229,6 +229,26 @@ def _nb_cte_sql() -> str:
     return hashed_nb_sql("documents", "doc_id", _WORDS_SQL, label)
 
 
+def _bm25_topk_sql() -> str:
+    """The BM25 top-10 (id, score) block, shared by the bm25_topk oracle
+    arm and the snippet arm's hydration source."""
+    return f"""
+WITH toks AS (SELECT doc_id AS id, {_WORDS_SQL} AS w FROM documents),
+stats AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM toks),
+t2 AS (SELECT id, CAST(len(w) AS INTEGER) AS dl, unnest(w) AS term FROM toks),
+tf AS (SELECT id, dl, term, count(*) AS tf FROM t2
+       WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2, 3),
+dft AS (SELECT term, count(DISTINCT id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.id,
+         ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+         * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl)) AS ts
+  FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN stats)
+SELECT id, round(sum(ts), 6) AS score FROM scored GROUP BY id
+ORDER BY score DESC, id ASC LIMIT 10
+""".strip()
+
+
 def _kmv_users_sql() -> str:
     from doc_agent_spark.operators.sketches import (
         cms_sql, hll_sql, kmv_overlap_sql, kmv_sql,
@@ -2321,9 +2341,22 @@ def graph_ann_topk(spark, sf_dir):
     return a.unionByName(b)
 
 
+def snippet_search(spark, sf_dir):
+    """Query-aware best-window snippets (search.best_window_snippet) for
+    the BM25 top-10: every 12-token span scored by distinct query-term
+    coverage, earliest max wins — the interpreted span scan runs on 10
+    hydrated rows only (the corpus never pays it)."""
+    docs = load(spark, sf_dir, "documents")
+    qt = ["spark", "join", "window"]
+    topk = search.bm25_scores(docs, qt).orderBy(F.desc("score"), F.asc("id")).limit(10)
+    return search.best_window_snippet(topk, docs, qt)
+
+
 def rerank_hydrate(spark, sf_dir):
-    """J1 result hydration and the deterministic rerank stage union-tagged;
-    score columns absent from a variant are typed NULLs."""
+    """J1 result hydration, the deterministic rerank stage, and the
+    query-aware best-window snippet union-tagged; score columns absent
+    from a variant are typed NULLs (the snippet arm carries its distinct-
+    term hit count in final_score)."""
     a = search_hydrate(spark, sf_dir).select(
         F.lit("hydrate").alias("variant"), "id", "score",
         F.lit(None).cast("double").alias("rerank_score"),
@@ -2335,7 +2368,13 @@ def rerank_hydrate(spark, sf_dir):
         "rerank_score", "final_score",
         F.lit(None).cast("string").alias("snippet"),
     )
-    return a.unionByName(b)
+    c = snippet_search(spark, sf_dir).select(
+        F.lit("snippet").alias("variant"), "id", "score",
+        F.lit(None).cast("double").alias("rerank_score"),
+        F.col("n_hits").cast("double").alias("final_score"),
+        "snippet",
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3034,20 +3073,7 @@ FROM b, qb WHERE b.bucket = qb.qbucket
 ORDER BY score DESC, id ASC LIMIT 10
 """,
         "bm25_topk": f"""
-SELECT 'bm25' AS variant, id, score FROM (
-WITH toks AS (SELECT doc_id AS id, {_WORDS_SQL} AS w FROM documents),
-stats AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM toks),
-t2 AS (SELECT id, CAST(len(w) AS INTEGER) AS dl, unnest(w) AS term FROM toks),
-tf AS (SELECT id, dl, term, count(*) AS tf FROM t2
-       WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2, 3),
-dft AS (SELECT term, count(DISTINCT id) AS df FROM tf GROUP BY term),
-scored AS (
-  SELECT tf.id,
-         ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
-         * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl)) AS ts
-  FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN stats)
-SELECT id, round(sum(ts), 6) AS score FROM scored GROUP BY id
-ORDER BY score DESC, id ASC LIMIT 10)
+SELECT 'bm25' AS variant, id, score FROM ({_bm25_topk_sql()})
 UNION ALL
 SELECT 'rm3', id, score FROM (
   SELECT id, score FROM ({search.rm3_sql(_WORDS_SQL, "documents", "doc_id",
@@ -3590,6 +3616,10 @@ FROM ({base['search_hydrate']})
 UNION ALL
 SELECT 'rerank', id, score, rerank_score, final_score, CAST(NULL AS VARCHAR)
 FROM ({base['rerank_search']})
+UNION ALL
+SELECT 'snippet', id, score, CAST(NULL AS DOUBLE),
+       CAST(n_hits AS DOUBLE), snippet
+FROM ({search.best_window_snippet_sql(_bm25_topk_sql(), ["spark", "join", "window"])})
 """,
         "semi_anti_join": f"""
 SELECT 'anti' AS variant, CAST(c_custkey AS BIGINT) AS key, c_name AS name,

@@ -507,3 +507,75 @@ FROM qld CROSS JOIN qlcf
 LEFT JOIN qltf ON qld.id = qltf.id AND qlcf.term = qltf.term
 GROUP BY qld.id
 """.strip()
+
+
+def best_window_snippet(
+    results: DataFrame,
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 12,
+) -> DataFrame:
+    """Query-aware snippet for a ranked result set: score every
+    ``window``-token span of each hit by DISTINCT query-term coverage,
+    return the earliest best span (space-joined) plus its hit count —
+    the search-results UX surface the reference's roadmap sketches for
+    result presentation.
+
+    Scale posture: the k-row result set broadcasts into the documents
+    scan (map-side hydrate, corpus never shuffles), and the interpreted
+    higher-order span scoring — transform/slice/array_intersect are NOT
+    codegen'd — runs on exactly k hydrated rows, so its O(tokens·window)
+    cost is per-result, never per-corpus-row. Ties break earliest
+    (array_position returns the first maximal span) in both engines.
+
+    Returns (id, score, snippet string, n_hits int).
+    """
+    terms = F.array(*[F.lit(t.lower()) for t in query_terms])
+    d = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    hyd = d.join(F.broadcast(results.select("id", "score")), "id")
+    scored = hyd.select(
+        "id", "score", words_of(F.col("_t")).alias("_w")
+    ).withColumn(
+        "_sc",
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("_w") - F.lit(window - 1), F.lit(1))),
+            lambda i: F.size(F.array_intersect(F.slice("_w", i, window), terms)),
+        ),
+    ).withColumn("_best", F.array_max("_sc")).withColumn(
+        "_pos", F.expr("array_position(_sc, _best)").cast("int")
+    )
+    return scored.select(
+        "id",
+        "score",
+        F.concat_ws(" ", F.slice("_w", F.col("_pos"), window)).alias("snippet"),
+        F.col("_best").alias("n_hits"),
+    )
+
+
+def best_window_snippet_sql(
+    topk_sql: str,
+    query_terms: list[str],
+    window: int = 12,
+    words_sql: str = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')",
+) -> str:
+    """DuckDB mirror of best_window_snippet over ``documents`` hydrated
+    from ``topk_sql`` (an (id, score) subquery): identical tokenizer,
+    span scoring (list_intersect dedupes exactly like array_intersect),
+    and earliest-max tie-break (list_position)."""
+    terms = "[" + ", ".join(f"'{t.lower()}'" for t in query_terms) + "]"
+    return f"""
+WITH topk AS ({topk_sql}),
+h AS (SELECT d.doc_id AS id, t.score, {words_sql} AS w
+      FROM documents d JOIN topk t ON d.doc_id = t.id),
+s AS (SELECT id, score, w,
+             list_transform(range(1, greatest(len(w) - {window - 1}, 1) + 1),
+               i -> len(list_intersect(list_slice(w, i, i + {window - 1}), {terms}))) AS sc
+      FROM h)
+SELECT id, score,
+       array_to_string(list_slice(w, list_position(sc, list_max(sc)),
+                                  list_position(sc, list_max(sc)) + {window - 1}), ' ') AS snippet,
+       CAST(list_max(sc) AS INTEGER) AS n_hits
+FROM s
+""".strip()

@@ -407,3 +407,42 @@ def test_ql_dirichlet_scores_every_doc(spark, texts):
     assert out[4] == max(out.values())          # the only 'spark' doc wins
     # all scores are negative log-likelihood sums
     assert all(v < 0 for v in out.values())
+
+
+def test_best_window_snippet_picks_densest_span(spark):
+    """The span with the most DISTINCT query terms wins; multiplicity of
+    one term doesn't beat coverage of two."""
+    docs = spark.createDataFrame(
+        [(1, "filler " * 20 + "spark spark spark alone here "
+             + "filler " * 20 + "spark join together now end")],
+        "doc_id long, text string",
+    )
+    res = spark.createDataFrame([(1, 1.0)], "id long, score double")
+    out = search.best_window_snippet(res, docs, ["spark", "join"], window=5).collect()[0]
+    assert out.n_hits == 2
+    assert "spark join" in out.snippet
+
+
+def test_best_window_snippet_earliest_tie_and_short_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, "a spark b c d e f g spark h"), (2, "tiny doc")],
+        "doc_id long, text string",
+    )
+    res = spark.createDataFrame([(1, 1.0), (2, 0.5)], "id long, score double")
+    rows = {r.id: r for r in
+            search.best_window_snippet(res, docs, ["spark"], window=3).collect()}
+    # both spark spans score 1; earliest window wins
+    assert rows[1].snippet.startswith("a spark") or rows[1].snippet.startswith("spark")
+    assert rows[1].snippet == "a spark b"
+    # doc shorter than the window: whole doc is the snippet, zero hits
+    assert rows[2].snippet == "tiny doc" and rows[2].n_hits == 0
+
+
+def test_best_window_snippet_broadcasts_results(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    res = spark.createDataFrame([(1, 1.0)], "id long, score double")
+    plan = (
+        search.best_window_snippet(res, docs, ["x"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan

@@ -33,6 +33,7 @@ from doc_agent_spark.operators import (  # noqa: E402
     dedup,
     extractor,
     layout,
+    maintenance,
     multimodal,
     packing,
     sampling,
@@ -2146,7 +2147,14 @@ def file_meta(spark, sf_dir):
     optimizer's key (operators/maintenance.py zorder_key): the Morton
     Z-value of (doc_id, n_chars) via magic-number bit spreading — metric =
     the 32-bit Z-value every row would range-partition on in the OPTIMIZE
-    ZORDER rewrite."""
+    ZORDER rewrite. The expire arm is the snapshot-retention planner
+    (plan_snapshot_expiry — Iceberg expire_snapshots semantics: older
+    than cutoff AND beyond retain_last, metadata-sized window job over a
+    snapshot log woven from every-97th event; key = recency rank, metric
+    = expire flag) and the orphan arm is the orphan-file scan
+    (orphan_files — storage listing anti-joined against broadcast live
+    refs; listing woven from every-13th event, refs every-26th, so
+    orphans are the odd 13-multiples)."""
     a = mime_dispatch(spark, sf_dir).select(
         F.lit("mime").alias("variant"),
         F.lit(None).cast("long").alias("doc_id"),
@@ -2205,7 +2213,36 @@ def file_meta(spark, sf_dir):
         F.lit(None).cast("string").alias("digest"),
         maintenance.zorder_key(F.col("doc_id"), F.col("n_chars")).alias("metric"),
     )
-    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+    ev = load(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    snaps = ev.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("snapshot_id"), F.col("ts").alias("committed_at")
+    )
+    fplan = maintenance.plan_snapshot_expiry(
+        snaps, F.lit("2024-01-20 00:00:00").cast("timestamp"), retain_last=3
+    ).select(
+        F.lit("expire").alias("variant"),
+        F.col("snapshot_id").cast("long").alias("doc_id"),
+        F.col("recency").cast("string").alias("key"),
+        F.lit(None).cast("string").alias("digest"),
+        F.col("expire").cast("long").alias("metric"),
+    )
+    listing = ev.filter(F.col("event_id") % 13 == 0).select(
+        F.col("event_id").alias("file_id")
+    )
+    refs = ev.filter(F.col("event_id") % 26 == 0).select(
+        F.col("event_id").alias("file_id")
+    )
+    g = maintenance.orphan_files(listing, refs).select(
+        F.lit("orphan").alias("variant"),
+        F.col("file_id").cast("long").alias("doc_id"),
+        F.lit(None).cast("string").alias("key"),
+        F.lit(None).cast("string").alias("digest"),
+        F.lit(1).cast("long").alias("metric"),
+    )
+    return (
+        a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+        .unionByName(fplan).unionByName(g)
+    )
 
 
 _URL_WEAVE_SQL = """
@@ -3694,6 +3731,16 @@ UNION ALL
 SELECT 'zorder', CAST(doc_id AS BIGINT), CAST(NULL AS VARCHAR),
        CAST(NULL AS VARCHAR), CAST({_zorder_metric_sql()} AS BIGINT)
 FROM documents
+UNION ALL
+SELECT 'expire', CAST(snapshot_id AS BIGINT), CAST(recency AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(expire AS BIGINT)
+FROM ({maintenance.plan_snapshot_expiry_sql(
+    "(SELECT event_id AS snapshot_id, ts AS committed_at FROM events WHERE event_id % 97 = 0)",
+    "TIMESTAMP '2024-01-20 00:00:00'", retain_last=3)})
+UNION ALL
+SELECT 'orphan', CAST(event_id AS BIGINT), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(1 AS BIGINT)
+FROM events WHERE event_id % 13 = 0 AND event_id % 26 <> 0
 """,
         "simhash_dedup": f"""
 SELECT 'cluster' AS variant, CAST(simhash AS BIGINT) AS key_a,

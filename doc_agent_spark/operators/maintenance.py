@@ -192,3 +192,68 @@ def cluster_by_zorder(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
+
+
+def plan_snapshot_expiry(
+    snapshots: DataFrame,
+    cutoff_ts,
+    retain_last: int = 3,
+    id_col: str = "snapshot_id",
+    ts_col: str = "committed_at",
+) -> DataFrame:
+    """Snapshot-retention plan (Iceberg ``expire_snapshots`` semantics):
+    a snapshot expires iff it is older than ``cutoff_ts`` AND not among
+    the ``retain_last`` most recent — both conditions, so history never
+    shrinks below retain_last and recent snapshots survive regardless of
+    count. Returns every snapshot with its recency rank and an
+    ``expire`` flag (the keep set is as load-bearing as the expire set:
+    it is what the orphan scan must treat as live).
+
+    The snapshot log is metadata-sized (one row per commit), so the
+    single unpartitioned window is bounded by commit count, not data —
+    the same metadata-not-data discipline as plan_compaction. Ties on
+    committed_at break by snapshot_id DESC (newer id = more recent), so
+    the plan is total-ordered and idempotent across runs."""
+    w = Window.orderBy(F.desc(ts_col), F.desc(id_col))
+    return snapshots.select(
+        F.col(id_col).alias("snapshot_id"),
+        F.col(ts_col).alias("committed_at"),
+    ).withColumn("recency", F.row_number().over(w)).withColumn(
+        "expire",
+        (F.col("committed_at") < cutoff_ts) & (F.col("recency") > retain_last),
+    )
+
+
+def plan_snapshot_expiry_sql(
+    table: str,
+    cutoff_expr: str,
+    retain_last: int = 3,
+    id_expr: str = "snapshot_id",
+    ts_expr: str = "committed_at",
+) -> str:
+    """DuckDB mirror of :func:`plan_snapshot_expiry`."""
+    return f"""
+SELECT snapshot_id, committed_at, recency,
+       committed_at < {cutoff_expr} AND recency > {retain_last} AS expire
+FROM (
+  SELECT {id_expr} AS snapshot_id, {ts_expr} AS committed_at,
+         CAST(row_number() OVER (ORDER BY {ts_expr} DESC, {id_expr} DESC)
+              AS INTEGER) AS recency
+  FROM {table})
+""".strip()
+
+
+def orphan_files(
+    manifest: DataFrame,
+    live_refs: DataFrame,
+    file_col: str = "file_id",
+) -> DataFrame:
+    """Orphan-file scan: files present in the storage listing but
+    referenced by NO live snapshot — the delete list after an expiry.
+    live_refs (the union of kept snapshots' file references) is
+    metadata-sized, so the anti-join broadcasts it; the listing side
+    streams through map-side. Returns the orphan rows of ``manifest``."""
+    refs = live_refs.select(F.col(file_col).alias("_ref")).distinct()
+    return manifest.join(
+        F.broadcast(refs), manifest[file_col] == F.col("_ref"), "left_anti"
+    )

@@ -166,3 +166,46 @@ def test_zorder_rewrite_is_a_range_exchange(spark):
     )
     assert plan.count("Exchange") == 1
     assert "rangepartitioning" in plan.lower()
+
+
+def test_snapshot_expiry_both_conditions_required(spark):
+    """Old-but-recent and young-but-deep snapshots both survive; only
+    old AND deep expire."""
+    import datetime as dt
+
+    rows = [(i, dt.datetime(2024, 1, i + 1)) for i in range(10)]  # ids 0..9, days 1..10
+    snaps = spark.createDataFrame(rows, "snapshot_id long, committed_at timestamp")
+    out = {
+        r.snapshot_id: (r.recency, r.expire)
+        for r in maintenance.plan_snapshot_expiry(
+            snaps, F.lit("2024-01-06 00:00:00").cast("timestamp"), retain_last=3
+        ).collect()
+    }
+    # newest 3 (ids 9,8,7) keep regardless; ids 5,6 are old?? id i committed day i+1
+    # cutoff Jan 6: ids 0..4 (days 1..5) are older than cutoff
+    assert all(not out[i][1] for i in (9, 8, 7))          # retain_last
+    assert all(not out[i][1] for i in (5, 6))             # young enough
+    assert all(out[i][1] for i in (0, 1, 2, 3, 4))        # old AND deep
+    assert [out[i][0] for i in (9, 8, 7)] == [1, 2, 3]
+
+
+def test_snapshot_expiry_retain_last_floor(spark):
+    """Even when every snapshot is ancient, retain_last survive."""
+    import datetime as dt
+
+    rows = [(i, dt.datetime(2020, 1, i + 1)) for i in range(5)]
+    snaps = spark.createDataFrame(rows, "snapshot_id long, committed_at timestamp")
+    out = maintenance.plan_snapshot_expiry(
+        snaps, F.lit("2024-01-01 00:00:00").cast("timestamp"), retain_last=3
+    )
+    assert out.filter(~F.col("expire")).count() == 3
+    assert out.filter(F.col("expire")).count() == 2
+
+
+def test_orphan_files_anti_join_broadcasts(spark):
+    listing = spark.range(20).select(F.col("id").alias("file_id"))
+    refs = spark.range(0, 20, 2).select(F.col("id").alias("file_id"))
+    orphans = maintenance.orphan_files(listing, refs)
+    assert sorted(r.file_id for r in orphans.collect()) == list(range(1, 20, 2))
+    plan = orphans._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

@@ -1810,7 +1810,56 @@ def boilerplate_strip(spark, sf_dir):
         c4rules.n_sentences(clean).alias("metric"),
         c4rules.c4_page_pass(page, clean).alias("page_pass"),
     )
-    return a.unionByName(b)
+
+    # justext arm (boilerplate.justext_blocks; Pomikálek 2011): the body
+    # block is a stopword-rich stem + the doc text, so its context-free
+    # label (good vs neargood) varies with each doc's own stopword density
+    # and word count — the context pass then promotes/demotes the fixed
+    # neargood summary block accordingly. metric = final good blocks.
+    jt_page = F.concat(
+        F.lit("<a href=/>Home</a> <a href=/about>About</a>\n\n"),
+        F.lit("it is the case that the text of this document is as follows and it says "),
+        F.col("text"),
+        F.lit(
+            "\n\nthe committee reviewed quarterly metrics and approved the "
+            "revised budget for continued operations across all regional "
+            "divisions pending final signatures from senior leadership"
+        ),
+        F.lit("\n\nThanks for reading today."),
+        F.lit("\n\n<footer>(c) 2024 <a href=/terms>Terms</a> all rights reserved</footer>"),
+    )
+    jc = boilerplate.justext_content(jt_page)
+    c = docs.select(
+        F.lit("justext").alias("variant"),
+        "doc_id",
+        jc.content.alias("content"),
+        jc.n_good.cast("int").alias("metric"),
+        (jc.n_good > 0).alias("page_pass"),
+    )
+
+    # island arm (boilerplate.main_island; Readability main-cluster
+    # selection): the doc's words are split into three paragraphs around a
+    # link-only divider — the heavier island (p1+p2 = 35 words vs p3 = the
+    # rest) wins, so the winner flips per doc with its word count. metric =
+    # winning island's block count; page_pass = more than one island.
+    w = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    isl_page = F.concat_ws(
+        "\n\n",
+        F.array_join(F.slice(w, 1, 20), " "),
+        F.array_join(F.slice(w, 21, 15), " "),
+        F.lit("<a href=/x>More links here</a>"),
+        F.array_join(F.slice(w, 36, 1000000), " "),
+    )
+    d = boilerplate.main_island(
+        docs.select("doc_id", isl_page.alias("text"))
+    ).select(
+        F.lit("island").alias("variant"),
+        "doc_id",
+        "content",
+        F.col("n_blocks").cast("int").alias("metric"),
+        (F.col("n_islands") > 1).alias("page_pass"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def layout_runs(spark, sf_dir):
@@ -2563,6 +2612,34 @@ _BP_IS_CONTENT = (
     f"AND (CASE WHEN ({_BP_WORDS}) > 0 THEN CAST({_BP_LINKED} AS DOUBLE) / ({_BP_WORDS}) ELSE 1.0 END) <= 0.5)"
 )
 
+# jusText mirror (operators/boilerplate.py justext_blocks — thresholds and
+# stoplist imported from the module so both engines share one definition)
+_JT_STOPLIST = "[" + ", ".join(f"'{s}'" for s in boilerplate.JT_STOPWORDS) + "]"
+_JT_STOPS = (
+    "len(list_filter(list_filter(string_split_regex(regexp_replace(b, '<[^>]*>', ' ', 'g'), "
+    f"'\\s+'), w -> w <> ''), w -> list_contains({_JT_STOPLIST}, lower(w))))"
+)
+_JT_LINKD = (
+    f"(CASE WHEN ({_BP_WORDS}) > 0 THEN CAST({_BP_LINKED} AS DOUBLE) / ({_BP_WORDS}) ELSE 1.0 END)"
+)
+_JT_STOPD = (
+    f"(CASE WHEN ({_BP_WORDS}) > 0 THEN CAST({_JT_STOPS} AS DOUBLE) / ({_BP_WORDS}) ELSE 0.0 END)"
+)
+_JT_CF = (
+    f"(CASE WHEN {_JT_LINKD} > {boilerplate.JT_MAX_LINK_DENSITY} THEN 'bad' "
+    f"WHEN ({_BP_WORDS}) < {boilerplate.JT_LENGTH_LOW} THEN "
+    f"(CASE WHEN ({_BP_LINKED}) > 0 THEN 'bad' ELSE 'short' END) "
+    f"WHEN {_JT_STOPD} >= {boilerplate.JT_STOPWORDS_HIGH} THEN "
+    f"(CASE WHEN ({_BP_WORDS}) > {boilerplate.JT_LENGTH_HIGH} THEN 'good' ELSE 'neargood' END) "
+    f"WHEN {_JT_STOPD} >= {boilerplate.JT_STOPWORDS_LOW} THEN 'neargood' "
+    f"ELSE 'bad' END)"
+)
+_JT_PREV = "coalesce(list_filter(cfs[1:i-1], l -> l IN ('good','bad'))[-1], 'bad')"
+_JT_NEXT = "coalesce(list_filter(cfs[i+1:], l -> l IN ('good','bad'))[1], 'bad')"
+_BP_CLEAN = (
+    "trim(regexp_replace(regexp_replace({0}, '<[^>]*>', ' ', 'g'), '[ \\t]+', ' ', 'g'))"
+)
+
 _BOILERPLATE_SQL = f"""
 WITH h AS (
   SELECT doc_id,
@@ -2604,6 +2681,77 @@ FROM (
       || CASE WHEN doc_id % 17 = 0
            THEN chr(10) || 'var config = {{ debug: false }};' ELSE '' END AS page
     FROM documents))
+UNION ALL
+SELECT 'justext', doc_id,
+  coalesce(array_to_string(list_transform(list_filter(lab, x -> x.label = 'good'),
+    x -> {_BP_CLEAN.format('x.block')}), chr(10) || chr(10)), '') AS content,
+  CAST(len(list_filter(lab, x -> x.label = 'good')) AS INTEGER) AS metric,
+  len(list_filter(lab, x -> x.label = 'good')) > 0 AS page_pass
+FROM (
+  SELECT doc_id,
+    list_transform(sc, (s, i) -> {{'block': s.block, 'label':
+      CASE WHEN s.cf IN ('good','bad') THEN s.cf
+           WHEN s.cf = 'neargood' THEN
+             (CASE WHEN {_JT_PREV} = 'good' OR {_JT_NEXT} = 'good'
+                   THEN 'good' ELSE 'bad' END)
+           ELSE
+             (CASE WHEN {_JT_PREV} = 'good' AND {_JT_NEXT} = 'good'
+                   THEN 'good' ELSE 'bad' END)
+      END}}) AS lab
+  FROM (
+    SELECT doc_id,
+      list_transform(blocks, b -> {{'block': b, 'cf': {_JT_CF}}}) AS sc,
+      list_transform(blocks, b -> {_JT_CF}) AS cfs
+    FROM (
+      SELECT doc_id,
+        list_filter(string_split_regex(page, '\\n\\s*\\n'), x -> trim(x) <> '') AS blocks
+      FROM (
+        SELECT doc_id,
+          '<a href=/>Home</a> <a href=/about>About</a>' || chr(10) || chr(10)
+          || 'it is the case that the text of this document is as follows and it says '
+          || text || chr(10) || chr(10)
+          || 'the committee reviewed quarterly metrics and approved the revised budget for continued operations across all regional divisions pending final signatures from senior leadership'
+          || chr(10) || chr(10) || 'Thanks for reading today.'
+          || chr(10) || chr(10)
+          || '<footer>(c) 2024 <a href=/terms>Terms</a> all rights reserved</footer>' AS page
+        FROM documents))))
+UNION ALL
+SELECT 'island', doc_id, content, CAST(nb AS INTEGER) AS metric,
+       ni > 1 AS page_pass
+FROM (
+  SELECT doc_id, content, nb,
+         count(*) OVER (PARTITION BY doc_id) AS ni,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, start ASC) AS rnk
+  FROM (
+    SELECT doc_id, grp, sum(words) AS score, min(idx) AS start,
+           count(*) AS nb,
+           string_agg({_BP_CLEAN.format('b')}, chr(10) || chr(10) ORDER BY idx) AS content
+    FROM (
+      SELECT doc_id, idx, b, words,
+             idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS grp
+      FROM (
+        SELECT doc_id, idx, b, {_BP_WORDS} AS words,
+               {_BP_IS_CONTENT} AS isc
+        FROM (
+          SELECT doc_id, blk_s.idx AS idx, blk_s.block AS b FROM (
+          SELECT doc_id,
+            unnest(list_transform(
+              list_filter(string_split_regex(page, '\\n\\s*\\n'), x -> trim(x) <> ''),
+              (x, i) -> {{'idx': CAST(i - 1 AS INTEGER), 'block': x}})) AS blk_s
+          FROM (
+            SELECT doc_id,
+              coalesce(array_to_string(w[1:20], ' '), '') || chr(10) || chr(10)
+              || coalesce(array_to_string(w[21:35], ' '), '') || chr(10) || chr(10)
+              || '<a href=/x>More links here</a>' || chr(10) || chr(10)
+              || coalesce(array_to_string(w[36:], ' '), '') AS page
+            FROM (
+              SELECT doc_id,
+                list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+              FROM documents)))))
+      WHERE isc)
+    GROUP BY doc_id, grp))
+WHERE rnk = 1
 """.strip()
 
 _LAYOUT_RUNS_SQL = r"""

@@ -29,6 +29,18 @@ MIN_DENSITY = 4.0        # words per line
 MAX_TAG_RATIO = 0.25     # tags per word
 MAX_LINK_DENSITY = 0.5   # linked words per word
 
+# jusText (Pomikálek 2011) parameters — word-based variants of the paper's
+# character thresholds so the machinery is shared with the block scorer.
+JT_STOPWORDS = (
+    "the", "a", "of", "and", "to", "in", "is", "on", "for", "with",
+    "that", "it", "as", "this", "at", "by", "an", "be", "or", "are",
+)
+JT_MAX_LINK_DENSITY = 0.2
+JT_LENGTH_LOW = 20       # words
+JT_LENGTH_HIGH = 40      # words
+JT_STOPWORDS_LOW = 0.10
+JT_STOPWORDS_HIGH = 0.18
+
 
 def _block_words(b: Column) -> Column:
     plain = F.regexp_replace(b, r"<[^>]*>", " ")
@@ -102,6 +114,130 @@ def dom_tokens(text: Column) -> Column:
     return F.filter(toks, lambda s: s.token != "")
 
 
+def _strip_clean(b: Column) -> Column:
+    """Tags removed, horizontal whitespace normalized, trimmed."""
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(b, r"<[^>]*>", " "), r"[ \t]+", " ")
+    )
+
+
+def justext_blocks(text: Column) -> Column:
+    """jusText-style context-sensitive block classification (Pomikálek
+    2011), deterministically simplified. Returns
+    array<struct<block, words, cf, label>> in document order.
+
+    Context-free pass (per block; word-count thresholds instead of the
+    paper's char counts, same decision tree):
+      link_density > JT_MAX_LINK_DENSITY            -> bad
+      words < JT_LENGTH_LOW                         -> bad if any link else short
+      stop_density >= JT_STOPWORDS_HIGH             -> good if words > JT_LENGTH_HIGH
+                                                       else neargood
+      stop_density >= JT_STOPWORDS_LOW              -> neargood
+      otherwise                                     -> bad
+
+    Context pass (the paper's neighborhood smoothing, simplified to
+    nearest-neighbor lookups): for each short/neargood block, find the
+    NEAREST context-free good/bad label on each side (document edge
+    counts as bad; short/neargood neighbors are skipped):
+      neargood -> good iff prev == good OR  next == good, else bad
+      short    -> good iff prev == good AND next == good, else bad
+
+    The whole thing is array expressions over the per-doc block list —
+    block smoothing is doc-local, so it runs inside the scan projection
+    with ZERO shuffle (the relational alternative, explode + doc-window,
+    pays a full-corpus-text exchange for nothing). The neighbor scans are
+    O(blocks²) on tiny per-doc arrays. DuckDB mirror in
+    __spark_entry__.py shares every threshold via this module.
+    """
+    blocks = F.filter(F.split(text, r"\n\s*\n"), lambda b: F.trim(b) != "")
+
+    def classify(b: Column) -> Column:
+        words = _block_words(b)
+        linked = _block_linked_words(b)
+        link_density = F.when(
+            words > 0, linked.cast("double") / words.cast("double")
+        ).otherwise(F.lit(1.0))
+        plain = F.regexp_replace(b, r"<[^>]*>", " ")
+        toks = F.filter(F.split(plain, r"\s+"), lambda w: w != "")
+        stops = F.size(
+            F.filter(toks, lambda w: F.lower(w).isin(*JT_STOPWORDS))
+        )
+        stop_density = F.when(
+            words > 0, stops.cast("double") / words.cast("double")
+        ).otherwise(F.lit(0.0))
+        cf = (
+            F.when(link_density > JT_MAX_LINK_DENSITY, F.lit("bad"))
+            .when(
+                words < JT_LENGTH_LOW,
+                F.when(linked > 0, F.lit("bad")).otherwise(F.lit("short")),
+            )
+            .when(
+                stop_density >= JT_STOPWORDS_HIGH,
+                F.when(words > JT_LENGTH_HIGH, F.lit("good")).otherwise(
+                    F.lit("neargood")
+                ),
+            )
+            .when(stop_density >= JT_STOPWORDS_LOW, F.lit("neargood"))
+            .otherwise(F.lit("bad"))
+        )
+        return F.struct(b.alias("block"), words.alias("words"), cf.alias("cf"))
+
+    scored = F.transform(blocks, classify)
+    cfs = F.transform(scored, lambda s: s.cf)
+
+    def finalize(s: Column, i: Column) -> Column:
+        # nearest context-free good/bad on each side; edges default bad
+        is_gb = lambda l: (l == "good") | (l == "bad")  # noqa: E731
+        prev = F.coalesce(
+            F.try_element_at(F.filter(F.slice(cfs, F.lit(1), i), is_gb), F.lit(-1)),
+            F.lit("bad"),
+        )
+        nxt = F.coalesce(
+            F.try_element_at(
+                F.filter(
+                    F.slice(cfs, i + 2, F.greatest(F.size(cfs) - i - 1, F.lit(0))),
+                    is_gb,
+                ),
+                F.lit(1),
+            ),
+            F.lit("bad"),
+        )
+        label = (
+            F.when(is_gb(s.cf), s.cf)
+            .when(
+                s.cf == "neargood",
+                F.when((prev == "good") | (nxt == "good"), F.lit("good")).otherwise(
+                    F.lit("bad")
+                ),
+            )
+            .otherwise(  # short
+                F.when((prev == "good") & (nxt == "good"), F.lit("good")).otherwise(
+                    F.lit("bad")
+                )
+            )
+        )
+        return F.struct(
+            s.block.alias("block"),
+            s.words.alias("words"),
+            s.cf.alias("cf"),
+            label.alias("label"),
+        )
+
+    return F.transform(scored, finalize)
+
+
+def justext_content(text: Column) -> Column:
+    """struct<content, n_good>: final-good blocks cleaned and joined."""
+    labeled = justext_blocks(text)
+    good = F.filter(labeled, lambda s: s.label == "good")
+    return F.struct(
+        F.array_join(F.transform(good, lambda s: _strip_clean(s.block)), "\n\n").alias(
+            "content"
+        ),
+        F.size(good).alias("n_good"),
+    )
+
+
 def main_content(text: Column) -> Column:
     """Boilerplate-stripped main content: content blocks, tags removed,
     whitespace-normalized, joined by '\n\n'."""
@@ -112,3 +248,88 @@ def main_content(text: Column) -> Column:
         lambda s: F.trim(F.regexp_replace(F.regexp_replace(s.block, r"<[^>]*>", " "), r"[ \t]+", " ")),
     )
     return F.array_join(clean, "\n\n")
+
+
+def main_island(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Readability-style main-cluster selection: among the ISLANDS of
+    consecutive content blocks (same block classifier as ``main_content``),
+    keep only the island with the largest word mass — Readability's "top
+    candidate" subtree, re-expressed as gaps-and-islands (the idiom
+    ``layout.table_regions`` already uses). A nav / related-links block
+    between two prose runs splits them into separate islands, and the
+    sidebar run loses to the article run even when each sidebar block
+    individually passes the content test — the case the per-block
+    classifier cannot express.
+
+    Returns (id_col, content, n_blocks, n_islands): winning island's
+    cleaned text, its block count, and how many islands competed. Docs
+    with zero content blocks emit no row (caller left-joins if it needs
+    them). Ties break to the earliest island.
+
+    Scale: one explode + one doc-keyed exchange for the window pass —
+    the same hash-partitioning every per-doc relational op here uses, so
+    AQE coalesces and downstream per-doc joins co-locate. Group state is
+    bounded by blocks-per-doc, never corpus-wide.
+    """
+    from pyspark.sql import Window
+
+    blocks = F.filter(
+        F.split(F.col(text_col), r"\n\s*\n"), lambda b: F.trim(b) != ""
+    )
+    scored = df.select(
+        id_col, F.posexplode(block_scores_arr(blocks)).alias("idx", "s")
+    ).filter(F.col("s.is_content"))
+    grp = F.col("idx") - F.row_number().over(
+        Window.partitionBy(id_col).orderBy("idx")
+    )
+    islands = (
+        scored.withColumn("grp", grp)
+        .groupBy(id_col, "grp")
+        .agg(
+            F.sum("s.words").alias("score"),
+            F.min("idx").alias("start"),
+            F.count("*").alias("n_blocks"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("idx"), F.col("s.block")))
+                    ),
+                    lambda x: _strip_clean(x.block),
+                ),
+                "\n\n",
+            ).alias("content"),
+        )
+    )
+    w = Window.partitionBy(id_col)
+    ranked = islands.withColumn(
+        "rnk",
+        F.row_number().over(w.orderBy(F.desc("score"), F.asc("start"))),
+    ).withColumn("n_islands", F.count("*").over(w))
+    return ranked.filter(F.col("rnk") == 1).select(
+        id_col, "content", "n_blocks", "n_islands"
+    )
+
+
+def block_scores_arr(blocks: Column) -> Column:
+    """block_scores over a pre-split block array (shared scorer)."""
+
+    def score(b: Column):
+        words = _block_words(b)
+        lines = _block_lines(b)
+        tags = _block_tags(b)
+        linked = _block_linked_words(b)
+        density = words.cast("double") / lines.cast("double")
+        tag_ratio = F.when(words > 0, tags.cast("double") / words.cast("double")).otherwise(F.lit(1.0))
+        link_density = F.when(words > 0, linked.cast("double") / words.cast("double")).otherwise(F.lit(1.0))
+        return F.struct(
+            b.alias("block"),
+            words.alias("words"),
+            (
+                (words >= MIN_WORDS)
+                & (density >= MIN_DENSITY)
+                & (tag_ratio <= MAX_TAG_RATIO)
+                & (link_density <= MAX_LINK_DENSITY)
+            ).alias("is_content"),
+        )
+
+    return F.transform(blocks, score)

@@ -162,3 +162,90 @@ def test_table_cells_grid(spark):
         (0, 0): "item", (0, 1): "qty", (0, 2): "price",
         (1, 0): "apples", (1, 1): "3", (1, 2): "1.50",
     }
+
+
+# --- jusText context-sensitive classification + island selection ---------
+
+NAV = "<a href=/>Home</a> <a href=/about>About</a>"
+# 47 words, 23 stopwords (0.489 >= STOPWORDS_HIGH), > LENGTH_HIGH -> good
+PROSE = (
+    "it is a truth universally acknowledged that a single man in possession "
+    "of a good fortune must be in want of a wife and this truth is so well "
+    "fixed in the minds of the surrounding families that he is considered "
+    "the rightful property of their daughters"
+)
+# 23 words, 4 stopwords (0.174 in [LOW, HIGH)) -> neargood
+SUMMARY = (
+    "the committee reviewed quarterly metrics and approved the revised "
+    "budget for continued operations across all regional divisions pending "
+    "final signatures from senior leadership"
+)
+SHORT = "Thanks for reading today."
+FOOTER = "<footer>(c) 2024 <a href=/terms>Terms</a> all rights reserved</footer>"
+
+
+def _justext_labels(spark, page):
+    df = spark.createDataFrame([(1, page)], "id long, text string")
+    rows = df.select(boilerplate.justext_blocks(F.col("text")).alias("b")).collect()[0].b
+    return [(r.cf, r.label) for r in rows]
+
+
+def test_justext_context_free_and_smoothing(spark):
+    page = "\n\n".join([NAV, PROSE, SUMMARY, SHORT, FOOTER])
+    got = _justext_labels(spark, page)
+    assert got == [
+        ("bad", "bad"),            # nav: link density 1.0
+        ("good", "good"),          # long stopword-dense prose
+        ("neargood", "good"),      # promoted: nearest gb neighbor (prose) good
+        ("short", "bad"),          # next gb neighbor is the bad footer
+        ("bad", "bad"),            # footer: linked words + below length_low
+    ]
+
+
+def test_justext_short_between_goods_promoted(spark):
+    page = "\n\n".join([PROSE, "A brief aside here.", PROSE])
+    got = _justext_labels(spark, page)
+    assert got == [("good", "good"), ("short", "good"), ("good", "good")]
+
+
+def test_justext_neargood_without_good_neighbor_demoted(spark):
+    got = _justext_labels(spark, SUMMARY)
+    assert got == [("neargood", "bad")]
+
+
+def test_justext_content_joins_good_blocks(spark):
+    page = "\n\n".join([NAV, PROSE, SUMMARY, SHORT, FOOTER])
+    df = spark.createDataFrame([(1, page)], "id long, text string")
+    row = df.select(boilerplate.justext_content(F.col("text")).alias("m")).collect()[0].m
+    assert row.n_good == 2
+    assert row.content.startswith("it is a truth")
+    assert "senior leadership" in row.content
+    assert "Home" not in row.content and "Terms" not in row.content
+
+
+P1 = "alpha beta gamma delta epsilon zeta eta"            # 7 words, content
+P2 = "one two three four five six"                        # 6 words, content
+BOIL = "<a href=/x>More links here</a>"                    # link density 1.0
+P3_BIG = " ".join(f"w{i}" for i in range(14))              # 14 words
+P3_TIE = " ".join(f"w{i}" for i in range(13))              # 13 words
+
+
+def test_main_island_picks_heaviest_run(spark):
+    page = "\n\n".join([P1, P2, BOIL, P3_BIG])
+    df = spark.createDataFrame([(1, page)], "doc_id long, text string")
+    row = boilerplate.main_island(df).collect()[0]
+    assert (row.n_blocks, row.n_islands) == (1, 2)
+    assert row.content == P3_BIG
+
+
+def test_main_island_tie_breaks_to_earliest(spark):
+    page = "\n\n".join([P1, P2, BOIL, P3_TIE])
+    df = spark.createDataFrame([(1, page)], "doc_id long, text string")
+    row = boilerplate.main_island(df).collect()[0]
+    assert (row.n_blocks, row.n_islands) == (2, 2)
+    assert row.content == P1 + "\n\n" + P2
+
+
+def test_main_island_no_content_emits_no_row(spark):
+    df = spark.createDataFrame([(1, NAV)], "doc_id long, text string")
+    assert boilerplate.main_island(df).count() == 0

@@ -421,3 +421,31 @@ def test_c4_clean_is_zero_shuffle_projection(spark, sf_dir):
     plan = _plan(out)
     assert "Exchange" not in plan
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_justext_is_zero_shuffle_projection(spark, sf_dir):
+    """jusText context smoothing is doc-local array algebra — it must stay
+    inside the scan projection: no Exchange, no Python."""
+    from doc_agent_spark.operators import boilerplate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = docs.select(
+        "doc_id", boilerplate.justext_content(F.col("text")).alias("jt")
+    )
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_main_island_one_doc_keyed_exchange(spark, sf_dir):
+    """Island selection explodes blocks then windows per doc: exactly one
+    doc-keyed exchange feeds both window passes (no second shuffle for the
+    ranking), and nothing drops to Python."""
+    from doc_agent_spark.operators import boilerplate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(boilerplate.main_island(docs))
+    # grp window, island agg, and both ranking windows all reuse the one
+    # doc_id hash partitioning
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan and "Arrow" not in plan

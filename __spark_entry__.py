@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from doc_agent_spark.functions import c4rules, gopher, textfns, vectors  # noqa: E402
+from doc_agent_spark.functions import assembly  # noqa: E402
 from doc_agent_spark.functions.assembly import assemble_page_text  # noqa: E402
 from doc_agent_spark.functions.hashing import path_hash  # noqa: E402
 from doc_agent_spark.functions.mime import filename_of, mime_of  # noqa: E402
@@ -893,11 +894,63 @@ def filename_path_hash(spark, sf_dir):
 
 
 def page_assembly(spark, sf_dir):
+    """Page-text assembly (S5/P1/W2) plus the two page-level repair
+    passes every PDF/OCR pipeline runs right after assembly:
+
+    reflow arm (assembly.reflow_text): de-hyphenation + soft-line-wrap
+    join + space collapse over a synthetic hard-wrapped page (the doc's
+    words re-wrapped every 8 words, a hyphen-split lead line, a preserved
+    paragraph break).
+
+    hdrfoot arm (assembly.strip_repeated_page_lines): cross-page
+    header/footer removal over three synthetic pages — a running header
+    on all three pages for 3 of 4 docs (stripped) but page 1 only for
+    doc_id%4==0 (kept, below the min_pages=3 threshold), and
+    digit-normalized 'Page N of 3' footers (always stripped). metric =
+    lines removed (6 vs 3)."""
     docs = load(spark, sf_dir, "documents")
     spans = spans_from_documents(docs)
-    return spans.select(
-        "doc_id", assemble_page_text(F.col("spans")).alias("assembled")
+    a = spans.select(
+        F.lit("assemble").alias("variant"),
+        "doc_id",
+        assemble_page_text(F.col("spans")).alias("content"),
+    ).withColumn("metric", F.length("content").cast("int"))
+
+    did = F.format_string("doc-%08d", F.col("doc_id").cast("int"))
+    wrapped = F.concat(
+        F.lit("The documentation covers the interna-\ntional config in depth.\n"),
+        F.regexp_replace(F.col("text"), r"((?:\S+ ){7}\S+) ", "$1\n"),
+        F.lit("\n\nThis final paragraph ends the page."),
     )
+    b = docs.select(
+        F.lit("reflow").alias("variant"),
+        did.alias("doc_id"),
+        assembly.reflow_text(wrapped).alias("content"),
+    ).withColumn("metric", F.length("content").cast("int"))
+
+    n = F.length("text")
+    a3 = F.floor(n / 3).cast("int")
+    t1 = F.substring(F.col("text"), 1, a3)
+    t2 = F.substring(F.col("text"), a3 + 1, a3)
+    t3 = F.substring(F.col("text"), a3 * 2 + 1, n - a3 * 2)
+    hdr = F.lit("ACME Corp Statement\n")
+    hdr23 = F.when(F.col("doc_id") % 4 != 0, hdr).otherwise(F.lit(""))
+    pages = F.array(
+        F.concat(hdr, t1, F.lit("\nPage 1 of 3")),
+        F.concat(hdr23, t2, F.lit("\nPage 2 of 3")),
+        F.concat(hdr23, t3, F.lit("\nPage 3 of 3")),
+    )
+    res = assembly.strip_repeated_page_lines(pages, 3)
+    # the formatted-id alias goes LAST: Spark's lateral column alias
+    # resolution would otherwise bind the sibling expressions' doc_id
+    # references to the 'doc-%08d' STRING instead of the input column
+    c = docs.select(
+        F.lit("hdrfoot").alias("variant"),
+        assembly.assemble_pages_array(res.pages).alias("content"),
+        res.removed.alias("metric"),
+        did.alias("doc_id"),
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def doc_type_norm(spark, sf_dir):
@@ -3004,9 +3057,77 @@ SELECT doc_id,
 FROM p
 """,
         "page_assembly": f"""
-SELECT printf('doc-%08d', CAST(doc_id AS INTEGER)) AS doc_id,
-       {assembled_sql} AS assembled
+SELECT 'assemble' AS variant,
+       printf('doc-%08d', CAST(doc_id AS INTEGER)) AS doc_id,
+       {assembled_sql} AS content,
+       CAST(length({assembled_sql}) AS INTEGER) AS metric
 FROM documents
+UNION ALL
+SELECT 'reflow', printf('doc-%08d', CAST(doc_id AS INTEGER)), r,
+       CAST(length(r) AS INTEGER)
+FROM (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(w,
+      '([A-Za-z])-\\n([a-z])', '\\1\\2', 'g'),
+      '([^.!?:;\\n])\\n([^\\n])', '\\1 \\2', 'g'),
+      '[ \\t]{{2,}}', ' ', 'g') AS r
+  FROM (
+    SELECT doc_id,
+      'The documentation covers the interna-' || chr(10)
+      || 'tional config in depth.' || chr(10)
+      || regexp_replace(text, '((?:\\S+ ){{7}}\\S+) ', '\\1' || chr(10), 'g')
+      || chr(10) || chr(10) || 'This final paragraph ends the page.' AS w
+    FROM documents))
+UNION ALL
+SELECT 'hdrfoot', printf('doc-%08d', CAST(doc_id AS INTEGER)),
+  coalesce(array_to_string(list_transform(list_filter(
+    list_transform(pages3, (t, i) -> {{'p': i,
+      't': trim(t, ' ' || chr(9) || chr(10) || chr(13))}}),
+    x -> x.t <> ''),
+    x -> '--- Page ' || x.p || ' ---' || chr(10) || x.t),
+    chr(10) || chr(10)), '') AS content,
+  CAST(len(flatten(lns)) - len(flatten(list_transform(pages3,
+         p -> string_split(p, chr(10)))))
+       + len(list_filter(pages3, p -> p = '')) AS INTEGER) AS metric
+FROM (
+  SELECT doc_id, lns,
+    list_transform(lns3, ls -> coalesce(array_to_string(ls, chr(10)), '')) AS pages3
+  FROM (
+    SELECT doc_id, lns,
+      list_transform(lns2, ls ->
+        CASE WHEN len(ls) > 0
+              AND len(list_filter(lasts,
+                    x -> x = regexp_replace(ls[len(ls)], '\\d+', '#', 'g'))) >= 3
+             THEN ls[1:len(ls)-1] ELSE ls END) AS lns3
+    FROM (
+      SELECT doc_id, lns, lasts,
+        list_transform(lns, ls ->
+          CASE WHEN len(list_filter(firsts,
+                      x -> x = regexp_replace(ls[1], '\\d+', '#', 'g'))) >= 3
+               THEN ls[2:] ELSE ls END) AS lns2
+      FROM (
+        SELECT doc_id, lns,
+          list_transform(lns, ls -> regexp_replace(ls[1], '\\d+', '#', 'g')) AS firsts,
+          list_transform(lns, ls -> regexp_replace(ls[len(ls)], '\\d+', '#', 'g')) AS lasts
+        FROM (
+          SELECT doc_id,
+            list_transform(pages, p -> string_split(p, chr(10))) AS lns
+          FROM (
+            SELECT doc_id,
+              ['ACME Corp Statement' || chr(10) || t1 || chr(10) || 'Page 1 of 3',
+               h23 || t2 || chr(10) || 'Page 2 of 3',
+               h23 || t3 || chr(10) || 'Page 3 of 3'] AS pages
+            FROM (
+              SELECT doc_id,
+                substring(text, 1, a3) AS t1,
+                substring(text, a3 + 1, a3) AS t2,
+                substring(text, a3 * 2 + 1, CAST(length(text) AS INTEGER) - a3 * 2) AS t3,
+                CASE WHEN doc_id % 4 <> 0
+                     THEN 'ACME Corp Statement' || chr(10) ELSE '' END AS h23
+              FROM (
+                SELECT doc_id, text,
+                       CAST(length(text) // 3 AS INTEGER) AS a3
+                FROM documents))))))))
 """,
         "doc_type_norm": """
 WITH r AS (

@@ -65,3 +65,80 @@ def assemble_pages_array(pages: Column) -> Column:
         kept, lambda p: F.concat(F.lit("--- Page "), p.page.cast("string"), F.lit(" ---\n"), p.t)
     )
     return F.array_join(rendered, "\n\n")
+
+
+def reflow_text(c: Column) -> Column:
+    """PDF/OCR text reflow: de-hyphenate words broken across line ends,
+    join soft-wrapped lines, collapse the residual double spaces.
+
+    Rules (applied in order, one global regexp pass each; no lookaround so
+    the DuckDB/RE2 oracle mirror is byte-identical):
+      1. ``letter-\\n lowercase`` -> the two word halves rejoined (the
+         standard dehyphenation heuristic: only fuse when the continuation
+         starts lowercase, so real hyphenated compounds before a proper
+         noun survive);
+      2. a newline NOT preceded by terminal punctuation (.!?:;) and NOT
+         followed by a blank line -> space (soft wrap), paragraph breaks
+         (blank lines) preserved;
+      3. runs of horizontal whitespace -> one space.
+
+    Zero-shuffle scan projection; left-to-right global-replace semantics
+    are identical in Java regex and RE2.
+    """
+    x = F.regexp_replace(c, r"([A-Za-z])-\n([a-z])", "$1$2")
+    x = F.regexp_replace(x, r"([^.!?:;\n])\n([^\n])", "$1 $2")
+    return F.regexp_replace(x, r"[ \t]{2,}", " ")
+
+
+def _digit_norm(line: Column) -> Column:
+    return F.regexp_replace(line, r"\d+", "#")
+
+
+def strip_repeated_page_lines(pages: Column, min_pages: int = 3) -> Column:
+    """Cross-page header/footer removal: drop a page's FIRST line when the
+    same (digit-normalized) line opens >= ``min_pages`` of the document's
+    pages, and its LAST line when the normalized line closes >=
+    ``min_pages`` pages. Digit normalization (every digit run -> '#')
+    matches 'Page 1 of 3' with 'Page 2 of 3' — the canonical running-
+    footer case a literal comparison misses.
+
+    Returns struct<pages: array<string>, removed: int>. Doc-local array
+    algebra: the repeat counts compare each page against its own
+    document's pages only, inside the scan projection — no shuffle, no
+    corpus-wide state (contrast ``dedup.line_dups``, the cross-document
+    boilerplate-line pass).
+    """
+    lines = F.transform(pages, lambda p: F.split(p, r"\n"))
+    firsts = F.transform(lines, lambda ls: _digit_norm(F.get(ls, 0)))
+    lasts = F.transform(lines, lambda ls: _digit_norm(F.element_at(ls, F.size(ls))))
+
+    def strip_page(ls: Column) -> Column:
+        hdr_rep = (
+            F.size(F.filter(firsts, lambda x: x == _digit_norm(F.get(ls, 0))))
+            >= min_pages
+        )
+        after_hdr = F.when(
+            hdr_rep, F.slice(ls, 2, F.greatest(F.size(ls) - 1, F.lit(0)))
+        ).otherwise(ls)
+        last_line = F.try_element_at(after_hdr, F.size(after_hdr))
+        ftr_rep = (F.size(after_hdr) > 0) & (
+            F.size(F.filter(lasts, lambda x: x == _digit_norm(last_line)))
+            >= min_pages
+        )
+        kept = F.when(
+            ftr_rep,
+            F.slice(after_hdr, 1, F.greatest(F.size(after_hdr) - 1, F.lit(0))),
+        ).otherwise(after_hdr)
+        return F.array_join(kept, "\n")
+
+    stripped = F.transform(lines, strip_page)
+    removed = (
+        F.size(F.flatten(lines))
+        - F.size(F.flatten(F.transform(stripped, lambda p: F.split(p, r"\n"))))
+    )
+    # array_join of zero kept lines is ''; split('') is [''] — count the
+    # truly-empty page as zero lines for the removed metric
+    empty_fix = F.size(F.filter(stripped, lambda p: p == ""))
+    return F.struct(
+        stripped.alias("pages"), (removed + empty_fix).cast("int").alias("removed")
+    )

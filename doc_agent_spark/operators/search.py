@@ -579,3 +579,57 @@ SELECT id, score,
        CAST(list_max(sc) AS INTEGER) AS n_hits
 FROM s
 """.strip()
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: the top-``k`` most salient
+    terms of every document — the classic doc-analysis/fingerprinting op
+    (tags for faceting, routing keys, weak labels for classifier
+    bootstraps).
+
+    score = tf · (ln((N+1)/(df+1)) + 1), the smoothed sklearn-style idf;
+    ranking compares the 6-decimal-ROUNDED score (then term asc) so both
+    engines order ties identically. Returns (id, rank, term, score).
+
+    Scale shape (same skeleton as :func:`bm25_scores`): tf is a map-side
+    partial (id, term) count; df aggregates the tf frame (vocab-sized,
+    NOT doc-sized); N rides a broadcast one-row cross join; the per-doc
+    top-k is a WindowGroupLimit-pushed rank over each doc's distinct
+    terms — no global sort, no driver collect. The tf↔df join keys on
+    term and is left to AQE: a web-scale vocab (junk tokens make it
+    billions of rows) is not reliably broadcastable.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(words_of(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nd = docs.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(dft, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "rank", "term", "score")
+    )

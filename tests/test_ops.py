@@ -446,3 +446,24 @@ def test_best_window_snippet_broadcasts_results(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_keywords_scores_and_tie_order(spark):
+    from doc_agent_spark.operators import search
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"),
+         (3, "cherry cherry cherry durian")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id, r.rank): (r.term, r.score)
+        for r in search.tfidf_keywords(docs, k=3).collect()
+    }
+    import math
+    idf1 = round(2 * (math.log(4 / 2) + 1), 6)
+    assert got[(1, 1)] == ("apple", idf1)
+    assert got[(1, 2)][0] == "banana"
+    # doc2: banana/cherry tie on score -> term asc breaks it
+    assert got[(2, 1)][0] == "banana" and got[(2, 2)][0] == "cherry"
+    assert got[(3, 1)][0] == "cherry" and got[(3, 2)][0] == "durian"

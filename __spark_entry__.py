@@ -1959,7 +1959,21 @@ def layout_runs(spark, sf_dir):
         F.col("col_idx").alias("col_start"),
         F.col("cell").alias("run_text"),
     )
-    return a.unionByName(t).unionByName(c)
+    # reading arm (layout.reading_order): the table band (lines 2-3)
+    # linearizes column-major — both cells of col 0, then col 10, then
+    # col 18 — while the two header lines stay line-major around it.
+    # Column mapping: line_no = seq (linear position), run_idx = source
+    # line_no.
+    # (seq's line_no alias goes last — a leading alias named like an input
+    # column risks lateral-alias capture of the later references)
+    r = layout.reading_order(runs, regions).select(
+        F.lit("reading").alias("variant"), "id",
+        F.col("line_no").alias("run_idx"),
+        "col_start",
+        "run_text",
+        F.col("seq").alias("line_no"),
+    )
+    return a.unionByName(t).unionByName(c).unionByName(r)
 
 
 def events_rollup(spark, sf_dir):
@@ -2858,8 +2872,11 @@ UNION ALL
 SELECT 'table', id, start_line, end_line, n_cols, sig FROM regions
 UNION ALL
 SELECT 'cell', id, line_no, row_idx, col_idx, cell FROM (__CELLS_SQL__)
+UNION ALL
+SELECT 'reading', id, seq, line_no, col_start, run_text FROM (__READING_SQL__)
 """.strip().replace("__TABLE_SQL__", layout.table_regions_sql("runs")).replace(
-    "__CELLS_SQL__", layout.table_cells_sql("runs", "regions"))
+    "__CELLS_SQL__", layout.table_cells_sql("runs", "regions")).replace(
+    "__READING_SQL__", layout.reading_order_sql("runs", "regions"))
 
 
 def oracle_sql() -> dict[str, str]:

@@ -191,3 +191,66 @@ SELECT r.id, r.line_no,
 FROM {runs_cte} r JOIN {regions_cte} g ON r.id = g.id
 WHERE r.line_no BETWEEN g.start_line AND g.end_line
 """.strip()
+
+
+def reading_order(runs: DataFrame, regions: DataFrame | None = None) -> DataFrame:
+    """Reading-order repair for multi-column layout: linearize a page's
+    runs so that COLUMN BANDS (the regions :func:`table_regions` detects —
+    ≥2 aligned columns over ≥2 consecutive lines) read column-major
+    (down the first column, then the next), while everything else keeps
+    natural line-major order — the two-column-article / side-by-side-
+    address case where naive line-major extraction interleaves unrelated
+    sentences.
+
+    Returns (id, seq, line_no, col_start, run_text) with ``seq`` the
+    0-based linear reading position. Sort key: a band collapses onto its
+    start_line (so the whole band sits where its first line was), then
+    column, then line; non-band lines order by (line_no, run_idx).
+
+    Scale shape: one left join of runs against the (tiny, metadata-sized)
+    per-doc region list on doc + line-range, one doc-partitioned
+    row_number window — bounded by lines-per-doc, no UDF, no corpus-wide
+    state.
+    """
+    from pyspark.sql import Window
+
+    if regions is None:
+        regions = table_regions(runs)
+    g = regions.select(
+        F.col("id").alias("gid"), "start_line", "end_line"
+    )
+    j = runs.join(
+        g,
+        (runs["id"] == g["gid"])
+        & (runs["line_no"] >= g["start_line"])
+        & (runs["line_no"] <= g["end_line"]),
+        "left",
+    )
+    major = F.coalesce(F.col("start_line"), F.col("line_no"))
+    band_col = F.when(
+        F.col("start_line").isNotNull(), F.col("col_start")
+    ).otherwise(F.lit(-1))
+    w = Window.partitionBy(runs["id"]).orderBy(
+        major, band_col, F.col("line_no"), F.col("run_idx")
+    )
+    return j.select(
+        runs["id"].alias("id"),
+        (F.row_number().over(w) - 1).cast("int").alias("seq"),
+        "line_no",
+        "col_start",
+        "run_text",
+    )
+
+
+def reading_order_sql(runs_cte: str, regions_cte: str) -> str:
+    """DuckDB mirror of :func:`reading_order` over runs/regions relations."""
+    return f"""
+SELECT r.id AS id,
+       CAST(row_number() OVER (PARTITION BY r.id
+            ORDER BY coalesce(g.start_line, r.line_no),
+                     CASE WHEN g.start_line IS NOT NULL THEN r.col_start ELSE -1 END,
+                     r.line_no, r.run_idx) - 1 AS INTEGER) AS seq,
+       r.line_no AS line_no, r.col_start AS col_start, r.run_text AS run_text
+FROM {runs_cte} r LEFT JOIN {regions_cte} g
+  ON g.id = r.id AND r.line_no BETWEEN g.start_line AND g.end_line
+""".strip()

@@ -249,3 +249,35 @@ def test_main_island_tie_breaks_to_earliest(spark):
 def test_main_island_no_content_emits_no_row(spark):
     df = spark.createDataFrame([(1, NAV)], "doc_id long, text string")
     assert boilerplate.main_island(df).count() == 0
+
+
+# --- reading-order repair -------------------------------------------------
+
+def test_reading_order_column_major_in_bands(spark):
+    rows = [
+        (1, 0, 0, 0, "Title line"),
+        (1, 1, 0, 0, "L1"), (1, 1, 1, 40, "R1"),
+        (1, 2, 0, 0, "L2"), (1, 2, 1, 40, "R2"),
+        (1, 3, 0, 0, "L3"), (1, 3, 1, 40, "R3"),
+        (1, 4, 0, 0, "Footer"),
+    ]
+    runs = spark.createDataFrame(
+        rows, "id long, line_no int, run_idx int, col_start int, run_text string"
+    )
+    got = [
+        r.run_text
+        for r in layout.reading_order(runs).orderBy("seq").collect()
+    ]
+    assert got == ["Title line", "L1", "L2", "L3", "R1", "R2", "R3", "Footer"]
+
+
+def test_reading_order_no_band_is_line_major(spark):
+    rows = [
+        (1, 0, 0, 0, "a"), (1, 0, 1, 10, "b"),
+        (1, 1, 0, 5, "c"),
+    ]
+    runs = spark.createDataFrame(
+        rows, "id long, line_no int, run_idx int, col_start int, run_text string"
+    )
+    got = [r.run_text for r in layout.reading_order(runs).orderBy("seq").collect()]
+    assert got == ["a", "b", "c"]

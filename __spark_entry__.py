@@ -2092,9 +2092,25 @@ def exact_fingerprint_dups(spark, sf_dir):
         F.col("id").alias("keep_id"),
         F.col("n_paras_removed").cast("long").alias("dup_count"),
     )
+    # winnow arm (dedup.winnow_groups; Schleimer et al. 2003): the dup
+    # corpus plus a 30-word EXCERPT of every 7th doc (re-keyed +2e6) —
+    # partial overlap the md5/fingerprint whole-doc arms cannot see; the
+    # excerpt shares >= w+k-1 tokens with its source, so the guarantee
+    # forces at least one shared fingerprint per (source, excerpt) pair.
+    exc = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.array_join(F.slice(textfns.words_of(F.col("text")), 1, 30), " ").alias("text"),
+        )
+    )
+    h = dedup.winnow_groups(
+        _spread(_dup_corpus(spark, sf_dir).unionByName(exc)), k=4, w=5
+    ).select(F.lit("winnow").alias("variant"), "key", "keep_id", "dup_count")
     return (
         a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
-        .unionByName(g)
+        .unionByName(g).unionByName(h)
     )
 
 
@@ -4131,6 +4147,24 @@ tt AS (SELECT id, count(*) AS n_paras FROM pl GROUP BY id)
 SELECT tt.id, coalesce(ag.text_clean, '') AS text_clean,
        CAST(tt.n_paras - coalesce(ag.n_kept, 0) AS BIGINT) AS n_paras_removed
 FROM tt LEFT JOIN ag ON tt.id = ag.id)
+UNION ALL
+SELECT 'winnow', CAST(h AS VARCHAR), keep_id, dup_count FROM (
+WITH wcorpus AS ({_DUP_CORPUS_SQL}
+UNION ALL
+SELECT doc_id + 2000000 AS doc_id,
+       array_to_string(({_WORDS_SQL})[1:30], ' ') AS text
+FROM documents WHERE doc_id % 7 = 0),
+wtok AS (SELECT doc_id AS id, {_WORDS_SQL} AS w FROM wcorpus),
+wrow AS (SELECT id, i AS pos,
+         CAST('0x' || substr(md5(array_to_string(w[i:i+3], ' ')), 1, 15) AS BIGINT)
+           % 2147483647 AS h
+       FROM (SELECT id, w, unnest(range(1, greatest(len(w) - 3, 0) + 1)) AS i FROM wtok)),
+wexp AS (SELECT id, pos, h,
+         unnest(range(greatest(pos - 4, 1), pos + 1)) AS j FROM wrow),
+wsel AS (SELECT id, j, min(h) AS m FROM wexp GROUP BY 1, 2 HAVING count(*) = 5),
+wfp AS (SELECT DISTINCT id, m AS h FROM wsel)
+SELECT h, min(id) AS keep_id, count(*) AS dup_count
+FROM wfp GROUP BY h HAVING count(*) >= 2)
 """,
         "temporal_joins": f"""
 SELECT 'asof' AS variant, event_id, user_id, ts, CAST(NULL AS BIGINT) AS ref_id,

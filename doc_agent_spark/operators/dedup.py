@@ -1218,3 +1218,98 @@ def dedup_paragraphs(
             "n_paras_removed"
         ),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003
+    — the MOSS algorithm): hash every k-token shingle, slide a window of
+    ``w`` consecutive hashes, select each window's MINIMUM (rightmost
+    occurrence on ties). Guarantee: any shared passage of >= w+k-1 tokens
+    contributes at least one IDENTICAL selected fingerprint to both
+    documents — LOCAL, position-robust overlap detection that whole-doc
+    hashing (md5/fingerprint arms) and random-sample sketches (MinHash)
+    don't give per passage. Density bound: ~2/(w+1) of the shingle count.
+
+    Returns the distinct selected rows (id, h: bigint, pos: int), pos the
+    1-based shingle position of the selected hash.
+
+    Scale shape — deliberately RELATIONAL, not per-doc array algebra: the
+    first cut built the hash array per doc and sliced it per window with
+    higher-order functions; lambda evaluation re-materialized the array
+    per window (interpreted, O(shingles x windows) md5 calls — 148 s for
+    500 docs). This formulation hashes each shingle ONCE in codegen,
+    explodes it into its <= w covering window ids (a window is kept only
+    when all w members arrived, so no length column is needed), and takes
+    one (id, window) aggregation where partial combine collapses the w-row
+    expansion map-side; min(h) + max_by(pos, (-h, pos)) yields the
+    rightmost minimum. Only 8-byte hashes and ids shuffle, never text.
+    """
+    # POSITIONAL shingles — word_ngrams is distinct-set semantics (built
+    # for Jaccard) and is wrong here. The words array is materialized as a
+    # projection column FIRST so the transform lambda references a bound
+    # attribute; an inline expression would re-evaluate the tokenizer per
+    # array element (the interpreted-lambda trap that made the first cut
+    # of this operator 150x slower).
+    staged = df.select(
+        F.col(id_col).alias("id"), words_of(F.col(text_col)).alias("ws")
+    )
+    n_sh = F.greatest(F.size("ws") - k + 1, F.lit(0))
+    sh_arr = F.when(
+        n_sh >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.array_join(F.slice(F.col("ws"), i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = staged.select(
+        "id", F.posexplode(sh_arr).alias("pos0", "s")
+    ).select(
+        "id",
+        (F.col("pos0") + 1).alias("pos"),
+        (
+            F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
+            % F.lit(_MINHASH_PRIME)
+        ).alias("h"),
+    )
+    wexp = sh.select(
+        "id", "pos", "h",
+        F.explode(
+            F.sequence(F.greatest(F.col("pos") - w + 1, F.lit(1)), F.col("pos"))
+        ).alias("j"),
+    )
+    sel = (
+        wexp.groupBy("id", "j")
+        .agg(
+            F.count("*").alias("members"),
+            F.min("h").alias("h"),
+            F.max_by(
+                "pos", F.struct((-F.col("h")).alias("nh"), F.col("pos").alias("p"))
+            ).alias("pos"),
+        )
+        .filter(F.col("members") == w)
+    )
+    return sel.select("id", "h", F.col("pos").cast("int").alias("pos")).distinct()
+
+
+def winnow_groups(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 4, w: int = 5) -> DataFrame:
+    """Documents grouped by shared winnowing fingerprints: for every
+    fingerprint VALUE selected by >= 2 distinct documents, (key = the
+    60-bit hash as a string, keep_id = lowest sharing doc, dup_count =
+    number of sharing docs). Partial-overlap candidate generation: docs
+    sharing a >= w+k-1-token passage are guaranteed to co-occur under at
+    least one key."""
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    exploded = fps.select("id", "h").distinct()
+    return (
+        exploded.groupBy("h")
+        .agg(F.min("id").alias("keep_id"), F.count("*").alias("dup_count"))
+        .filter(F.col("dup_count") >= 2)
+        .select(F.col("h").cast("string").alias("key"), "keep_id", "dup_count")
+    )

@@ -102,3 +102,71 @@ def test_matches_gate_arm_on_testdata(spark, sf_dir):
         if len([w for w in r.text.lower().split() if w]) >= 3
     }
     assert expect <= exact
+
+# --- winnowing fingerprints (Schleimer et al. 2003) ----------------------
+
+def test_winnow_guarantee_and_density(spark):
+    from doc_agent_spark.operators import dedup
+
+    shared = "p q r s t u v w x"          # 9 tokens >= w+k-1 = 8
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " alpha beta gamma"),
+            (2, "mm nn oo " + shared),
+            (3, "cc dd ee ff gg hh ii jj kk ll"),   # disjoint vocab
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup.winnow_fingerprints(docs).collect()
+    fps = {}
+    for r in rows:
+        assert r.pos >= 1
+        fps.setdefault(r.id, set()).add(r.h)
+    # every doc selects at least one fingerprint
+    assert set(fps) == {1, 2, 3}
+    # guarantee: docs 1 and 2 share the 9-token passage -> a common hash
+    assert fps[1] & fps[2]
+    # disjoint vocab -> disjoint shingles -> no shared fingerprint
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+    groups = dedup.winnow_groups(docs).collect()
+    assert all(g.dup_count == 2 and g.keep_id == 1 for g in groups)
+    assert len(groups) >= 1
+
+
+def test_winnow_short_doc_selects_nothing(spark):
+    from doc_agent_spark.operators import dedup
+
+    # 3 tokens < k=4 -> no shingles; 6 tokens -> 3 shingles < w=5 windows
+    docs = spark.createDataFrame(
+        [(1, "just three words"), (2, "only six words live right here")],
+        "doc_id long, text string",
+    )
+    assert dedup.winnow_fingerprints(docs).count() == 0
+
+
+def test_winnow_rightmost_tie_and_window_count(spark):
+    from doc_agent_spark.operators import dedup
+
+    # identical repeated token stream: every shingle hash is identical, so
+    # each window's rightmost-min is its last member -> positions w..n
+    docs = spark.createDataFrame([(1, " ".join(["t"] * 12))], "doc_id long, text string")
+    rows = dedup.winnow_fingerprints(docs, w=5).collect()
+    # 9 shingles, 5 full windows (j=1..5), rightmost of window j = j+4
+    assert sorted(r.pos for r in rows) == [5, 6, 7, 8, 9]
+    assert len({r.h for r in rows}) == 1
+
+
+def test_winnow_deterministic_across_parallelism(spark):
+    from doc_agent_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(
+        (r.key, r.keep_id, r.dup_count)
+        for r in dedup.winnow_groups(docs.repartition(1)).collect()
+    )
+    b = sorted(
+        (r.key, r.keep_id, r.dup_count)
+        for r in dedup.winnow_groups(docs.repartition(13)).collect()
+    )
+    assert a == b and len(a) > 0

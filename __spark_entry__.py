@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from doc_agent_spark.functions import c4rules, gopher, textfns, vectors  # noqa: E402
+from doc_agent_spark.functions import c4rules, gopher, money, textfns, vectors  # noqa: E402
 from doc_agent_spark.functions import assembly  # noqa: E402
 from doc_agent_spark.functions.assembly import assemble_page_text  # noqa: E402
 from doc_agent_spark.functions.hashing import path_hash  # noqa: E402
@@ -967,6 +967,12 @@ def doc_type_norm(spark, sf_dir):
 
 
 def alias_coalesce(spark, sf_dir):
+    """F2-F8 falsy-vs-nullish coalesces (coalesce arm) plus locale-aware
+    monetary parsing (currency arm, functions/money.py): six woven
+    formats — $US, EU-decimal €, Swiss-apostrophe CHF, accounting-parens
+    USD, plain-integer JPY, bare minus EU-decimal — parsed to (currency,
+    signed amount); vendor_final carries the ISO code, amount_final the
+    parsed value, desc_final the raw string."""
     docs = load(spark, sf_dir, "documents")
     did = F.col("doc_id")
     vendor = F.when(did % 3 == 0, F.lit(None)).otherwise(F.concat(F.lit("V"), did.cast("string")))
@@ -975,12 +981,41 @@ def alias_coalesce(spark, sf_dir):
     amount = F.when(did % 4 == 0, F.lit(None)).otherwise(F.round(F.col("n_chars") / 100.0, 4))
     total = F.round(F.col("n_chars") / 50.0, 4)
     desc = F.when(did % 2 == 0, F.lit("")).otherwise(F.concat(F.lit("D"), did.cast("string")))
-    return docs.select(
+    a = docs.select(
+        F.lit("coalesce").alias("variant"),
         "doc_id",
         vendor_coalesce(vendor, store_name, merchant, F.lit(None)).alias("vendor_final"),
         amount_coalesce(amount, total, F.lit(None)).alias("amount_final"),
         description_coalesce(desc, F.lit(None), F.lit(None)).alias("desc_final"),
     )
+
+    from doc_agent_spark.functions import money
+
+    w = did % 9 + 1
+    cents = did % 100
+    grp = (did * 37) % 900 + 100
+    us = F.format_string("%d,%03d.%02d", w, grp, cents)
+    eu = F.format_string("%d.%03d,%02d", w, grp, cents)
+    ch = F.format_string("%d'%03d.%02d", w, grp, cents)
+    plain = F.format_string("%d%03d", w, grp)
+    eudec = F.format_string("-%d%03d,%02d", w, grp, cents)
+    raw = (
+        F.when(did % 6 == 0, F.concat(F.lit("$"), us))
+        .when(did % 6 == 1, F.concat(eu, F.lit(" €")))
+        .when(did % 6 == 2, F.concat(F.lit("CHF "), ch))
+        .when(did % 6 == 3, F.concat(F.lit("("), us, F.lit(") USD")))
+        .when(did % 6 == 4, F.concat(F.lit("JPY "), plain))
+        .otherwise(eudec)
+    )
+    p = money.parse_amount(raw)
+    b = docs.select(
+        F.lit("currency").alias("variant"),
+        "doc_id",
+        p.currency.alias("vendor_final"),
+        p.amount.alias("amount_final"),
+        raw.alias("desc_final"),
+    )
+    return a.unionByName(b)
 
 
 def date_normalize(spark, sf_dir):
@@ -3184,8 +3219,8 @@ SELECT CASE WHEN raw IN ('invoice','receipt','bank_statement','other') THEN raw 
        count(*) AS n_docs
 FROM r GROUP BY doc_type
 """,
-        "alias_coalesce": """
-SELECT doc_id,
+        "alias_coalesce": f"""
+SELECT 'coalesce' AS variant, doc_id,
   coalesce(CASE WHEN doc_id % 3 = 0 THEN NULL ELSE 'V' || CAST(doc_id AS VARCHAR) END,
            CASE WHEN doc_id % 2 = 0 THEN 'S' || CAST(doc_id AS VARCHAR) ELSE NULL END,
            'M' || CAST(doc_id AS VARCHAR)) AS vendor_final,
@@ -3194,6 +3229,22 @@ SELECT doc_id,
   coalesce(nullif(CASE WHEN doc_id % 2 = 0 THEN '' ELSE 'D' || CAST(doc_id AS VARCHAR) END, ''),
            'Unknown item') AS desc_final
 FROM documents
+UNION ALL
+SELECT 'currency', doc_id,
+  ({money.parse_amount_sql('raw')}).currency,
+  ({money.parse_amount_sql('raw')}).amount,
+  raw
+FROM (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 6 = 0 THEN '$' || printf('%d,%03d.%02d', doc_id % 9 + 1, (doc_id * 37) % 900 + 100, doc_id % 100)
+      WHEN doc_id % 6 = 1 THEN printf('%d.%03d,%02d', doc_id % 9 + 1, (doc_id * 37) % 900 + 100, doc_id % 100) || ' €'
+      WHEN doc_id % 6 = 2 THEN 'CHF ' || printf('%d''%03d.%02d', doc_id % 9 + 1, (doc_id * 37) % 900 + 100, doc_id % 100)
+      WHEN doc_id % 6 = 3 THEN '(' || printf('%d,%03d.%02d', doc_id % 9 + 1, (doc_id * 37) % 900 + 100, doc_id % 100) || ') USD'
+      WHEN doc_id % 6 = 4 THEN 'JPY ' || printf('%d%03d', doc_id % 9 + 1, (doc_id * 37) % 900 + 100)
+      ELSE printf('-%d%03d,%02d', doc_id % 9 + 1, (doc_id * 37) % 900 + 100, doc_id % 100)
+    END AS raw
+  FROM documents)
 """,
         "date_normalize": f"""
 WITH d AS (SELECT doc_id, {_DATE_BUILT_SQL} AS date_raw FROM documents)

@@ -989,8 +989,6 @@ def alias_coalesce(spark, sf_dir):
         description_coalesce(desc, F.lit(None), F.lit(None)).alias("desc_final"),
     )
 
-    from doc_agent_spark.functions import money
-
     w = did % 9 + 1
     cents = did % 100
     grp = (did * 37) % 900 + 100
@@ -2942,15 +2940,36 @@ def oracle_sql() -> dict[str, str]:
     # them into the same consolidated entries queries() registers (see the
     # union-tagged wrappers above oracle parity is per-variant: a value
     # mismatch in any union arm fails the merged row's hash).
+    # the page trim matches Spark's _ws_trim (the FULL Java \s class, not
+    # DuckDB trim()'s space-only default), and the empty-list join
+    # coalesces to '' like Spark array_join — parity holds even for
+    # empty/whitespace-only or formfeed-edged docs
+    ws_trim = (
+        "regexp_replace(regexp_replace({0}, '^[ \\t\\n\\x0B\\f\\r]+', ''), "
+        "'[ \\t\\n\\x0B\\f\\r]+$', '')"
+    )
     assembled_sql = """
-array_to_string(list_transform(list_filter([
-  {'p': 1, 't': trim(substring(text, 1, CAST(length(text) // 3 AS INTEGER)))},
-  {'p': 2, 't': trim(substring(text, CAST(length(text) // 3 AS INTEGER) + 1,
-                     CAST(length(text) // 3 AS INTEGER)))},
-  {'p': 3, 't': trim(substring(text, CAST(length(text) // 3 AS INTEGER) * 2 + 1,
-                     CAST(length(text) AS INTEGER) - CAST(length(text) // 3 AS INTEGER) * 2))}
-], x -> x.t <> ''), x -> '--- Page ' || x.p || ' ---' || chr(10) || x.t), chr(10) || chr(10))
-""".strip()
+coalesce(array_to_string(list_transform(list_filter([
+  {'p': 1, 't': __WT1__},
+  {'p': 2, 't': __WT2__},
+  {'p': 3, 't': __WT3__}
+], x -> x.t <> ''), x -> '--- Page ' || x.p || ' ---' || chr(10) || x.t), chr(10) || chr(10)), '')
+""".strip().replace(
+        "__WT1__",
+        ws_trim.format("substring(text, 1, CAST(length(text) // 3 AS INTEGER))"),
+    ).replace(
+        "__WT2__",
+        ws_trim.format(
+            "substring(text, CAST(length(text) // 3 AS INTEGER) + 1, "
+            "CAST(length(text) // 3 AS INTEGER))"
+        ),
+    ).replace(
+        "__WT3__",
+        ws_trim.format(
+            "substring(text, CAST(length(text) // 3 AS INTEGER) * 2 + 1, "
+            "CAST(length(text) AS INTEGER) - CAST(length(text) // 3 AS INTEGER) * 2)"
+        ),
+    )
 
     base = {
         "q1_pricing_summary": """
@@ -3149,8 +3168,9 @@ SELECT 'reflow', printf('doc-%08d', CAST(doc_id AS INTEGER)), r,
        CAST(length(r) AS INTEGER)
 FROM (
   SELECT doc_id,
-    regexp_replace(regexp_replace(regexp_replace(w,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(w,
       '([A-Za-z])-\\n([a-z])', '\\1\\2', 'g'),
+      '([^.!?:;\\n])\\n([^\\n])', '\\1 \\2', 'g'),
       '([^.!?:;\\n])\\n([^\\n])', '\\1 \\2', 'g'),
       '[ \\t]{{2,}}', ' ', 'g') AS r
   FROM (
@@ -3164,15 +3184,14 @@ UNION ALL
 SELECT 'hdrfoot', printf('doc-%08d', CAST(doc_id AS INTEGER)),
   coalesce(array_to_string(list_transform(list_filter(
     list_transform(pages3, (t, i) -> {{'p': i,
-      't': trim(t, ' ' || chr(9) || chr(10) || chr(13))}}),
+      't': regexp_replace(regexp_replace(t, '^[ \\t\\n\\x0B\\f\\r]+', ''),
+                          '[ \\t\\n\\x0B\\f\\r]+$', '')}}),
     x -> x.t <> ''),
     x -> '--- Page ' || x.p || ' ---' || chr(10) || x.t),
     chr(10) || chr(10)), '') AS content,
-  CAST(len(flatten(lns)) - len(flatten(list_transform(pages3,
-         p -> string_split(p, chr(10)))))
-       + len(list_filter(pages3, p -> p = '')) AS INTEGER) AS metric
+  CAST(len(flatten(lns)) - len(flatten(lns3)) AS INTEGER) AS metric
 FROM (
-  SELECT doc_id, lns,
+  SELECT doc_id, lns, lns3,
     list_transform(lns3, ls -> coalesce(array_to_string(ls, chr(10)), '')) AS pages3
   FROM (
     SELECT doc_id, lns,

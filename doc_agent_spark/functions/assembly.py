@@ -86,6 +86,11 @@ def reflow_text(c: Column) -> Column:
     are identical in Java regex and RE2.
     """
     x = F.regexp_replace(c, r"([A-Za-z])-\n([a-z])", "$1$2")
+    # two passes: the global replace consumes the char after each joined
+    # newline, so a ONE-character wrapped line ('x\n1\ny') leaves its own
+    # trailing newline unjoined on pass one; the second pass catches it
+    # (longer alternating chains are pathological, not practical text)
+    x = F.regexp_replace(x, r"([^.!?:;\n])\n([^\n])", "$1 $2")
     x = F.regexp_replace(x, r"([^.!?:;\n])\n([^\n])", "$1 $2")
     return F.regexp_replace(x, r"[ \t]{2,}", " ")
 
@@ -125,20 +130,18 @@ def strip_repeated_page_lines(pages: Column, min_pages: int = 3) -> Column:
             F.size(F.filter(lasts, lambda x: x == _digit_norm(last_line)))
             >= min_pages
         )
-        kept = F.when(
+        return F.when(
             ftr_rep,
             F.slice(after_hdr, 1, F.greatest(F.size(after_hdr) - 1, F.lit(0))),
         ).otherwise(after_hdr)
-        return F.array_join(kept, "\n")
 
-    stripped = F.transform(lines, strip_page)
-    removed = (
-        F.size(F.flatten(lines))
-        - F.size(F.flatten(F.transform(stripped, lambda p: F.split(p, r"\n"))))
-    )
-    # array_join of zero kept lines is ''; split('') is [''] — count the
-    # truly-empty page as zero lines for the removed metric
-    empty_fix = F.size(F.filter(stripped, lambda p: p == ""))
+    # kept LINE ARRAYS, not joined strings: the removed metric diffs the
+    # flattened array sizes, so a page that was already '' on input (one
+    # empty line in, one out) counts zero — re-splitting joined strings
+    # would miscount it, since split('') is [''].
+    kept = F.transform(lines, strip_page)
+    removed = F.size(F.flatten(lines)) - F.size(F.flatten(kept))
+    pages_out = F.transform(kept, lambda a: F.array_join(a, "\n"))
     return F.struct(
-        stripped.alias("pages"), (removed + empty_fix).cast("int").alias("removed")
+        pages_out.alias("pages"), removed.cast("int").alias("removed")
     )

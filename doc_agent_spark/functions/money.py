@@ -43,10 +43,28 @@ def currency_of(c: Column) -> Column:
     )
 
 
+_AMT = (
+    r"((?:[0-9]{1,3}(?:[ .,'][0-9]{3})+(?:[.,][0-9]{1,2})?)"
+    r"|(?:[0-9]+(?:[.,][0-9]+)*))"
+)
+# prefix guard: the minus counts as a sign only when it is NOT glued to an
+# identifier ('INV-2024' keeps its positive 2024); spaces-as-thousands are
+# only eaten in 3-digit groups, so 'rooms 2, 3' cannot fuse into '2,3'
+_SIGNED = r"(^|[^0-9A-Za-z])(-?)[ ]?" + _AMT
+
+
 def parse_amount(c: Column) -> Column:
-    """struct<amount: double, currency: string> per the module rules."""
-    neg = c.rlike(r"\([^)]*[0-9][^)]*\)") | c.rlike(r"-[ ]*[0-9]")
-    tok = F.regexp_extract(c, r"([0-9][0-9.,' ]*[0-9]|[0-9])", 1)
+    """struct<amount: double, currency: string> per the module rules.
+
+    Contract: the FIRST well-formed numeric run is the amount — callers
+    hand this the amount field/cell, not a free-text sentence (a leading
+    date or id number would win; that disambiguation is the extractor
+    spec's job, not the parser's).
+    """
+    neg = c.rlike(r"\([^)]*[0-9][^)]*\)") | (
+        F.regexp_extract(c, _SIGNED, 2) == "-"
+    )
+    tok = F.regexp_extract(c, _SIGNED, 3)
     t = F.regexp_replace(tok, r"[ ']", "")
     # tail length after the LAST occurrence: greedy ^.* eats through it
     comma_tail = F.length(F.regexp_replace(t, r"^.*,", ""))
@@ -75,7 +93,8 @@ def parse_amount(c: Column) -> Column:
 def parse_amount_sql(expr: str) -> str:
     """DuckDB mirror over a string expression — identical rule algebra;
     emits ``{amount, currency}``."""
-    tok = f"regexp_extract({expr}, '([0-9][0-9.,'' ]*[0-9]|[0-9])', 1)"
+    signed = _SIGNED.replace("'", "''")
+    tok = f"regexp_extract({expr}, '{signed}', 3)"
     t = f"regexp_replace({tok}, '[ '']', '', 'g')"
     comma_tail = f"length(regexp_replace({t}, '^.*,', ''))"
     dot_tail = f"length(regexp_replace({t}, '^.*\\.', ''))"
@@ -94,7 +113,7 @@ CASE
 END""".strip()
     neg = (
         f"(regexp_matches({expr}, '\\([^)]*[0-9][^)]*\\)')"
-        f" OR regexp_matches({expr}, '-[ ]*[0-9]'))"
+        f" OR regexp_extract({expr}, '{signed}', 2) = '-')"
     )
     amount = (
         f"CASE WHEN ({t2}) = '' THEN NULL "

@@ -64,37 +64,40 @@ def _block_linked_words(b: Column) -> Column:
     return F.size(F.filter(F.split(linked, r"\s+"), lambda w: w != ""))
 
 
+def _score_block(b: Column) -> Column:
+    """The ONE block scorer — block_scores, block_scores_arr and
+    main_island all classify through this struct, so a threshold or
+    tokenizer change cannot desynchronize them."""
+    words = _block_words(b)
+    lines = _block_lines(b)
+    tags = _block_tags(b)
+    linked = _block_linked_words(b)
+    density = words.cast("double") / lines.cast("double")
+    tag_ratio = F.when(words > 0, tags.cast("double") / words.cast("double")).otherwise(F.lit(1.0))
+    link_density = F.when(words > 0, linked.cast("double") / words.cast("double")).otherwise(F.lit(1.0))
+    return F.struct(
+        b.alias("block"),
+        words.alias("words"),
+        lines.alias("lines"),
+        F.round(density, 4).alias("density"),
+        F.round(tag_ratio, 4).alias("tag_ratio"),
+        F.round(link_density, 4).alias("link_density"),
+        (
+            (words >= MIN_WORDS)
+            & (density >= MIN_DENSITY)
+            & (tag_ratio <= MAX_TAG_RATIO)
+            & (link_density <= MAX_LINK_DENSITY)
+        ).alias("is_content"),
+    )
+
+
 def block_scores(text: Column) -> Column:
     """array<struct<block, words, lines, density, tag_ratio, link_density,
     is_content>> — the scored block sequence (diagnostic / oracle surface)."""
     blocks = F.filter(
         F.split(text, r"\n\s*\n"), lambda b: F.trim(b) != ""
     )
-
-    def score(b: Column):
-        words = _block_words(b)
-        lines = _block_lines(b)
-        tags = _block_tags(b)
-        linked = _block_linked_words(b)
-        density = words.cast("double") / lines.cast("double")
-        tag_ratio = F.when(words > 0, tags.cast("double") / words.cast("double")).otherwise(F.lit(1.0))
-        link_density = F.when(words > 0, linked.cast("double") / words.cast("double")).otherwise(F.lit(1.0))
-        return F.struct(
-            b.alias("block"),
-            words.alias("words"),
-            lines.alias("lines"),
-            F.round(density, 4).alias("density"),
-            F.round(tag_ratio, 4).alias("tag_ratio"),
-            F.round(link_density, 4).alias("link_density"),
-            (
-                (words >= MIN_WORDS)
-                & (density >= MIN_DENSITY)
-                & (tag_ratio <= MAX_TAG_RATIO)
-                & (link_density <= MAX_LINK_DENSITY)
-            ).alias("is_content"),
-        )
-
-    return F.transform(blocks, score)
+    return F.transform(blocks, _score_block)
 
 
 def dom_tokens(text: Column) -> Column:
@@ -243,11 +246,9 @@ def main_content(text: Column) -> Column:
     whitespace-normalized, joined by '\n\n'."""
     scored = block_scores(text)
     kept = F.filter(scored, lambda s: s.is_content)
-    clean = F.transform(
-        kept,
-        lambda s: F.trim(F.regexp_replace(F.regexp_replace(s.block, r"<[^>]*>", " "), r"[ \t]+", " ")),
+    return F.array_join(
+        F.transform(kept, lambda s: _strip_clean(s.block)), "\n\n"
     )
-    return F.array_join(clean, "\n\n")
 
 
 def main_island(df, text_col: str = "text", id_col: str = "doc_id"):
@@ -311,25 +312,5 @@ def main_island(df, text_col: str = "text", id_col: str = "doc_id"):
 
 
 def block_scores_arr(blocks: Column) -> Column:
-    """block_scores over a pre-split block array (shared scorer)."""
-
-    def score(b: Column):
-        words = _block_words(b)
-        lines = _block_lines(b)
-        tags = _block_tags(b)
-        linked = _block_linked_words(b)
-        density = words.cast("double") / lines.cast("double")
-        tag_ratio = F.when(words > 0, tags.cast("double") / words.cast("double")).otherwise(F.lit(1.0))
-        link_density = F.when(words > 0, linked.cast("double") / words.cast("double")).otherwise(F.lit(1.0))
-        return F.struct(
-            b.alias("block"),
-            words.alias("words"),
-            (
-                (words >= MIN_WORDS)
-                & (density >= MIN_DENSITY)
-                & (tag_ratio <= MAX_TAG_RATIO)
-                & (link_density <= MAX_LINK_DENSITY)
-            ).alias("is_content"),
-        )
-
-    return F.transform(blocks, score)
+    """block_scores over a pre-split block array (same shared scorer)."""
+    return F.transform(blocks, _score_block)

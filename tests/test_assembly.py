@@ -119,7 +119,6 @@ def test_hdrfoot_below_threshold_kept(spark):
             "Other\nbody three\nPage 3 of 9",
         ],
     )
-    assert list(s.pages) == ["body one", "body two", "body three"] or True
     # headers repeat on only 2 pages -> kept; footers stripped on all 3
     assert s.pages[0].startswith("ACME Corp\n")
     assert s.pages[2].startswith("Other\n")
@@ -131,3 +130,16 @@ def test_hdrfoot_header_only_page_empties(spark):
     s = _strip(spark, ["HDR", "HDR\nbody\nPage 1 of 2"], min_pages=2)
     assert list(s.pages) == ["", "body\nPage 1 of 2"]
     assert s.removed == 2
+
+
+def test_hdrfoot_input_empty_page_counts_zero_removed(spark):
+    s = _strip(spark, ["", "x\ny", "z"], min_pages=3)
+    assert list(s.pages) == ["", "x\ny", "z"]
+    assert s.removed == 0
+
+
+def test_reflow_one_char_wrapped_line_joined(spark):
+    from doc_agent_spark.functions.assembly import reflow_text
+
+    df = spark.createDataFrame([(1, "x\n1\ny")], "id long, text string")
+    assert df.select(reflow_text(F.col("text")).alias("r")).collect()[0].r == "x 1 y"

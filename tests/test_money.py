@@ -26,6 +26,10 @@ CASES = [
     ("1 234,56", 1234.56, ""),      # space thousands
     ("no numbers here", None, ""),
     ("total: 7", 7.0, ""),
+    # hyphen glued to an identifier is NOT a sign; spaces only group 3s
+    ("INV-2024 total 50.00", 2024.0, ""),   # first-run contract: id wins
+    ("fee -99", -99.0, ""),
+    ("rooms 2, 3 occupied", 2.0, ""),       # no space-fusing into 2.3
 ]
 
 

@@ -1,0 +1,48 @@
+"""End-to-end pipeline driver (jobs/pipeline.py): extract -> bridge ->
+curate -> pack + index through one workdir/run-id, then a full resume
+pass that must skip every stage's completed work."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from jobs.pipeline import run_pipeline
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    from doc_agent_spark.corpus import make_doc
+    from doc_agent_spark.schema import DOCUMENTS_SPANS
+
+    rows = [make_doc(i) for i in range(40)]
+    path = str(tmp_path_factory.mktemp("pipe") / "spans")
+    spark.createDataFrame(rows, DOCUMENTS_SPANS).write.parquet(path)
+    return path
+
+
+def test_pipeline_all_stages_and_resume(spark, corpus, tmp_path_factory):
+    wd = str(tmp_path_factory.mktemp("pipe") / "run")
+    stats = run_pipeline(spark, corpus, wd, "p1", buckets=4, shards=2)
+    assert stats["extract"]["docs_processed"] == 40
+    assert stats["bridge"]["docs"] == 40
+    assert stats["curate"]["docs_in"] == 40
+
+    docs = spark.read.parquet(f"{wd}/documents")
+    assert docs.count() == 40
+    assert set(docs.columns) >= {"doc_id", "text", "lang", "source", "n_chars"}
+    # media middle span -> every synthetic doc is 'scanned'
+    assert docs.filter(F.col("source") == "scanned").count() == 40
+
+    curated = spark.read.parquet(f"{wd}/curated")
+    assert 0 < curated.count() <= 40
+    assert spark.read.parquet(f"{wd}/index/bm25_postings").count() > 0
+    assert spark.read.parquet(f"{wd}/packed").count() > 0
+
+    # resume: everything already committed -> no stage redoes work
+    stats2 = run_pipeline(spark, corpus, wd, "p1", buckets=4, shards=2)
+    assert stats2["extract"]["docs_processed"] == 0
+    assert stats2["extract"]["resumed_buckets_skipped"] == 4
+    assert stats2["bridge"]["resumed"] is True
+    assert spark.read.parquet(f"{wd}/curated").count() == curated.count()

@@ -127,9 +127,28 @@ def run_index(
         lambda: dedup.minhash_band_table(docs, k=minhash_k, bands=bands),
     )
     # IVF: codebook rows persist relationally; the broadcast form is
-    # rebuilt by consumers from the committed table (model-sized collect)
+    # rebuilt by consumers from the committed table (model-sized collect).
+    # ivf_codebook's stride selection and cid need a NUMERIC id; a
+    # string-keyed corpus (the extract->curate path emits 'doc-%08d')
+    # gets a deterministic xxhash64-derived key — numeric corpora keep
+    # their raw ids so committed artifacts stay byte-stable.
+    from pyspark.sql.types import NumericType
+
+    if isinstance(emb.schema["id"].dataType, NumericType):
+        cb_emb, cb_id = emb, "id"
+    else:
+        cb_emb, cb_id = emb.withColumn("_nid", F.xxhash64("id")), "_nid"
+    # hash-keyed selection has no guaranteed divisible id on a tiny
+    # corpus; degrade the stride (metadata-sized count at build time)
+    # rather than ship an empty codebook
+    stride_eff = centroid_stride
+    while (
+        stride_eff > 1
+        and cb_emb.filter(F.col(cb_id) % stride_eff == 0).limit(1).count() == 0
+    ):
+        stride_eff = max(stride_eff // 10, 1)
     cents, bc = similarity.ivf_codebook(
-        emb, centroid_stride=centroid_stride, id_col="id", vec_col="embedding"
+        cb_emb, centroid_stride=stride_eff, id_col=cb_id, vec_col="embedding"
     )
     commit("ivf_codebook", lambda: cents)
     commit(

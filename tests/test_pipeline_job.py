@@ -32,8 +32,10 @@ def test_pipeline_all_stages_and_resume(spark, corpus, tmp_path_factory):
     docs = spark.read.parquet(f"{wd}/documents")
     assert docs.count() == 40
     assert set(docs.columns) >= {"doc_id", "text", "lang", "source", "n_chars"}
-    # media middle span -> every synthetic doc is 'scanned'
-    assert docs.filter(F.col("source") == "scanned").count() == 40
+    # provenance axis: docs with media-backed spans are 'scanned', pure
+    # text docs 'digital' — both occur in the synthetic corpus
+    srcs = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert set(srcs) == {"scanned", "digital"} and sum(srcs.values()) == 40
 
     curated = spark.read.parquet(f"{wd}/curated")
     assert 0 < curated.count() <= 40

@@ -97,6 +97,28 @@ SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
 
 _WORDS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
 
+# script arm of text_profile: per-doc char counts for the six major
+# scripts over the weave (every 5th doc keeps its Latin text); RE2 spells
+# the script classes \p{Latin} where Java says \p{IsLatin} — same tables
+_SCRIPT_COUNTS_SQL = """
+SELECT doc_id,
+  [CAST(length(regexp_replace(st, '[^\\p{Latin}]', '', 'g')) AS INTEGER),
+   CAST(length(regexp_replace(st, '[^\\p{Cyrillic}]', '', 'g')) AS INTEGER),
+   CAST(length(regexp_replace(st, '[^\\p{Greek}]', '', 'g')) AS INTEGER),
+   CAST(length(regexp_replace(st, '[^\\p{Han}]', '', 'g')) AS INTEGER),
+   CAST(length(regexp_replace(st, '[^\\p{Arabic}]', '', 'g')) AS INTEGER),
+   CAST(length(regexp_replace(st, '[^\\p{Hebrew}]', '', 'g')) AS INTEGER)] AS c
+FROM (
+  SELECT doc_id,
+    CASE CAST(doc_id % 5 AS INTEGER)
+      WHEN 1 THEN 'привет мир как дела'
+      WHEN 2 THEN 'γεια σου κοσμε φιλε'
+      WHEN 3 THEN '你好世界再见朋友'
+      WHEN 4 THEN 'שלום עולם טוב'
+      ELSE text END AS st
+  FROM documents)
+""".strip()
+
 # words-of the gopher weave column `gp` (same tokenizer, different input col)
 _WGP_SQL = "list_filter(string_split_regex(lower(gp), '[^a-z0-9]+'), w -> w <> '')"
 
@@ -2306,7 +2328,44 @@ def text_profile(spark, sf_dir):
         ).alias("key"),
         F.round(F.col("score") * 1e6, 0).cast("long").alias("n_docs"),
     )
-    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+    # script arm (textfns.dominant_script/script_counts): every 5th doc
+    # keeps its Latin text, the others swap in fixed Cyrillic / Greek /
+    # Han / Hebrew snippets — dom:<script> doc counts + chars:<script>
+    # corpus char totals, both gate-checked
+    docs = load(spark, sf_dir, "documents")
+    mod = F.col("doc_id") % 5
+    stext = (
+        F.when(mod == 1, F.lit("привет мир как дела"))
+        .when(mod == 2, F.lit("γεια σου κοσμε φιλε"))
+        .when(mod == 3, F.lit("你好世界再见朋友"))
+        .when(mod == 4, F.lit("שלום עולם טוב"))
+        .otherwise(F.col("text"))
+    )
+    f1 = (
+        docs.select(textfns.dominant_script(stext).alias("dom"))
+        .groupBy("dom")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            F.lit("script").alias("variant"),
+            F.concat(F.lit("dom:"), F.col("dom")).alias("key"),
+            "n_docs",
+        )
+    )
+    names = F.array(*[F.lit(s) for s in textfns.SCRIPTS])
+    f2 = (
+        docs.select(F.posexplode(textfns.script_counts(stext)).alias("idx", "n"))
+        .groupBy("idx")
+        .agg(F.sum("n").cast("long").alias("n_docs"))
+        .select(
+            F.lit("script").alias("variant"),
+            F.concat(F.lit("chars:"), F.element_at(names, F.col("idx") + 1)).alias("key"),
+            "n_docs",
+        )
+    )
+    return (
+        a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+        .unionByName(f1).unionByName(f2)
+    )
 
 
 def file_meta(spark, sf_dir):
@@ -4097,6 +4156,20 @@ FROM (
           GROUP BY term) dft USING (term)
     CROSS JOIN (SELECT count(*) AS n FROM documents) nd))
 WHERE rank <= 3
+UNION ALL
+SELECT 'script', 'dom:' || d, count(*) FROM (
+  SELECT CASE WHEN list_max(c) > 0
+              THEN (['Latin','Cyrillic','Greek','Han','Arabic','Hebrew'])[list_position(c, list_max(c))]
+              ELSE 'none' END AS d
+  FROM ({_SCRIPT_COUNTS_SQL}))
+GROUP BY d
+UNION ALL
+SELECT 'script', 'chars:' || u.name, CAST(sum(u.n) AS BIGINT) FROM (
+  SELECT unnest(list_transform(c,
+    (x, i) -> {{'name': (['Latin','Cyrillic','Greek','Han','Arabic','Hebrew'])[i],
+                'n': x}})) AS u
+  FROM ({_SCRIPT_COUNTS_SQL}))
+GROUP BY u.name
 """,
         "deterministic_samples": f"""
 SELECT 'stratified' AS variant, doc_id, lang, CAST(n_chars AS DOUBLE) AS metric

@@ -314,3 +314,40 @@ def clean_unicode_sql(expr: str) -> str:
     ]:
         c = f"regexp_replace({c}, '{pat}', {rep}, 'g')"
     return f"trim({c})"
+
+
+# Unicode script detection — the multilingual-corpus radar (which writing
+# systems a crawl slice actually contains, and the per-doc dominant script
+# that routing/mixture stages key on). Char-class counts per script, pure
+# JVM regexp; the DuckDB mirror spells the same scripts in RE2 syntax
+# (\p{Cyrillic} vs Java's \p{IsCyrillic}) — different spelling, identical
+# membership for these major scripts.
+SCRIPTS = ("Latin", "Cyrillic", "Greek", "Han", "Arabic", "Hebrew")
+
+
+def script_counts(text: Column) -> Column:
+    """array<int> of character counts per ``SCRIPTS`` entry (order fixed)."""
+    return F.array(*[
+        F.coalesce(
+            F.length(F.regexp_replace(text, rf"[^\p{{Is{s}}}]", "")), F.lit(0)
+        ).cast("int")
+        for s in SCRIPTS
+    ])
+
+
+def dominant_script(text: Column) -> Column:
+    """The script with the most characters; ties break to the SCRIPTS
+    order (Latin first); 'none' when no scripted character occurs."""
+    counts = script_counts(text)
+    best = F.array_max(
+        F.transform(
+            counts,
+            lambda c, i: F.struct(
+                c.alias("n"), (-i).alias("ni")
+            ),
+        )
+    )
+    name = F.element_at(
+        F.array(*[F.lit(s) for s in SCRIPTS]), -best.ni + 1
+    )
+    return F.when(best.n > 0, name).otherwise(F.lit("none"))

@@ -467,3 +467,33 @@ def test_tfidf_keywords_scores_and_tie_order(spark):
     # doc2: banana/cherry tie on score -> term asc breaks it
     assert got[(2, 1)][0] == "banana" and got[(2, 2)][0] == "cherry"
     assert got[(3, 1)][0] == "cherry" and got[(3, 2)][0] == "durian"
+
+
+def test_script_detection(spark):
+    from doc_agent_spark.functions import textfns
+
+    rows = [
+        (1, "plain english text"),
+        (2, "привет мир как дела сегодня"),
+        (3, "γεια σου κοσμε"),
+        (4, "你好世界再见"),
+        (5, "שלום עולם"),
+        (6, "mixed привет but mostly english words here"),
+        (7, "12345 !!!"),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {
+        r.i: (r.d, list(r.c))
+        for r in df.select(
+            "i",
+            textfns.dominant_script(F.col("t")).alias("d"),
+            textfns.script_counts(F.col("t")).alias("c"),
+        ).collect()
+    }
+    assert got[1][0] == "Latin"
+    assert got[2][0] == "Cyrillic"
+    assert got[3][0] == "Greek"
+    assert got[4][0] == "Han" and got[4][1][3] == 6
+    assert got[5][0] == "Hebrew"
+    assert got[6][0] == "Latin"      # majority wins
+    assert got[7][0] == "none"

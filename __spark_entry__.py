@@ -1739,7 +1739,19 @@ def media_metadata(spark, sf_dir):
         F.col("jaccard").alias("metric"),
         F.lit(None).cast("string").alias("digest"),
     )
-    return a.unionByName(b)
+    # dhash arm (multimodal.image_dhash): the 64-bit perceptual image
+    # fingerprint as a bit string — digest carries the full signature so
+    # the gate value-checks every bit; n1/n2 pin the FakeCodec dims.
+    c = multimodal.image_dhash(media).select(
+        F.lit("dhash").alias("variant"),
+        F.col("media_ref").alias("ref"),
+        F.lit(None).cast("string").alias("ref_b"),
+        F.col("width").cast("long").alias("n1"),
+        F.col("height").cast("long").alias("n2"),
+        F.col("popcnt").cast("double").alias("metric"),
+        F.col("dhash").alias("digest"),
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def retrieval_eval(spark, sf_dir):
@@ -3913,6 +3925,24 @@ SELECT 'image' AS variant,
        CAST(strlen(text) AS DOUBLE) AS metric,
        sha256(text) AS digest
 FROM documents
+UNION ALL
+SELECT 'dhash',
+       'media://doc/' || CAST(doc_id AS VARCHAR) || '/full.png',
+       CAST(NULL AS VARCHAR),
+       CAST(w AS BIGINT), CAST(h AS BIGINT),
+       CAST(len(list_filter(bits, x -> x = '1')) AS DOUBLE),
+       array_to_string(bits, '')
+FROM (
+  SELECT doc_id, w, h,
+    list_transform(range(0, 64), b -> CASE WHEN
+      unicode(substring(text, ((((b // 8) * h) // 8) * w + ((b % 8) * w) // 9) % n + 1, 1))
+      > unicode(substring(text, ((((b // 8) * h) // 8) * w + (((b % 8) + 1) * w) // 9) % n + 1, 1))
+      THEN '1' ELSE '0' END) AS bits
+  FROM (
+    SELECT doc_id, text, CAST(length(text) AS INTEGER) AS n,
+           16 + CAST(length(text) AS INTEGER) % 241 AS w,
+           16 + (CAST(length(text) AS INTEGER) // 7) % 181 AS h
+    FROM documents))
 UNION ALL
 SELECT 'video_dup', ref_a, ref_b, n_shared, n_union, jaccard,
        CAST(NULL AS VARCHAR)

@@ -132,3 +132,45 @@ def test_video_near_dups_frame_df_cap_drops_boilerplate_frames(spark):
         media, threshold=0.1, every_n_bytes=128, max_frames=8, max_frame_df=5
     )
     assert out.count() == 0
+
+
+def test_image_dhash_matches_index_arithmetic(spark):
+    """The Arrow dHash must equal the pure index-arithmetic formulation
+    (pixel[r,c] = byte[(r*w+c) % n]) that the DuckDB oracle mirrors."""
+    from doc_agent_spark.operators import multimodal
+
+    texts = ["abc", "hello world this is a longer byte buffer", "x" * 300]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    media = multimodal.media_from_documents(docs)
+    got = {r.media_ref: r for r in multimodal.image_dhash(media).collect()}
+
+    for i, t in enumerate(texts):
+        b = t.encode()
+        n = len(b)
+        w = 16 + n % 241
+        h = 16 + (n // 7) % 181
+        bits = []
+        for bi in range(64):
+            r = ((bi // 8) * h) // 8
+            c0 = ((bi % 8) * w) // 9
+            c1 = ((bi % 8 + 1) * w) // 9
+            bits.append("1" if b[(r * w + c0) % n] > b[(r * w + c1) % n] else "0")
+        expect = "".join(bits)
+        row = got[f"media://doc/{i}/full.png"]
+        assert (row.width, row.height) == (w, h)
+        assert row.dhash == expect
+        assert row.popcnt == expect.count("1")
+
+
+def test_image_dhash_identical_content_identical_hash(spark):
+    from doc_agent_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "same bytes"), (2, "same bytes"), (3, "different bytes entirely")],
+        "doc_id long, text string",
+    )
+    rows = multimodal.image_dhash(multimodal.media_from_documents(docs)).collect()
+    hs = {r.media_ref.split("/")[3]: r.dhash for r in rows}
+    assert hs["1"] == hs["2"] != hs["3"]

@@ -976,16 +976,49 @@ def page_assembly(spark, sf_dir):
 
 
 def doc_type_norm(spark, sf_dir):
+    """F6 doc-type normalization (norm arm) plus SymSpell-style fuzzy
+    field-value matching (fuzzy arm, operators/fuzzy.py): per doc a woven
+    vendor-name typo — exact / one deletion / one insertion / one
+    substitution by doc_id%4 — matched against the 50-name dictionary via
+    1-deletion-neighborhood keys + levenshtein verify. Cross-matches
+    ('vendor_1' vs 'vendor_12' are distance 1) are part of the pinned
+    result."""
     docs = load(spark, sf_dir, "documents")
     raw = F.element_at(
         F.array(*[F.lit(t) for t in ["invoice", "receipt", "bank_statement", "other", "junk_type"]]),
         (F.col("doc_id") % 5 + 1).cast("int"),
     )
-    return (
-        docs.select(doc_type_normalize(raw).alias("doc_type"))
-        .groupBy("doc_type")
+    a = (
+        docs.select(doc_type_normalize(raw).alias("key"))
+        .groupBy("key")
         .agg(F.count("*").alias("n_docs"))
+        .select(F.lit("norm").alias("variant"), "key", "n_docs")
     )
+
+    from doc_agent_spark.operators import fuzzy
+
+    canon = F.concat(F.lit("vendor_"), (F.col("doc_id") % 50).cast("string"))
+    p = (F.col("doc_id") % 7 + 1).cast("int")
+    typo = (
+        F.when(F.col("doc_id") % 4 == 1,
+               F.concat(canon.substr(F.lit(1), p - 1), canon.substr(p + 1, F.length(canon))))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(canon.substr(F.lit(1), p), F.lit("x"), canon.substr(p + 1, F.length(canon))))
+        .when(F.col("doc_id") % 4 == 3,
+              F.concat(canon.substr(F.lit(1), p - 1), F.lit("z"), canon.substr(p + 1, F.length(canon))))
+        .otherwise(canon)
+    )
+    m = fuzzy.fuzzy_match_del1(
+        docs.select(typo.alias("left_val")),
+        docs.select(canon.alias("right_val")),
+        "left_val", "right_val",
+    )
+    b = m.select(
+        F.lit("fuzzy").alias("variant"),
+        F.concat(F.col("left_val"), F.lit(">"), F.col("right_val")).alias("key"),
+        F.col("dist").cast("long").alias("n_docs"),
+    )
+    return a.unionByName(b)
 
 
 def alias_coalesce(spark, sf_dir):
@@ -3011,6 +3044,10 @@ def oracle_sql() -> dict[str, str]:
     # them into the same consolidated entries queries() registers (see the
     # union-tagged wrappers above oracle parity is per-variant: a value
     # mismatch in any union arm fails the merged row's hash).
+    from doc_agent_spark.operators.fuzzy import fuzzy_match_del1_sql
+
+    fuzzy_sql = fuzzy_match_del1_sql("dtn_left", "dtn_right")
+
     # the page trim matches Spark's _ws_trim (the FULL Java \s class, not
     # DuckDB trim()'s space-only default), and the empty-list join
     # coalesces to '' like Spark array_join — parity holds even for
@@ -3301,13 +3338,29 @@ FROM (
                        CAST(length(text) // 3 AS INTEGER) AS a3
                 FROM documents))))))))
 """,
-        "doc_type_norm": """
+        "doc_type_norm": f"""
 WITH r AS (
   SELECT ['invoice','receipt','bank_statement','other','junk_type'][CAST(doc_id % 5 + 1 AS INTEGER)] AS raw
-  FROM documents)
-SELECT CASE WHEN raw IN ('invoice','receipt','bank_statement','other') THEN raw ELSE 'other' END AS doc_type,
-       count(*) AS n_docs
-FROM r GROUP BY doc_type
+  FROM documents),
+dtn_left AS (
+  SELECT CASE CAST(doc_id % 4 AS INTEGER)
+    WHEN 1 THEN substring(canon, 1, p - 1) || substring(canon, p + 1, length(canon))
+    WHEN 2 THEN substring(canon, 1, p) || 'x' || substring(canon, p + 1, length(canon))
+    WHEN 3 THEN substring(canon, 1, p - 1) || 'z' || substring(canon, p + 1, length(canon))
+    ELSE canon END AS left_val
+  FROM (SELECT doc_id,
+          'vendor_' || CAST(doc_id % 50 AS VARCHAR) AS canon,
+          CAST(doc_id % 7 + 1 AS INTEGER) AS p
+        FROM documents)),
+dtn_right AS (
+  SELECT 'vendor_' || CAST(doc_id % 50 AS VARCHAR) AS right_val FROM documents)
+SELECT 'norm' AS variant,
+  CASE WHEN raw IN ('invoice','receipt','bank_statement','other') THEN raw ELSE 'other' END AS key,
+  count(*) AS n_docs
+FROM r GROUP BY key
+UNION ALL
+SELECT 'fuzzy', left_val || '>' || right_val, CAST(dist AS BIGINT)
+FROM ({fuzzy_sql})
 """,
         "alias_coalesce": f"""
 SELECT 'coalesce' AS variant, doc_id,

@@ -1784,7 +1784,26 @@ def media_metadata(spark, sf_dir):
         F.col("popcnt").cast("double").alias("metric"),
         F.col("dhash").alias("digest"),
     )
-    return a.unionByName(b).unionByName(c)
+    # audio arm (multimodal.audio_fingerprint): 31-bit energy-delta
+    # signature, all-integer frame comparison (cross-multiplied means) so
+    # numpy's pairwise summation and the oracle's sequential fold agree
+    # bit-for-bit; digest carries the full signature.
+    audio = docs.select(
+        F.concat(
+            F.lit("media://doc/"), F.col("doc_id").cast("string"), F.lit("/clip.wav")
+        ).alias("media_ref"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+    d = multimodal.audio_fingerprint(audio).select(
+        F.lit("audio").alias("variant"),
+        F.col("media_ref").alias("ref"),
+        F.lit(None).cast("string").alias("ref_b"),
+        F.col("n_samples").cast("long").alias("n1"),
+        F.col("popcnt").cast("long").alias("n2"),
+        F.col("popcnt").cast("double").alias("metric"),
+        F.col("afp").alias("digest"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def retrieval_eval(spark, sf_dir):
@@ -3996,6 +4015,26 @@ FROM (
            16 + CAST(length(text) AS INTEGER) % 241 AS w,
            16 + (CAST(length(text) AS INTEGER) // 7) % 181 AS h
     FROM documents))
+UNION ALL
+SELECT 'audio',
+       'media://doc/' || CAST(doc_id AS VARCHAR) || '/clip.wav',
+       CAST(NULL AS VARCHAR),
+       CAST(n AS BIGINT),
+       CAST(len(list_filter(bits, x -> x = '1')) AS BIGINT),
+       CAST(len(list_filter(bits, x -> x = '1')) AS DOUBLE),
+       array_to_string(bits, '')
+FROM (
+  SELECT doc_id, n,
+    list_transform(range(0, 31), f -> CASE WHEN
+      e[f + 1] * c[f + 2] > e[f + 2] * c[f + 1] THEN '1' ELSE '0' END) AS bits
+  FROM (
+    SELECT doc_id, n,
+      list_transform(range(0, 32), f ->
+        coalesce(list_aggregate(list_transform(range((f * n) // 32, ((f + 1) * n) // 32),
+          i -> abs(2 * unicode(substring(text, i + 1, 1)) - 255)), 'sum'), 0)) AS e,
+      list_transform(range(0, 32), f ->
+        greatest(((f + 1) * n) // 32 - (f * n) // 32, 1)) AS c
+    FROM (SELECT doc_id, text, CAST(length(text) AS INTEGER) AS n FROM documents)))
 UNION ALL
 SELECT 'video_dup', ref_a, ref_b, n_shared, n_union, jaccard,
        CAST(NULL AS VARCHAR)

@@ -360,3 +360,54 @@ def image_dhash(
             )
 
     return media.select(ref_col, content_col).mapInPandas(run, schema=schema)
+
+
+def audio_fingerprint(
+    media: DataFrame,
+    ref_col: str = "media_ref",
+    content_col: str = "content",
+    n_frames: int = 32,
+) -> DataFrame:
+    """Acoustic fingerprint (a chromaprint-style energy-delta signature,
+    deterministically simplified): split the decoded sample stream into
+    ``n_frames`` equal frames, bit f = mean |amplitude| of frame f >
+    frame f+1 -> an (n_frames-1)-bit signature robust to container bytes
+    and re-encoding offsets the way dHash is for images.
+
+    ALL-INTEGER comparison: frame energy is the exact integer sum of
+    |2*byte - 255| and means compare cross-multiplied (e_i*n_j >
+    e_j*n_i), so no float summation order can flip a bit between numpy
+    (pairwise summation) and the DuckDB mirror (sequential fold).
+    """
+    schema = f"{ref_col} string, n_samples int, popcnt int, afp string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, ns, pops, fps = [], [], [], []
+            for ref, content in zip(pdf[ref_col], pdf[content_col]):
+                b = bytes(content or b"\x00")
+                buf = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                amp = np.abs(2 * buf - 255)
+                n = len(buf)
+                bounds = [(f * n) // n_frames for f in range(n_frames + 1)]
+                e = np.array(
+                    [int(amp[bounds[f]:bounds[f + 1]].sum()) for f in range(n_frames)],
+                    dtype=object,
+                )
+                c = np.array(
+                    [max(bounds[f + 1] - bounds[f], 1) for f in range(n_frames)],
+                    dtype=object,
+                )
+                bits = "".join(
+                    "1" if e[f] * c[f + 1] > e[f + 1] * c[f] else "0"
+                    for f in range(n_frames - 1)
+                )
+                refs.append(ref)
+                ns.append(n)
+                pops.append(bits.count("1"))
+                fps.append(bits)
+            yield pd.DataFrame(
+                {ref_col: refs, "n_samples": ns, "popcnt": pops, "afp": fps}
+            )
+
+    return media.select(ref_col, content_col).mapInPandas(run, schema=schema)

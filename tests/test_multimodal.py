@@ -174,3 +174,23 @@ def test_image_dhash_identical_content_identical_hash(spark):
     rows = multimodal.image_dhash(multimodal.media_from_documents(docs)).collect()
     hs = {r.media_ref.split("/")[3]: r.dhash for r in rows}
     assert hs["1"] == hs["2"] != hs["3"]
+
+
+def test_audio_fingerprint_shift_and_constant(spark):
+    from pyspark.sql import functions as F
+
+    from doc_agent_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "abcd" * 64), (2, "abcd" * 64), (3, "q" * 256)],
+        "doc_id long, text string",
+    )
+    media = docs.select(
+        F.concat(F.lit("a://"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+    rows = {r.media_ref: r for r in multimodal.audio_fingerprint(media).collect()}
+    # identical streams -> identical fingerprints; constant stream -> all 0
+    assert rows["a://1"].afp == rows["a://2"].afp
+    assert rows["a://3"].afp == "0" * 31 and rows["a://3"].popcnt == 0
+    assert rows["a://1"].n_samples == 256

@@ -2426,9 +2426,17 @@ def text_profile(spark, sf_dir):
             "n_docs",
         )
     )
+    # pmi arm (search.pmi_collocations): top-20 document-co-occurrence
+    # collocations by PMI over df>=5 terms; key = a|b, n_docs = the
+    # 6-decimal PMI in micro-units
+    g = search.pmi_collocations(docs, min_df=5, k=20).select(
+        F.lit("pmi").alias("variant"),
+        F.concat(F.col("term_a"), F.lit("|"), F.col("term_b")).alias("key"),
+        F.round(F.col("pmi") * 1e6, 0).cast("long").alias("n_docs"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
-        .unionByName(f1).unionByName(f2)
+        .unionByName(f1).unionByName(f2).unionByName(g)
     )
 
 
@@ -4278,6 +4286,27 @@ FROM (
           GROUP BY term) dft USING (term)
     CROSS JOIN (SELECT count(*) AS n FROM documents) nd))
 WHERE rank <= 3
+UNION ALL
+SELECT 'pmi', term_a || '|' || term_b, CAST(round(pmi * 1000000, 0) AS BIGINT)
+FROM (
+  WITH ptoks AS (
+    SELECT DISTINCT id, term FROM (
+      SELECT doc_id AS id, unnest({_WORDS_SQL}) AS term FROM documents)),
+  pdf AS (SELECT term, count(*) AS df FROM ptoks GROUP BY term),
+  pvocab AS (SELECT term, df FROM pdf WHERE df >= 5),
+  ppruned AS (SELECT t.id, t.term FROM ptoks t JOIN pvocab v ON v.term = t.term),
+  ppairs AS (
+    SELECT a.term AS term_a, b.term AS term_b, count(*) AS df_ab
+    FROM ppruned a JOIN ppruned b ON a.id = b.id AND a.term < b.term
+    GROUP BY 1, 2),
+  pn AS (SELECT count(*) AS n FROM documents)
+  SELECT term_a, term_b,
+    round(ln(CAST(df_ab AS DOUBLE) * pn.n / (CAST(da.df AS DOUBLE) * db.df)), 6) AS pmi
+  FROM ppairs
+  JOIN pvocab da ON da.term = ppairs.term_a
+  JOIN pvocab db ON db.term = ppairs.term_b
+  CROSS JOIN pn
+  ORDER BY pmi DESC, term_a ASC, term_b ASC LIMIT 20)
 UNION ALL
 SELECT 'script', 'dom:' || d, count(*) FROM (
   SELECT CASE WHEN list_max(c) > 0

@@ -633,3 +633,69 @@ def tfidf_keywords(
         .filter(F.col("rank") <= k)
         .select("id", "rank", "term", "score")
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information: the top-``k``
+    term PAIRS whose document co-occurrence beats chance, PMI =
+    ln(N·df_ab / (df_a·df_b)) over document-level co-occurrence — the
+    classic corpus-analysis signal (multi-word entities, template
+    phrases, topic anchors).
+
+    Returns (term_a, term_b, df_ab, pmi) with term_a < term_b, ranked by
+    (pmi desc, pair asc) on the 6-decimal-ROUNDED pmi (cross-engine tie
+    stability), limited to ``k``.
+
+    Scale shape: distinct (doc, term) first (bounds the self-join at
+    per-doc vocabulary, not token count); terms pruned to df >= min_df
+    BEFORE pairing (the standard co-occurrence cap — rare terms produce
+    quadratically many meaningless pairs); the pair join keys on the doc
+    id so candidates never leave their document's partition; final top-k
+    is one TakeOrderedAndProject, no global sort.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(words_of(F.col(text_col))).alias("term"),
+    ).distinct()
+    df_t = toks.groupBy("term").agg(F.count("*").alias("df"))
+    vocab = df_t.filter(F.col("df") >= min_df)
+    pruned = toks.join(F.broadcast(vocab.select("term")), "term")
+    a = pruned.select("id", F.col("term").alias("term_a"))
+    b = pruned.select("id", F.col("term").alias("term_b"))
+    pairs = (
+        a.join(b, "id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").alias("df_ab"))
+    )
+    nd = docs.agg(F.count("*").alias("n"))
+    scored = (
+        pairs.join(
+            F.broadcast(vocab.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))),
+            "term_a",
+        )
+        .join(
+            F.broadcast(vocab.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))),
+            "term_b",
+        )
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "term_a", "term_b", "df_ab",
+            F.round(
+                F.log(
+                    F.col("df_ab").cast("double") * F.col("n")
+                    / (F.col("df_a").cast("double") * F.col("df_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("term_a"), F.asc("term_b")
+    ).limit(k)

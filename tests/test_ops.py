@@ -497,3 +497,25 @@ def test_script_detection(spark):
     assert got[5][0] == "Hebrew"
     assert got[6][0] == "Latin"      # majority wins
     assert got[7][0] == "none"
+
+
+def test_pmi_collocations(spark):
+    import math
+
+    from doc_agent_spark.operators import search
+
+    # 'x y' always co-occur (5 docs), 'x z' once, all terms df >= 2
+    rows = [(i, "x y filler" + str(i)) for i in range(5)] + [
+        (5, "x z"), (6, "z w"), (7, "z w"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.term_a, r.term_b): (r.df_ab, r.pmi)
+        for r in search.pmi_collocations(docs, min_df=2, k=50).collect()
+    }
+    n = 8
+    assert got[("x", "y")] == (5, round(math.log(5 * n / (6 * 5)), 6))
+    assert got[("w", "z")] == (2, round(math.log(2 * n / (2 * 3)), 6))
+    assert got[("x", "z")] == (1, round(math.log(1 * n / (6 * 3)), 6))
+    # rare fillers (df filter) never pair
+    assert not any("filler" in a or "filler" in b for a, b in got)

@@ -94,6 +94,13 @@ _DET_QUERIES = [
     # round-3 continuation: URL canon + compaction plan (file_meta arms),
     # ANALYZE profile (kmv arm); bloom/cap/NB ride the three entries above
     "file_meta", "kmv_distinct_users",
+    # session 2: tfidf/pmi/script (text_profile), jusText/island
+    # (boilerplate), reflow/hdrfoot (page_assembly), winnowing
+    # (exact_fingerprint_dups, already listed), fuzzy del-1 matching
+    # (doc_type_norm), dhash + audio fingerprints (media_metadata),
+    # reading order (layout_runs)
+    "text_profile", "boilerplate_strip", "page_assembly",
+    "doc_type_norm", "media_metadata", "layout_runs",
 ]
 
 

@@ -449,3 +449,52 @@ def test_main_island_one_doc_keyed_exchange(spark, sf_dir):
     # doc_id hash partitioning
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_winnow_codegen_no_python_no_window(spark, sf_dir):
+    """Winnowing is the relational form: one md5 per shingle in codegen,
+    exploded window-ids, hash aggregation — no Python stage, no
+    row_number window, no higher-order interpreted lambdas in the hot
+    path (plan shows HashAggregate/ObjectHashAggregate, not Filter over
+    lambda_variable)."""
+    from doc_agent_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(dedup.winnow_groups(docs))
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_tfidf_windowgrouplimit_topk(spark, sf_dir):
+    """The per-doc top-k rank is WindowGroupLimit-pushed (partial limit
+    before the full window sort), and no Python stage appears."""
+    from doc_agent_spark.operators import search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(search.tfidf_keywords(docs, k=3))
+    assert "WindowGroupLimit" in plan
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_fuzzy_match_broadcasts_dictionary(spark):
+    """The deletion-neighborhood join broadcasts the dictionary side and
+    verifies with the JVM levenshtein — no Python, no cross join."""
+    from doc_agent_spark.operators import fuzzy
+
+    left = spark.createDataFrame([("acme corp",)], "left_val string")
+    right = spark.createDataFrame([("acme corp",)], "right_val string")
+    plan = _plan(fuzzy.fuzzy_match_del1(left, right, "left_val", "right_val"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Python" not in plan
+
+
+def test_pmi_broadcasts_vocab_and_topk(spark, sf_dir):
+    from doc_agent_spark.operators import search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(search.pmi_collocations(docs, min_df=5, k=20))
+    assert "BroadcastHashJoin" in plan          # vocab + df sides ride broadcasts
+    assert "TakeOrderedAndProject" in plan      # bounded top-k, no global sort
+    assert "Python" not in plan

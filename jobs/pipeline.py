@@ -81,6 +81,42 @@ def build_documents(spark: SparkSession, extracted_path: str, docs_path: str) ->
     return {"resumed": False, "docs": spark.read.parquet(docs_path).count()}
 
 
+def ingest_jsonl(spark: SparkSession, input_path: str, spans_path: str,
+                 quarantine_path: str) -> dict:
+    """Optional stage 0: a JSONL crawl drop read with corrupt-record
+    quarantine (sources/ingest.py) — malformed lines land whole in
+    ``quarantine_path`` for replay, clean rows become the spans parquet.
+    Artifact-resume like the bridge (readable == done)."""
+    from doc_agent_spark.schema import DOCUMENTS_SPANS
+    from doc_agent_spark.sources import ingest
+
+    if _readable(spark, spans_path) is not None:
+        return {"resumed": True}
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in DOCUMENTS_SPANS.fields
+    )
+    raw = ingest.read_jsonl(spark, input_path, ddl)
+    clean, bad = ingest.split_quarantine(raw, materialize=True)
+    bad.write.mode("overwrite").json(quarantine_path)
+    clean.write.mode("overwrite").parquet(spans_path)
+    raw.unpersist()
+    out = spark.read.parquet(spans_path)
+    return {
+        "resumed": False,
+        "docs": out.count(),
+        "quarantined": spark.read.json(quarantine_path).count()
+        if _readable_json(spark, quarantine_path) else 0,
+    }
+
+
+def _readable_json(spark: SparkSession, path: str) -> bool:
+    try:
+        spark.read.json(path).schema
+        return True
+    except Exception:
+        return False
+
+
 def run_pipeline(
     spark: SparkSession,
     input_path: str,
@@ -92,11 +128,17 @@ def run_pipeline(
     budget: int = 256,
     shards: int = 8,
     dim: int = 16,
+    input_format: str = "parquet",
 ) -> dict:
     lineage = os.path.join(workdir, "lineage")
     metrics = os.path.join(workdir, "metrics")
     p = lambda name: os.path.join(workdir, name)  # noqa: E731
     stats: dict = {"run_id": run_id}
+    if input_format == "jsonl":
+        stats["ingest"] = ingest_jsonl(
+            spark, input_path, p("spans"), p("quarantine")
+        )
+        input_path = p("spans")
     stats["extract"] = run_extract(
         spark, input_path, p("extracted"), lineage, metrics, run_id,
         buckets=buckets,
@@ -127,6 +169,7 @@ def main() -> None:
     ap.add_argument("--budget", type=int, default=256)
     ap.add_argument("--shards", type=int, default=8)
     ap.add_argument("--dim", type=int, default=16)
+    ap.add_argument("--format", default="parquet", choices=["parquet", "jsonl"])
     args = ap.parse_args()
 
     from jobs.extract import ship_package
@@ -138,7 +181,7 @@ def main() -> None:
             spark, args.input, args.workdir, args.run_id,
             buckets=args.buckets, c4_rules=args.c4_rules,
             min_quality=args.min_quality, budget=args.budget,
-            shards=args.shards, dim=args.dim,
+            shards=args.shards, dim=args.dim, input_format=args.format,
         )
         print(json.dumps(stats))
     finally:

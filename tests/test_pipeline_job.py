@@ -48,3 +48,32 @@ def test_pipeline_all_stages_and_resume(spark, corpus, tmp_path_factory):
     assert stats2["extract"]["resumed_buckets_skipped"] == 4
     assert stats2["bridge"]["resumed"] is True
     assert spark.read.parquet(f"{wd}/curated").count() == curated.count()
+
+
+def test_pipeline_jsonl_ingest_with_quarantine(spark, tmp_path_factory):
+    import os
+
+    from doc_agent_spark.corpus import make_doc
+
+    import json as _json
+
+    d = tmp_path_factory.mktemp("pipej")
+    jd = str(d / "drop")
+    os.makedirs(jd)
+    with open(f"{jd}/docs.jsonl", "w") as f:
+        for i in range(20):
+            f.write(_json.dumps(make_doc(i)) + "\n")
+        # corrupt the drop: a truncated line and a type-mangled line
+        f.write('{"doc_id": "doc-x", "spans": [{"kind": tru\n')
+        f.write('{"doc_id": 12345, "spans": "not an array"}\n')
+
+    wd = str(d / "run")
+    stats = run_pipeline(spark, jd, wd, "pj", buckets=4, shards=2,
+                         input_format="jsonl")
+    assert stats["ingest"]["docs"] == 20
+    assert stats["ingest"]["quarantined"] == 2
+    assert stats["extract"]["docs_processed"] == 20
+    assert stats["bridge"]["docs"] == 20
+    # quarantined raw lines are replayable verbatim
+    q = spark.read.json(f"{wd}/quarantine")
+    assert q.count() == 2

@@ -1449,7 +1449,13 @@ def dup_clusters(spark, sf_dir):
     (operators/sampling.py leak_safe_split) — every member of a near-dup
     cluster hashes on its min-label representative so no val/test doc has
     a near-duplicate in train; cluster_id carries the effective group key,
-    algo the assigned split."""
+    algo the assigned split.
+
+    Fifth arm: quality-aware canonical selection (dedup.pick_canonical) —
+    the kept representative of each cluster is the member with the longest
+    text (keep-longest, the standard near-dup editorial rule; ties to the
+    smallest id), not the min-label graph artifact; metric carries the
+    winning length, id the elected canonical."""
     from doc_agent_spark.operators import graphrank, sampling
 
     pairs = dedup.minhash_lsh_pairs(
@@ -1487,7 +1493,17 @@ def dup_clusters(spark, sf_dir):
         F.col("group_key").alias("cluster_id"),
         F.lit(None).cast("double").alias("metric"),
     )
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    scored = _dup_corpus(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        F.length("text").cast("double").alias("score"),
+    )
+    e = dedup.pick_canonical(cc, scored).select(
+        F.lit("canon").alias("algo"),
+        F.col("canonical_id").alias("id"),
+        "cluster_id",
+        F.col("canonical_score").alias("metric"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
 
 
 def stratified_sample(spark, sf_dir):
@@ -2642,8 +2658,18 @@ def doc_listing(spark, sf_dir):
 
 
 def semi_anti_join(spark, sf_dir):
-    """Left anti-join (miss set) and left semi-join (EXISTS decorrelation)
-    union-tagged; nullable columns carry each side's payload."""
+    """Left anti-join (miss set), left semi-join (EXISTS decorrelation),
+    and the Bloom runtime-filter semi join union-tagged; nullable columns
+    carry each side's payload.
+
+    The `bloomsemi` arm (plans/runtime_filter.py) is the semi-join
+    REDUCTION shape: lineitem is pruned scan-side against a broadcast
+    packed Bloom of the urgent-order keys (three BroadcastHashJoin probes,
+    zero exchanges) before the exact semi join — at 10^12 fact rows the
+    shuffle carries only survivors. No false negatives ⇒ the arm's
+    per-order lineitem counts hash-match a plain IN-subquery oracle."""
+    from doc_agent_spark.plans import runtime_filter
+
     a = customers_without_orders(spark, sf_dir).select(
         F.lit("anti").alias("variant"),
         F.col("c_custkey").cast("long").alias("key"),
@@ -2659,7 +2685,26 @@ def semi_anti_join(spark, sf_dir):
         F.col("o_orderdate").cast("timestamp").alias("t"),
         F.col("o_totalprice").cast("double").alias("val"),
     )
-    return a.unionByName(b)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    c = (
+        runtime_filter.bloom_semi_join(li, urgent, "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").cast("double").alias("val"))
+        .select(
+            F.lit("bloomsemi").alias("variant"),
+            F.col("l_orderkey").cast("long").alias("key"),
+            F.lit(None).cast("string").alias("name"),
+            F.lit(None).cast("string").alias("seg"),
+            F.lit(None).cast("timestamp").alias("t"),
+            "val",
+        )
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def graph_ann_topk(spark, sf_dir):
@@ -3846,6 +3891,13 @@ UNION ALL SELECT 'split_' || ({sampling.split_assign_sql({"train": 0.9, "val": 0
           g.id, g.gk, CAST(NULL AS DOUBLE)
 FROM (SELECT c.doc_id AS id, coalesce(cc.cluster_id, c.doc_id) AS gk
       FROM corpus c LEFT JOIN cc ON cc.id = c.doc_id) g
+UNION ALL SELECT 'canon', id, cluster_id, CAST(score AS DOUBLE)
+FROM (
+  SELECT cc.cluster_id, c.doc_id AS id, length(c.text) AS score,
+         row_number() OVER (PARTITION BY cc.cluster_id
+                            ORDER BY length(c.text) DESC, c.doc_id ASC) AS rn
+  FROM cc JOIN corpus c ON c.doc_id = cc.id)
+WHERE rn = 1
 """,
         "stratified_sample": f"""
 SELECT doc_id, lang, n_chars FROM documents
@@ -4241,6 +4293,12 @@ UNION ALL
 SELECT 'semi', CAST(o_orderkey AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
        CAST(o_orderdate AS TIMESTAMP), CAST(o_totalprice AS DOUBLE)
 FROM ({base['orders_with_pricey_items']})
+UNION ALL
+SELECT 'bloomsemi', CAST(l_orderkey AS BIGINT), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS TIMESTAMP), CAST(count(*) AS DOUBLE)
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_orderkey
 """,
         "grouping_sets": f"""
 SELECT 'cube' AS variant, event_type, hour_of_day, n_events, sum_value

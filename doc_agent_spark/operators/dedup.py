@@ -757,6 +757,43 @@ def dup_clusters_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     return labeled.unionByName(orphans)
 
 
+def pick_canonical(clusters: DataFrame, scored: DataFrame,
+                   id_col: str = "id", score_col: str = "score") -> DataFrame:
+    """Quality-aware canonical selection: for each dup cluster, the kept
+    representative is the member with the HIGHEST score, ties to the
+    smallest id — (cluster_id, canonical_id, canonical_score).
+
+    Real curation pipelines keep the best member of a near-dup group, not
+    an arbitrary one (the min-label cluster id is a graph artifact, not an
+    editorial choice); typical scores are document length (keep-longest),
+    the quality heuristic, or the LM tier. ``scored`` maps ``id_col`` →
+    ``score_col`` for every cluster member; membership rows missing a
+    score are dropped (inner join) so partial score tables can't silently
+    elect an unscored canonical.
+
+    Scale shape: one equi-join (cluster membership is tiny next to the
+    corpus — scores can be semi-join-pruned to members first by the
+    caller) and one per-cluster top-1 window, which Spark executes as
+    WindowGroupLimit — each task forwards at most one candidate row per
+    cluster before the exchange."""
+    from pyspark.sql.window import Window
+
+    j = clusters.join(
+        scored.select(F.col(id_col).alias("id"), F.col(score_col).alias("_score")),
+        "id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("_score"), F.asc("id"))
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("id").alias("canonical_id"),
+            F.col("_score").alias("canonical_score"),
+        )
+    )
+
+
 def _banded_buckets_arrow(base: DataFrame, n_planes: int, n_tables: int,
                           seed: int, dim: int) -> DataFrame:
     """(id, tbl, bucket) for every table, via one Arrow-batched matmul.

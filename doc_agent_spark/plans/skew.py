@@ -98,3 +98,91 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return bs.join(ss, [*on, "_salt"], how).drop("_salt")
+
+
+def heavy_keys(
+    big: DataFrame,
+    key_col: str,
+    row_key: str,
+    threshold_share: float = 0.005,
+    sample_fraction: float = 0.05,
+    seed: str = "hk",
+) -> list:
+    """Deterministic heavy-hitter detection for join salting: which join
+    keys carry more than ``threshold_share`` of the big side's rows?
+
+    Counts run over a content-hash Bernoulli row sample (the sampling
+    module's determinism discipline — same keys at any cluster size or
+    layout, no RNG state), so the scan reads only (key, row-hash) and the
+    aggregate shuffles only the sampled slice. A key whose true share is s
+    appears in the sample with share ≈ s (binomial concentration), so at
+    the scales where salting matters (share ≥ ~0.5 % of 10^12 rows, i.e.
+    ≥ 10^9 sampled-from rows per hot key) the detected set is stable.
+    The returned list is driver-sized by construction: at most
+    1/threshold_share keys can exceed the share bound."""
+    from doc_agent_spark.operators import sampling
+
+    s = sampling.sample_bernoulli(
+        big.select(key_col, row_key), sample_fraction, key_col=row_key, seed=seed
+    )
+    # null keys never match an equi-join — they cannot be "hot" for it
+    counts = s.filter(F.col(key_col).isNotNull()).groupBy(key_col).agg(
+        F.count("*").alias("_n")
+    )
+    total = s.count()
+    if total == 0:
+        return []
+    cut = max(1, int(total * threshold_share))
+    return [
+        r[0]
+        for r in counts.filter(F.col("_n") >= cut).select(key_col).collect()
+    ]
+
+
+def skewed_split_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    row_key: str,
+    hot_keys: list | None = None,
+    n_salts: int = 8,
+    how: str = "inner",
+    threshold_share: float = 0.005,
+    sample_fraction: float = 0.05,
+) -> DataFrame:
+    """Hybrid skew join: hot keys take the salted path, the cold tail takes
+    the plain equi-join — the replication cost of :func:`salted_join` is
+    paid ONLY for the (tiny) hot-key slice of the small side.
+
+    ``salted_join`` replicates the ENTIRE small side ×n_salts; fine when
+    the small side is dimension-sized, wasteful when it is merely
+    "smaller" (e.g. a 10^9-row doc-stats table joined to 10^12 events
+    skewed on a handful of mega-hosts). Splitting on the detected hot-key
+    list (``heavy_keys`` when not given) keeps the cold join's shuffle
+    byte-identical to the naive plan while the hot slice — a broadcastable
+    key list by construction — fans out over n_salts reducers.
+
+    Semantics equal the plain join for inner/left: the key space is
+    partitioned between the two branches (null keys ride the cold branch,
+    preserving left-join null-key rows), each branch is join-correct, and
+    the union is disjoint. Same inner/left restriction as salted_join."""
+    if len(on) != 1:
+        raise ValueError("skewed_split_join detects skew on single-column keys")
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"skewed_split_join supports inner/left joins, got {how!r}")
+    key = on[0]
+    if hot_keys is None:
+        hot_keys = heavy_keys(
+            big, key, row_key,
+            threshold_share=threshold_share, sample_fraction=sample_fraction,
+        )
+    if not hot_keys:
+        return big.join(small, on, how)
+    is_hot = F.col(key).isin(hot_keys)
+    hot = salted_join(
+        big.filter(is_hot), small.filter(is_hot), on, row_key, n_salts, how
+    )
+    cold = big.filter(~is_hot | F.col(key).isNull()).join(
+        small.filter(~is_hot), on, how
+    )
+    return hot.unionByName(cold)

@@ -83,6 +83,31 @@ def test_star_matches_minlabel_on_varied_graph_shapes(spark):
         assert a == b, f"{name}: star disagrees with min-label"
 
 
+def test_pick_canonical_by_score_with_tiebreak(spark):
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], "id long, cluster_id long"
+    )
+    scored = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (7, 1.0), (8, 1.0)], "id long, score double"
+    )
+    out = {
+        r.cluster_id: (r.canonical_id, r.canonical_score)
+        for r in dedup.pick_canonical(clusters, scored).collect()
+    }
+    # cluster 1: 2 and 3 tie on score 9.0 -> smallest id wins
+    assert out == {1: (2, 9.0), 7: (7, 1.0)}
+
+
+def test_pick_canonical_ignores_unscored_members(spark):
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1)], "id long, cluster_id long"
+    )
+    scored = spark.createDataFrame([(1, 3.0)], "id long, score double")
+    out = dedup.pick_canonical(clusters, scored).collect()
+    # member 2 has no score row: it cannot be elected
+    assert [(r.cluster_id, r.canonical_id) for r in out] == [(1, 1)]
+
+
 def test_star_converges_logarithmically_on_chains(spark):
     # a 60-edge chain needs 60+ min-label rounds but only O(log n) star
     # rounds — the reason the star variant is the extreme-scale path

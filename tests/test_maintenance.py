@@ -101,6 +101,80 @@ def test_salted_join_rejects_right_joins(spark):
         skew.salted_join(df, df, ["key"], row_key="row_id", how="right")
 
 
+def _skewed_frames(spark):
+    # 70% of big rows share one key; the tail is uniform over 20 keys
+    big = spark.createDataFrame(
+        [
+            (i, "mega" if i % 10 < 7 else f"k{i % 20}", float(i))
+            for i in range(1000)
+        ]
+        + [(9999, None, -1.0)],
+        "row_id long, key string, payload double",
+    )
+    small = spark.createDataFrame(
+        [("mega", 1.0)] + [(f"k{i}", float(i)) for i in range(15)],
+        "key string, w double",
+    )
+    return big, small
+
+
+def test_heavy_keys_detects_the_hot_key(spark):
+    from doc_agent_spark.plans import skew
+
+    big, _ = _skewed_frames(spark)
+    hot = skew.heavy_keys(big, "key", row_key="row_id",
+                          threshold_share=0.3, sample_fraction=0.5)
+    assert hot == ["mega"]
+    # threshold above the hot share -> nothing detected
+    assert skew.heavy_keys(big, "key", row_key="row_id",
+                           threshold_share=0.95, sample_fraction=0.5) == []
+
+
+def test_skewed_split_join_matches_plain_join(spark):
+    from doc_agent_spark.plans import skew
+
+    big, small = _skewed_frames(spark)
+    cols = ["row_id", "key", "payload", "w"]
+    for how in ("inner", "left"):
+        plain = big.join(small, ["key"], how).select(*cols)
+        # explicit hot list
+        split = skew.skewed_split_join(
+            big, small, ["key"], row_key="row_id", hot_keys=["mega"], how=how
+        ).select(*cols)
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, split.collect())
+        ), how
+        # auto-detected hot list
+        auto = skew.skewed_split_join(
+            big, small, ["key"], row_key="row_id", how=how,
+            threshold_share=0.3, sample_fraction=0.5,
+        ).select(*cols)
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, auto.collect())
+        ), how
+    # left join keeps the null-key big row exactly once
+    left = skew.skewed_split_join(
+        big, small, ["key"], row_key="row_id", hot_keys=["mega"], how="left"
+    )
+    assert left.filter("key IS NULL").count() == 1
+
+
+def test_skewed_split_join_contract(spark):
+    from doc_agent_spark.plans import skew
+
+    df = spark.createDataFrame([(1, "a", "b")], "row_id long, k1 string, k2 string")
+    with pytest.raises(ValueError):
+        skew.skewed_split_join(df, df, ["k1", "k2"], row_key="row_id")
+    with pytest.raises(ValueError):
+        skew.skewed_split_join(df, df, ["k1"], row_key="row_id", how="right")
+    # no hot keys at all -> falls back to the plain join
+    big, small = _skewed_frames(spark)
+    out = skew.skewed_split_join(
+        big, small, ["key"], row_key="row_id", hot_keys=[]
+    )
+    assert out.count() == big.join(small, ["key"]).count()
+
+
 def test_zorder_key_golden_and_range(spark):
     """Hand-computed Morton values + 16-bit truncation."""
     import pyspark.sql.functions as F

@@ -2667,7 +2667,14 @@ def semi_anti_join(spark, sf_dir):
     packed Bloom of the urgent-order keys (three BroadcastHashJoin probes,
     zero exchanges) before the exact semi join — at 10^12 fact rows the
     shuffle carries only survivors. No false negatives ⇒ the arm's
-    per-order lineitem counts hash-match a plain IN-subquery oracle."""
+    per-order lineitem counts hash-match a plain IN-subquery oracle.
+
+    The `bloomanti` arm is the dual — the DROP-LIST application shape:
+    Bloom misses are definite non-members and bypass the exact anti join
+    (zero shuffle for the kept majority); only the maybe slice pays the
+    join that clears false positives. Must reproduce the `anti` arm's
+    rows exactly under a different tag — same big-order key set, routed
+    through bloom_anti_join instead of the plain left_anti."""
     from doc_agent_spark.plans import runtime_filter
 
     a = customers_without_orders(spark, sf_dir).select(
@@ -2704,7 +2711,25 @@ def semi_anti_join(spark, sf_dir):
             "val",
         )
     )
-    return a.unionByName(b).unionByName(c)
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    big_order_cust = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    d = runtime_filter.bloom_anti_join(
+        cust, big_order_cust, "c_custkey"
+    ).select(
+        F.lit("bloomanti").alias("variant"),
+        F.col("c_custkey").cast("long").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(None).cast("timestamp").alias("t"),
+        F.lit(None).cast("double").alias("val"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def graph_ann_topk(spark, sf_dir):
@@ -4299,6 +4324,10 @@ SELECT 'bloomsemi', CAST(l_orderkey AS BIGINT), CAST(NULL AS VARCHAR),
 FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
 GROUP BY l_orderkey
+UNION ALL
+SELECT 'bloomanti', CAST(c_custkey AS BIGINT), c_name, c_mktsegment,
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE)
+FROM ({base['customers_without_orders']})
 """,
         "grouping_sets": f"""
 SELECT 'cube' AS variant, event_type, hour_of_day, n_events, sum_value

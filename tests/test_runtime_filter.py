@@ -58,6 +58,41 @@ def test_bloom_prune_no_false_negatives_and_actually_prunes(spark):
     assert pruned.count() >= big.join(keys, "key", "left_semi").count()
 
 
+def test_bloom_anti_join_matches_plain_anti(spark):
+    big, keys = _fact(spark), _keys(spark)
+    plain = big.join(keys, "key", "left_anti")
+    bloom = runtime_filter.bloom_anti_join(big, keys, "key")
+    assert sorted(map(tuple, plain.select(*bloom.columns).collect())) == sorted(
+        map(tuple, bloom.collect())
+    )
+
+
+def test_bloom_anti_join_keeps_null_keys_and_duplicates(spark):
+    big = spark.createDataFrame(
+        [(1, "drop"), (2, None), (3, "keep"), (4, "keep")],
+        "row_id long, key string",
+    )
+    keys = spark.createDataFrame([("drop",)], "key string")
+    out = runtime_filter.bloom_anti_join(big, keys, "key")
+    got = sorted((r.row_id, r.key) for r in out.collect())
+    assert got == [(2, None), (3, "keep"), (4, "keep")]
+    # empty drop list keeps everything
+    empty = keys.filter(F.lit(False))
+    assert runtime_filter.bloom_anti_join(big, empty, "key").count() == 4
+
+
+def test_bloom_flag_partitions_rows(spark):
+    big, keys = _fact(spark), _keys(spark)
+    words = sketches.bloom_build(keys.select("key"), "key")
+    flagged = runtime_filter.bloom_flag(big, words, "key")
+    # flag column appended, schema otherwise preserved, row count unchanged
+    assert flagged.columns == [*big.columns, "_rtf_maybe"]
+    assert flagged.count() == big.count()
+    # every true member is flagged maybe (no false negatives)
+    member = flagged.filter(F.col("key").isin([f"k{i}" for i in range(0, 50, 2)]))
+    assert member.filter(~F.col("_rtf_maybe")).count() == 0
+
+
 def test_bloom_prune_plan_is_narrow(spark):
     """The scan-side prune must be exchange-free: n_hashes broadcast hash
     joins, never a shuffle of the fact side."""

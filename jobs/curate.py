@@ -279,6 +279,34 @@ def _load_or_build_lm(spark, docs, path: str, min_count: int):
     return tuple(spark.read.parquet(p) for p in paths), False
 
 
+def _apply_drop_list(docs, drops, n_drops: int, bloom_min: int):
+    """Anti-join ``docs`` against a persisted drop list, switching to the
+    Bloom anti-join reduction (plans/runtime_filter.bloom_anti_join) once
+    the list is big enough that the exact join's shuffle dominates.
+
+    Below ``bloom_min`` rows the drop list is comfortably AQE-broadcastable
+    and the plain left-anti is optimal. Above it — near-dup drop lists
+    scale with the corpus's duplicate mass, 30-50 % of a web crawl — the
+    Bloom split lets every definite-keep row (the majority) bypass the
+    join with zero shuffle; the filter is sized to ~10 bits/key (~2 % FP)
+    from the already-computed exact count, capped at 2^30 bits (a ~130 MB
+    packed word table — big-broadcast territory). Past the cap the
+    bits/key ratio degrades; below 4 bits/key the filter would flag
+    nearly every row maybe, so the helper falls back to the plain join
+    rather than pay probes for no pruning. Results are row-identical on
+    every path (no false negatives), so the switch is purely physical."""
+    if n_drops < bloom_min:
+        # no broadcast hint: the drop list scales with near-dup mass, not
+        # with a model size — let AQE pick broadcast vs shuffle join
+        return docs.join(drops, "doc_id", "left_anti")
+    m_bits = min(1 << 30, max(1 << 14, 1 << (10 * n_drops).bit_length()))
+    if m_bits < 4 * n_drops:
+        return docs.join(drops, "doc_id", "left_anti")
+    from doc_agent_spark.plans import runtime_filter
+
+    return runtime_filter.bloom_anti_join(docs, drops, "doc_id", m_bits=m_bits)
+
+
 def run_curate(
     spark: SparkSession,
     input_path: str,
@@ -309,6 +337,7 @@ def run_curate(
     dsir_keep_path: str | None = None,
     blocklist: list[str] | None = None,
     c4_rules: bool = False,
+    bloom_droplist_min: int = 5_000_000,
 ) -> dict:
     from pyspark.sql import Observation
 
@@ -396,9 +425,7 @@ def run_curate(
             spark, fpath, _fuzzy_drops_build(docs, fuzzy_jaccard)
         )
         n_fuzzy_dropped = drops.count()
-        # no broadcast hint: the drop list scales with near-dup mass, not
-        # with a model size — let AQE pick broadcast vs shuffle join
-        docs = docs.join(drops, "doc_id", "left_anti")
+        docs = _apply_drop_list(docs, drops, n_fuzzy_dropped, bloom_droplist_min)
     cap_reused = None
     n_domain_capped = 0
     if domain_cap > 0:
@@ -407,7 +434,7 @@ def run_curate(
             spark, cpath, _domain_cap_drops_build(docs, domain_cap, domain_col)
         )
         n_domain_capped = cap_drops.count()
-        docs = docs.join(cap_drops, "doc_id", "left_anti")
+        docs = _apply_drop_list(docs, cap_drops, n_domain_capped, bloom_droplist_min)
     dsir_reused = None
     n_dsir_kept = 0
     if dsir_keep > 0:
@@ -586,6 +613,11 @@ def main() -> None:
     ap.add_argument("--blocklist", default=None,
                     help="comma-separated bad-word token list; docs "
                          "containing any listed token fail the filter stage")
+    ap.add_argument("--bloom-droplist-min", type=int, default=5_000_000,
+                    help="drop lists at or above this many rows apply via "
+                         "the Bloom anti-join reduction instead of the "
+                         "plain left-anti (definite-keep rows bypass the "
+                         "join shuffle entirely)")
     ap.add_argument("--c4-rules", action="store_true",
                     help="apply the C4 line/page rules first: rewrite text "
                          "to the kept-lines form and fail pages flagged by "
@@ -612,6 +644,7 @@ def main() -> None:
         args.dsir_keep_list,
         args.blocklist.split(",") if args.blocklist else None,
         args.c4_rules,
+        args.bloom_droplist_min,
     )
     print(stats)
     spark.stop()

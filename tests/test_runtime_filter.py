@@ -47,8 +47,10 @@ def test_bloom_semi_join_null_keys_and_empty_filter(spark):
 
 def test_bloom_prune_no_false_negatives_and_actually_prunes(spark):
     big, keys = _fact(spark), _keys(spark)
+    # md5 scheme: probing a sketches-built (persisted-snapshot) filter
     words = sketches.bloom_build(keys.select("key"), "key")
-    pruned = runtime_filter.bloom_prune(big, words, "key")
+    pruned = runtime_filter.bloom_prune(big, words, "key",
+                                        seed="bloom", scheme="md5")
     kept = {r.key for r in pruned.select("key").distinct().collect()}
     # every true member survives (no false negatives)
     assert {f"k{i}" for i in range(0, 50, 2)} <= kept
@@ -83,7 +85,7 @@ def test_bloom_anti_join_keeps_null_keys_and_duplicates(spark):
 
 def test_bloom_flag_partitions_rows(spark):
     big, keys = _fact(spark), _keys(spark)
-    words = sketches.bloom_build(keys.select("key"), "key")
+    words = runtime_filter.bloom_build_fast(keys, "key")
     flagged = runtime_filter.bloom_flag(big, words, "key")
     # flag column appended, schema otherwise preserved, row count unchanged
     assert flagged.columns == [*big.columns, "_rtf_maybe"]
@@ -97,7 +99,7 @@ def test_bloom_prune_plan_is_narrow(spark):
     """The scan-side prune must be exchange-free: n_hashes broadcast hash
     joins, never a shuffle of the fact side."""
     big, keys = _fact(spark), _keys(spark)
-    words = sketches.bloom_build(keys.select("key"), "key")
+    words = runtime_filter.bloom_build_fast(keys, "key")
     pruned = runtime_filter.bloom_prune(big, words, "key")
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan

@@ -95,6 +95,37 @@ def test_bloom_flag_partitions_rows(spark):
     assert member.filter(~F.col("_rtf_maybe")).count() == 0
 
 
+def test_bloom_joins_randomized_equivalence(spark):
+    """Seeded random universe (numeric keys incl. negatives, duplicates on
+    both sides, partial overlap) — both reductions must equal the plain
+    joins exactly. Exercises the KM double-hash over a wider key range
+    than the structured cases, including h2 ≡ 0 (mod m) degenerates."""
+    import random
+
+    rng = random.Random(1234)
+    big = spark.createDataFrame(
+        [(i, rng.randrange(-(10**9), 10**9)) for i in range(3000)],
+        "row_id long, key long",
+    )
+    keys = spark.createDataFrame(
+        [(rng.randrange(-(10**9), 10**9),) for _ in range(400)]
+        + [(r.key,) for r in big.sample(0.05, seed=7).collect()],
+        "key long",
+    )
+    semi_plain = big.join(keys.distinct(), "key", "left_semi")
+    semi_bloom = runtime_filter.bloom_semi_join(big, keys, "key", m_bits=4096)
+    assert sorted(map(tuple, semi_plain.collect())) == sorted(
+        map(tuple, semi_bloom.collect())
+    )
+    anti_plain = big.join(keys, "key", "left_anti")
+    anti_bloom = runtime_filter.bloom_anti_join(big, keys, "key", m_bits=4096)
+    assert sorted(map(tuple, anti_plain.select(*anti_bloom.columns).collect())) == sorted(
+        map(tuple, anti_bloom.collect())
+    )
+    # the two reductions partition the fact side
+    assert semi_bloom.count() + anti_bloom.count() == big.count()
+
+
 def test_bloom_prune_plan_is_narrow(spark):
     """The scan-side prune must be exchange-free: n_hashes broadcast hash
     joins, never a shuffle of the fact side."""

@@ -1,0 +1,242 @@
+"""Incremental near-dup ingest job — the snapshot-N+1 shape: dedup a NEW
+crawl batch against a PERSISTED MinHash band index without recomputing
+anything about history.
+
+    spark-submit --py-files dist.zip jobs/incremental.py \\
+        --batch warehouse.crawl_2026_08 --history warehouse.curated \\
+        --index warehouse.index --output warehouse.delta_2026_08 \\
+        --lineage warehouse.lineage --metrics warehouse.metrics \\
+        --run-id inc42 --minhash-k 8 --bands 4 --jaccard 0.5
+
+Division of labor at 10^12 docs: the batch job (jobs/index.py) owns the
+corpus-wide band index; the streaming path (streaming/pipeline.py
+near_dup_stream) answers per-document arrival; THIS job is the daily/
+weekly batch increment in between — band the new batch (stateless per
+row), equi-join it against the index snapshot on (band, bucket), verify
+candidates with exact Jaccard (participants-only shingling), and emit
+three independently-committed delta artifacts:
+
+  pairs_delta/   (id_new, matched_id, jaccard, kind)  verified near-dup
+                 pairs, kind = 'history' (new vs indexed) or 'batch'
+                 (new vs new)
+  drop_delta/    (doc_id)  new docs to drop: anything matching history
+                 (history is canonical — it already shipped in snapshot
+                 N), plus non-canonical members of batch-internal
+                 clusters (min-label components over the batch pairs,
+                 dedup.dup_clusters)
+  bands_delta/   (id, band, bucket)  band rows for the KEPT new docs —
+                 snapshot N+1's index is read(index)/minhash_bands ∪
+                 every delta's bands_delta, NEVER a rewrite of the
+                 history table (the filter is mergeable by union, like
+                 every sketch in operators/sketches.py)
+
+Nothing here scans history text except the verify stage, and that only
+for the docs some candidate pair names (verify_pairs_jaccard left-semi
+prunes to participants before shingling) — the cost of an increment
+scales with the BATCH and its match surface, not with the corpus.
+
+Resume model: artifact-granular (the jobs/index.py pattern) — each
+artifact is a deterministic function of (batch, index snapshot), its
+parquet write is the commit point, a re-run skips whatever reads back.
+One lineage row per artifact commits after its write.
+
+Reference parity: the reference re-extracts and re-upserts one document
+at a time (packages/cli/src/commands/extract.ts); incremental corpus
+maintenance has no analog there — it is part of the scale-out surface
+this engine adds.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+ARTIFACTS = ["pairs_delta", "drop_delta", "bands_delta"]
+
+
+def _read(spark: SparkSession, path: str):
+    return (
+        spark.read.parquet(path) if "/" in path else spark.read.table(path)
+    )
+
+
+def _readable(spark: SparkSession, path: str):
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force resolution
+        return df
+    except Exception:
+        return None
+
+
+def run_incremental(
+    spark: SparkSession,
+    batch_path: str,
+    history_path: str,
+    index_path: str,
+    output_path: str,
+    lineage_path: str,
+    run_id: str,
+    minhash_k: int = 8,
+    bands: int = 4,
+    jaccard: float = 0.5,
+) -> dict:
+    from doc_agent_spark.operators import dedup
+
+    t0 = time.time()
+    batch = _read(spark, batch_path).select("doc_id", "text")
+    history = _read(spark, history_path).select("doc_id", "text")
+    hist_bands = spark.read.parquet(
+        index_path.rstrip("/") + "/minhash_bands"
+    )
+    out = output_path.rstrip("/")
+    built: dict[str, int] = {}
+    reused: dict[str, bool] = {}
+    lineage_rows = []
+
+    def commit(name: str, build):
+        path = f"{out}/{name}"
+        existing = _readable(spark, path)
+        if existing is not None:
+            reused[name] = True
+            built[name] = existing.count()
+            return existing
+        t = time.time()
+        frame = build()
+        frame.write.mode("overwrite").parquet(path)
+        committed = spark.read.parquet(path)
+        reused[name] = False
+        built[name] = committed.count()
+        lineage_rows.append((
+            run_id, "incremental", ARTIFACTS.index(name), "done",
+            built[name], built[name], 0, 0,
+            int((time.time() - t) * 1000),
+        ))
+        return committed
+
+    # batch band rows once; the DAG below branches it three ways
+    # (vs-history join, self-join, kept-bands projection)
+    batch_bands = dedup.minhash_band_table(
+        batch, k=minhash_k, bands=bands
+    ).localCheckpoint(eager=True)
+
+    def build_pairs():
+        hb = hist_bands.select(
+            F.col("id").alias("_hid"), "band", "bucket"
+        )
+        cand_hist = (
+            batch_bands.join(hb, ["band", "bucket"])
+            .filter(F.col("id") != F.col("_hid"))
+            .select(F.col("id").alias("id_a"), F.col("_hid").alias("id_b"))
+            .distinct()
+        )
+        b2 = batch_bands.select(
+            F.col("id").alias("_bid"), "band", "bucket"
+        )
+        cand_self = (
+            batch_bands.join(b2, ["band", "bucket"])
+            .filter(F.col("id") < F.col("_bid"))
+            .select(F.col("id").alias("id_a"), F.col("_bid").alias("id_b"))
+            .distinct()
+        )
+        corpus = batch.unionByName(history)
+        vh = dedup.verify_pairs_jaccard(
+            cand_hist, corpus, threshold=jaccard
+        ).select(
+            F.col("id_a").alias("id_new"),
+            F.col("id_b").alias("matched_id"),
+            "jaccard",
+            F.lit("history").alias("kind"),
+        )
+        vs = dedup.verify_pairs_jaccard(
+            cand_self, batch, threshold=jaccard
+        ).select(
+            F.col("id_a").alias("id_new"),
+            F.col("id_b").alias("matched_id"),
+            "jaccard",
+            F.lit("batch").alias("kind"),
+        )
+        return vh.unionByName(vs)
+
+    pairs = commit("pairs_delta", build_pairs)
+
+    def build_drops():
+        # anything matching history: history is canonical (it shipped)
+        hist_hit = pairs.filter(F.col("kind") == "history").select(
+            F.col("id_new").alias("doc_id")
+        )
+        # batch-internal clusters: min-label components, drop non-canonical
+        self_pairs = pairs.filter(F.col("kind") == "batch").select(
+            F.col("id_new").alias("id_a"), F.col("matched_id").alias("id_b")
+        )
+        cc = dedup.dup_clusters(self_pairs)
+        non_canon = cc.filter(F.col("id") != F.col("cluster_id")).select(
+            F.col("id").alias("doc_id")
+        )
+        return hist_hit.unionByName(non_canon).distinct()
+
+    drops = commit("drop_delta", build_drops)
+
+    commit(
+        "bands_delta",
+        lambda: batch_bands.join(
+            drops.withColumnRenamed("doc_id", "id"), "id", "left_anti"
+        ),
+    )
+
+    if lineage_rows:
+        spark.createDataFrame(
+            lineage_rows,
+            "run_id string, stage string, partition_id int, status string, "
+            "docs_in long, docs_out long, spans long, failures long, "
+            "wall_ms long",
+        ).write.mode("append").parquet(lineage_path)
+
+    return {
+        "batch_docs": batch.count(),
+        "pairs_delta": built["pairs_delta"],
+        "dropped": built["drop_delta"],
+        "bands_delta": built["bands_delta"],
+        "artifacts_reused": sum(reused.values()),
+        "reused": reused,
+        "wall_ms": int((time.time() - t0) * 1000),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", required=True)
+    ap.add_argument("--history", required=True)
+    ap.add_argument("--index", required=True,
+                    help="index dir from jobs/index.py (reads minhash_bands/)")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--lineage", required=True)
+    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--minhash-k", type=int, default=8)
+    ap.add_argument("--bands", type=int, default=4)
+    ap.add_argument("--jaccard", type=float, default=0.5)
+    args = ap.parse_args()
+
+    from extract import ship_package  # same zip+addPyFile bootstrap
+
+    from doc_agent_spark.session import get_spark
+
+    spark = get_spark(app=f"incremental-{args.run_id}")
+    ship_package(spark)
+    stats = run_incremental(
+        spark, args.batch, args.history, args.index, args.output,
+        args.lineage, args.run_id, args.minhash_k, args.bands, args.jaccard,
+    )
+    print(stats)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

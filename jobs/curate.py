@@ -39,9 +39,12 @@ text) and before fuzzy dedup / the LM model.
 
 Fuzzy (near-duplicate) dedup (``--fuzzy-jaccard T``) is a corpus-stat
 stage too: MinHash-LSH candidates → exact-Jaccard verify at threshold T →
-connected components → every non-canonical member (cluster id ≠ doc id)
-goes into a persisted DROP LIST (``--fuzzy-drops`` path, default
-``<output>_fuzzy_drops``). Near-dup pairs cross content-hash buckets, so
+connected components → every non-canonical member goes into a persisted
+DROP LIST (``--fuzzy-drops`` path, default ``<output>_fuzzy_drops``).
+The survivor per cluster is the min-id label by default;
+``--fuzzy-keep quality`` elects the highest-quality member instead
+(dedup.pick_canonical — the editorial keep rule, priced at the dup mass,
+not the corpus). Near-dup pairs cross content-hash buckets, so
 the drop list cannot be a per-bucket computation — it is computed once
 per run over the post-strip corpus and every bucket (including resumes)
 anti-joins the same committed artifact; exact dedup inside the buckets
@@ -182,10 +185,17 @@ def _boilerplate_build(docs, min_docs: int):
 
 
 def _fuzzy_drops_build(docs, threshold: float, minhash_k: int = 8,
-                       bands: int = 4):
+                       bands: int = 4, keep: str = "minid"):
     """The near-duplicate drop list: generate (MinHash-LSH banding) →
     verify (exact n-gram Jaccard >= threshold) → cluster → drop everyone
-    but the min-id member of each component."""
+    but one member of each component.
+
+    ``keep`` picks the survivor: ``minid`` (the cluster label itself —
+    zero extra work) or ``quality`` (dedup.pick_canonical over the
+    engine's quality score, ties to min id — the editorial keep rule; one
+    members-only join + a WindowGroupLimit top-1 per cluster, both scaled
+    to the dup mass, not the corpus)."""
+    from doc_agent_spark.functions import textfns
     from doc_agent_spark.operators import dedup as dedup_ops
 
     def build():
@@ -199,8 +209,21 @@ def _fuzzy_drops_build(docs, threshold: float, minhash_k: int = 8,
         clusters = dedup_ops.dup_clusters_star(
             verified.select("id_a", "id_b")
         )
-        return clusters.filter(F.col("id") != F.col("cluster_id")).select(
-            F.col("id").alias("doc_id")
+        if keep == "minid":
+            return clusters.filter(F.col("id") != F.col("cluster_id")).select(
+                F.col("id").alias("doc_id")
+            )
+        if keep != "quality":
+            raise ValueError(f"unknown fuzzy keep policy {keep!r}")
+        scored = docs.select(
+            F.col("doc_id").alias("id"),
+            textfns.quality_score(F.col("text")).alias("score"),
+        )
+        canon = dedup_ops.pick_canonical(clusters, scored)
+        return (
+            clusters.join(canon.select("cluster_id", "canonical_id"), "cluster_id")
+            .filter(F.col("id") != F.col("canonical_id"))
+            .select(F.col("id").alias("doc_id"))
         )
 
     return build
@@ -325,6 +348,7 @@ def run_curate(
     lm_model_path: str | None = None,
     fuzzy_jaccard: float | None = None,
     fuzzy_drops_path: str | None = None,
+    fuzzy_keep: str = "minid",
     span_k: int = 0,
     span_min_count: int = 2,
     span_shingles_path: str | None = None,
@@ -422,7 +446,7 @@ def run_curate(
     if fuzzy_jaccard is not None:
         fpath = fuzzy_drops_path or (output_path.rstrip("/") + "_fuzzy_drops")
         drops, fuzzy_reused = _load_or_build(
-            spark, fpath, _fuzzy_drops_build(docs, fuzzy_jaccard)
+            spark, fpath, _fuzzy_drops_build(docs, fuzzy_jaccard, keep=fuzzy_keep)
         )
         n_fuzzy_dropped = drops.count()
         docs = _apply_drop_list(docs, drops, n_fuzzy_dropped, bloom_droplist_min)
@@ -586,6 +610,10 @@ def main() -> None:
     ap.add_argument("--fuzzy-drops", default=None,
                     help="path for the persisted near-dup drop list "
                          "(default <output>_fuzzy_drops)")
+    ap.add_argument("--fuzzy-keep", default="minid",
+                    choices=["minid", "quality"],
+                    help="which member of a near-dup cluster survives: the "
+                         "min-id label or the highest quality score")
     ap.add_argument("--span-k", type=int, default=0,
                     help="remove k-token spans occurring >= --span-min-count "
                          "times corpus-wide (0 = off)")
@@ -637,7 +665,7 @@ def main() -> None:
         args.langs.split(",") if args.langs else None, args.sample_fraction,
         args.strip_min_docs, args.boilerplate_lines,
         args.lm_max_ce, args.lm_min_count, args.lm_model,
-        args.fuzzy_jaccard, args.fuzzy_drops,
+        args.fuzzy_jaccard, args.fuzzy_drops, args.fuzzy_keep,
         args.span_k, args.span_min_count, args.span_shingles,
         args.domain_cap, args.domain_col, args.domain_cap_drops,
         args.dsir_keep, args.dsir_target, args.dsir_buckets,

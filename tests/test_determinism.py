@@ -101,6 +101,10 @@ _DET_QUERIES = [
     # reading order (layout_runs)
     "text_profile", "boilerplate_strip", "page_assembly",
     "doc_type_norm", "media_metadata", "layout_runs",
+    # session 3: Bloom semi/anti reductions (KM xxhash64 probes must be
+    # layout-invariant) ride semi_anti_join; the canon arm (WindowGroupLimit
+    # top-1 with score/id tie-break) rides dup_clusters, already listed
+    "semi_anti_join",
 ]
 
 

@@ -86,6 +86,33 @@ def test_incremental_drops_and_delta(spark, tmp_path_factory):
     assert r2["dropped"] == r["dropped"] == 2
 
 
+def test_incremental_partial_artifact_rebuilds(spark, tmp_path_factory):
+    """Crash-resume contract: an artifact directory that exists but does
+    not read back as parquet (crash mid-write) is rebuilt identically;
+    committed artifacts upstream of it are still reused."""
+    d = tmp_path_factory.mktemp("inc_crash")
+    hist_p, idx, batch_p = _setup(spark, d)
+    out, lin = str(d / "delta"), str(d / "lineage")
+    r1 = run_incremental(
+        spark, batch_p, hist_p, idx, out, lin, run_id="c1", jaccard=0.5
+    )
+    # simulate a crash that corrupted the LAST artifact
+    import shutil
+
+    shutil.rmtree(out + "/bands_delta")
+    os.makedirs(out + "/bands_delta")  # exists, but unreadable as parquet
+    r2 = run_incremental(
+        spark, batch_p, hist_p, idx, out, lin, run_id="c2", jaccard=0.5
+    )
+    assert r2["reused"] == {
+        "pairs_delta": True, "drop_delta": True, "bands_delta": False
+    }
+    assert r2["bands_delta"] == r1["bands_delta"]
+    assert {
+        x.id for x in spark.read.parquet(out + "/bands_delta").select("id").distinct().collect()
+    } == {11, 13}
+
+
 def test_incremental_no_matches(spark, tmp_path_factory):
     """A batch with no near-dups anywhere: empty pairs/drops, full bands."""
     d = tmp_path_factory.mktemp("inc_clean")

@@ -1229,7 +1229,14 @@ def bm25_topk(spark, sf_dir):
 
     ql arm (search.ql_scores; Zhai & Lafferty 2001): Dirichlet-smoothed
     query likelihood — the LM-retrieval classic beside BM25; every doc
-    scores under smoothing, top-10 kept."""
+    scores under smoothing, top-10 kept.
+
+    phrase/prox arms (search.phrase_match / proximity_pairs): positional
+    retrieval — exact contiguous-phrase occurrence counts and minimum
+    token distance between two terms (the NEAR/k operator). Both are
+    zero-shuffle doc-local array algebra over the shared tokenizer;
+    phrase keeps the top-10 by hit count, prox the 10 tightest
+    co-mentions."""
     docs = load(spark, sf_dir, "documents")
     qt = ["spark", "join", "window"]
     a = (
@@ -1247,7 +1254,19 @@ def bm25_topk(spark, sf_dir):
         .orderBy(F.desc("score"), F.asc("id")).limit(10)
         .select(F.lit("ql").alias("variant"), "id", "score")
     )
-    return a.unionByName(b).unionByName(c)
+    d = (
+        search.phrase_match(docs, ["spark", "join"])
+        .orderBy(F.desc("n_hits"), F.asc("id")).limit(10)
+        .select(F.lit("phrase").alias("variant"), "id",
+                F.col("n_hits").cast("double").alias("score"))
+    )
+    e = (
+        search.proximity_pairs(docs, "spark", "window")
+        .orderBy(F.asc("min_dist"), F.asc("id")).limit(10)
+        .select(F.lit("prox").alias("variant"), "id",
+                F.col("min_dist").cast("double").alias("score"))
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
 
 
 def rrf_fusion(spark, sf_dir):
@@ -3728,6 +3747,16 @@ SELECT 'ql', id, score FROM (
   SELECT id, score FROM ({search.ql_sql(_WORDS_SQL, "documents", "doc_id",
                                          ["spark", "join", "window"])})
   ORDER BY score DESC, id ASC LIMIT 10)
+UNION ALL
+SELECT 'phrase', id, score FROM (
+  SELECT id, CAST(n_hits AS DOUBLE) AS score
+  FROM ({search.phrase_sql(_WORDS_SQL, "documents", "doc_id", ["spark", "join"])})
+  ORDER BY score DESC, id ASC LIMIT 10)
+UNION ALL
+SELECT 'prox', id, score FROM (
+  SELECT id, CAST(min_dist AS DOUBLE) AS score
+  FROM ({search.proximity_sql(_WORDS_SQL, "documents", "doc_id", "spark", "window")})
+  ORDER BY score ASC, id ASC LIMIT 10)
 """,
         "rrf_fusion": f"""
 WITH sa AS ({_cosine_scores_sql(0)}),

@@ -699,3 +699,124 @@ def pmi_collocations(
     return scored.orderBy(
         F.desc("pmi"), F.asc("term_a"), F.asc("term_b")
     ).limit(k)
+
+
+def _positions_1based(w, term: str):
+    """1-based token positions of ``term`` inside the token array ``w`` —
+    pure index-lambda algebra (no element_at, so empty arrays are safe
+    under ANSI mode)."""
+    return F.filter(
+        F.transform(w, lambda x, i: F.when(x == term, i + 1).otherwise(F.lit(-1))),
+        lambda p: p > 0,
+    )
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact token-phrase search: (id, n_hits) for every document whose
+    token sequence contains ``phrase`` contiguously, with occurrence
+    counts — the positional-retrieval primitive BM25's bag-of-words
+    scoring cannot express (reference roadmap's keyword-search stage,
+    SEMANTIC-SEARCH-ROADMAP.md:104-119, upgraded to phrase semantics).
+
+    Scale shape: ONE narrow scan, zero shuffle — the verify is a single
+    codegen'd array expression per doc (count start offsets i where
+    slice(tokens, i, k) equals the phrase); the cheap containment
+    prefilter short-circuits non-candidates inside the same projection.
+    With the persisted inverted index (jobs/index.py postings) the
+    candidate set instead comes from a semi-join on the phrase's
+    rarest term — the generate-then-verify composition used across the
+    dedup family; the doc-local verify below is unchanged either way.
+    """
+    k = len(phrase)
+    lit_arr = F.array(*[F.lit(t) for t in phrase])
+    cand = docs.select(
+        F.col(id_col).alias("id"), words_of(F.col(text_col)).alias("w")
+    )
+    # containment prefilter: candidates must contain every phrase term
+    # (same projection, short-circuits the slice verify on non-candidates)
+    for t in set(phrase):
+        cand = cand.filter(F.array_contains("w", t))
+    w = F.col("w")
+    starts = F.filter(
+        F.transform(w, lambda x, i: i + 1),
+        lambda i: F.slice(w, i, k) == lit_arr,
+    )
+    return (
+        cand.select("id", F.size(starts).alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+    )
+
+
+def phrase_sql(words_sql: str, table: str, id_expr: str, phrase: list[str]) -> str:
+    """DuckDB mirror of :func:`phrase_match` (1-based list slicing)."""
+    k = len(phrase)
+    lit = "[" + ", ".join(f"'{t}'" for t in phrase) + "]"
+    return f"""
+SELECT id, n_hits FROM (
+  SELECT {id_expr} AS id,
+         CAST(len(list_filter(range(1, len(w) - {k} + 2),
+                              i -> list_slice(w, i, i + {k - 1}) = {lit})) AS INTEGER) AS n_hits
+  FROM (SELECT {id_expr}, {words_sql} AS w FROM {table})
+) WHERE n_hits > 0
+"""
+
+
+def proximity_pairs(
+    docs: DataFrame,
+    term_a: str,
+    term_b: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Proximity search: (id, min_dist) — the minimum token distance
+    between any occurrence of ``term_a`` and any of ``term_b`` in each
+    document containing both (the NEAR/k operator; ranks snippets and
+    co-mention evidence where bag-of-words scores are blind).
+
+    Scale shape: zero shuffle — both position lists and their min
+    pairwise |a-b| are doc-local array algebra; position lists are
+    occurrence-sized (tiny after the term filter), so the nested
+    transform is O(occ_a x occ_b) per doc, never corpus-quadratic.
+    """
+    w = words_of(F.col(text_col))
+    pa = _positions_1based(w, term_a)
+    pb = _positions_1based(w, term_b)
+    return (
+        docs.select(
+            F.col(id_col).alias("id"), pa.alias("pa"), pb.alias("pb")
+        )
+        .filter((F.size("pa") > 0) & (F.size("pb") > 0))
+        .select(
+            "id",
+            F.array_min(
+                F.transform(
+                    "pa",
+                    lambda x: F.array_min(
+                        F.transform("pb", lambda y: F.abs(x - y))
+                    ),
+                )
+            ).cast("int").alias("min_dist"),
+        )
+    )
+
+
+def proximity_sql(words_sql: str, table: str, id_expr: str,
+                  term_a: str, term_b: str) -> str:
+    """DuckDB mirror of :func:`proximity_pairs`."""
+    return f"""
+SELECT id,
+       CAST(list_min(list_transform(pa, x ->
+            list_min(list_transform(pb, y -> abs(x - y))))) AS INTEGER) AS min_dist
+FROM (
+  SELECT {id_expr} AS id,
+         list_filter(range(1, len(w) + 1), i -> w[i] = '{term_a}') AS pa,
+         list_filter(range(1, len(w) + 1), i -> w[i] = '{term_b}') AS pb
+  FROM (SELECT {id_expr}, {words_sql} AS w FROM {table})
+)
+WHERE len(pa) > 0 AND len(pb) > 0
+"""

@@ -519,3 +519,72 @@ def test_pmi_collocations(spark):
     assert got[("x", "z")] == (1, round(math.log(1 * n / (6 * 3)), 6))
     # rare fillers (df filter) never pair
     assert not any("filler" in a or "filler" in b for a, b in got)
+
+
+def test_phrase_match_counts_and_overlaps(spark):
+    """Contiguous-phrase semantics: counts every start offset (overlapping
+    occurrences included), order matters, bag-of-words matches don't."""
+    rows = [
+        (1, "spark join spark join window"),   # 2 hits
+        (2, "join spark window"),              # reversed order: no hit
+        (3, "spark and join"),                 # non-contiguous: no hit
+        (4, "a a a a"),                        # overlapping self-phrase
+        (5, ""),                               # empty doc survives ANSI mode
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r.n_hits for r in
+           search.phrase_match(docs, ["spark", "join"]).collect()}
+    assert got == {1: 2}
+    overl = {r.id: r.n_hits for r in
+             search.phrase_match(docs, ["a", "a"]).collect()}
+    assert overl == {4: 3}
+
+
+def test_proximity_min_distance(spark):
+    rows = [
+        (1, "spark x x x window"),             # dist 4
+        (2, "window spark"),                   # dist 1 either direction
+        (3, "spark a spark window b spark"),   # closest pair wins: 1
+        (4, "spark only here"),                # missing term_b: dropped
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r.min_dist for r in
+           search.proximity_pairs(docs, "spark", "window").collect()}
+    assert got == {1: 4, 2: 1, 3: 1}
+
+
+def test_phrase_and_proximity_zero_shuffle(spark, texts):
+    for df in (
+        search.phrase_match(texts, ["quick", "brown"]),
+        search.proximity_pairs(texts, "quick", "dog"),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan
+
+
+def test_phrase_proximity_match_sql_mirrors(spark):
+    import duckdb
+
+    rows = [
+        (i, ("spark join window data " * (i % 3 + 1)) if i % 2 == 0
+         else "window the spark stream join batch spark")
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.execute("SET threads=2")
+    con.register("t", docs.toPandas())
+    W = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
+
+    sp = sorted((r.id, r.n_hits) for r in
+                search.phrase_match(docs, ["spark", "join"]).collect())
+    du = sorted(map(tuple, con.execute(
+        search.phrase_sql(W, "t", "doc_id", ["spark", "join"])).fetchall()))
+    assert sp == du
+
+    sp = sorted((r.id, r.min_dist) for r in
+                search.proximity_pairs(docs, "spark", "window").collect())
+    du = sorted(map(tuple, con.execute(
+        search.proximity_sql(W, "t", "doc_id", "spark", "window")).fetchall()))
+    assert sp == du

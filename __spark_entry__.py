@@ -2788,11 +2788,30 @@ def snippet_search(spark, sf_dir):
     return search.best_window_snippet(topk, docs, qt)
 
 
+def mmr_search(spark, sf_dir):
+    """MMR diversity reranking (search.mmr_rerank; Carbonell & Goldstein
+    1998): the top-20 cosine candidates vs query vector 0, greedily
+    reranked to 10 with lambda=0.7 — near-duplicate hits are demoted in
+    favor of coverage. Candidates are a bounded TakeOrderedAndProject
+    output, so the greedy runs over a model-sized list (IVF-codebook
+    posture); the DuckDB oracle replays the identical greedy as a
+    recursive CTE with bit-matched sequential-fold cosines."""
+    emb = load(spark, sf_dir, "embeddings")
+    cands = (
+        _cosine_scores(spark, sf_dir, 0)
+        .orderBy(F.desc("score"), F.asc("id")).limit(20)
+        .join(F.broadcast(emb.withColumnRenamed("vec_id", "id")), "id")
+    )
+    return search.mmr_rerank(cands, k=10, lam=0.7)
+
+
 def rerank_hydrate(spark, sf_dir):
     """J1 result hydration, the deterministic rerank stage, and the
     query-aware best-window snippet union-tagged; score columns absent
     from a variant are typed NULLs (the snippet arm carries its distinct-
-    term hit count in final_score)."""
+    term hit count in final_score). The mmr arm (see mmr_search) carries
+    selection rank in rerank_score and the marginal score in
+    final_score."""
     a = search_hydrate(spark, sf_dir).select(
         F.lit("hydrate").alias("variant"), "id", "score",
         F.lit(None).cast("double").alias("rerank_score"),
@@ -2810,7 +2829,15 @@ def rerank_hydrate(spark, sf_dir):
         F.col("n_hits").cast("double").alias("final_score"),
         "snippet",
     )
-    return a.unionByName(b).unionByName(c)
+    d = mmr_search(spark, sf_dir).select(
+        F.lit("mmr").alias("variant"),
+        F.col("id").cast("long").alias("id"),
+        F.col("rel").alias("score"),
+        F.col("rank").cast("double").alias("rerank_score"),
+        F.col("mmr").alias("final_score"),
+        F.lit(None).cast("string").alias("snippet"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4338,6 +4365,13 @@ UNION ALL
 SELECT 'snippet', id, score, CAST(NULL AS DOUBLE),
        CAST(n_hits AS DOUBLE), snippet
 FROM ({search.best_window_snippet_sql(_bm25_topk_sql(), ["spark", "join", "window"])})
+UNION ALL
+SELECT 'mmr', CAST(id AS BIGINT), rel, CAST(rank AS DOUBLE), mmr,
+       CAST(NULL AS VARCHAR)
+FROM ({search.mmr_sql(
+    f"SELECT c.id, c.score AS rel, e.embedding AS emb FROM ({_cosine_scores_sql(0)}) c "
+    "JOIN embeddings e ON c.id = e.vec_id ORDER BY rel DESC, id ASC LIMIT 20",
+    k=10, lam=0.7)})
 """,
         "semi_anti_join": f"""
 SELECT 'anti' AS variant, CAST(c_custkey AS BIGINT) AS key, c_name AS name,

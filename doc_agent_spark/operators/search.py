@@ -820,3 +820,108 @@ FROM (
 )
 WHERE len(pa) > 0 AND len(pb) > 0
 """
+
+
+def mmr_rerank(
+    cands: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    id_col: str = "id",
+    rel_col: str = "score",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein 1998):
+    greedily select ``k`` results maximizing ``lam*rel − (1−lam)*max
+    cosine-similarity to the already-selected set`` — the diversity-aware
+    final stage of the reference's designed search pipeline
+    (SEMANTIC-SEARCH-ROADMAP.md:137-144's rerank slot), which plain
+    score-sorted top-k cannot express (it returns near-duplicate hits).
+
+    Scale shape: ``cands`` is a BOUNDED top-N candidate list (the output
+    of TakeOrderedAndProject upstream), so the collect is model-sized by
+    construction — the IVF-codebook posture, not a corpus collect. The
+    greedy is O(k·N) driver-side float64 arithmetic with the SAME
+    sequential index-order dot-product fold as the DuckDB mirror, so
+    selections are bit-reproducible across engines. Ties break by
+    ascending id at every step.
+
+    Returns (rank, id, rel, mmr): selection order, the candidate's
+    original relevance, and its marginal score at selection time.
+    """
+    rows = cands.select(id_col, rel_col, vec_col).collect()
+    items = [(r[0], float(r[1]), [float(x) for x in r[2]]) for r in rows]
+
+    def _dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    norm = {i: math.sqrt(_dot(v, v)) for i, _, v in items}
+    one_minus = 1.0 - lam
+
+    def _sim(a, b):
+        return _dot(a[2], b[2]) / (norm[a[0]] * norm[b[0]])
+
+    remaining = list(items)
+    picked: list[tuple] = []
+    out = []
+    while remaining and len(out) < k:
+        if not picked:
+            best = min(remaining, key=lambda c: (-c[1], c[0]))
+            marg = best[1]
+        else:
+            best, marg = None, None
+            for c in remaining:
+                m = lam * c[1] - one_minus * max(_sim(c, p) for p in picked)
+                if best is None or m > marg or (m == marg and c[0] < best[0]):
+                    best, marg = c, m
+            assert best is not None
+        picked.append(best)
+        remaining = [c for c in remaining if c[0] != best[0]]
+        out.append((len(out) + 1, best[0], best[1], float(marg)))
+
+    id_type = cands.schema[id_col].dataType.simpleString()
+    return cands.sparkSession.createDataFrame(
+        out, f"rank int, id {id_type}, rel double, mmr double"
+    )
+
+
+def mmr_sql(cands_sql: str, k: int, lam: float) -> str:
+    """DuckDB mirror of :func:`mmr_rerank`: the greedy loop as a recursive
+    CTE carrying the picked-id list, one LATERAL argmax per step. The
+    pairwise cosine uses the same index-order sequential fold
+    (list_aggregate 'sum'), so every marginal is bit-identical to the
+    driver-side Python and both engines pick the same candidate at every
+    step. ``cands_sql`` must yield (id, rel, emb)."""
+    one_minus = 1.0 - lam
+    dot = ("list_aggregate(list_transform(range(1, len(a.emb)+1), "
+           "i -> CAST(a.emb[i] AS DOUBLE) * CAST(b.emb[i] AS DOUBLE)), 'sum')")
+    na = ("list_aggregate(list_transform(range(1, len(a.emb)+1), "
+          "i -> CAST(a.emb[i] AS DOUBLE) * CAST(a.emb[i] AS DOUBLE)), 'sum')")
+    nb = ("list_aggregate(list_transform(range(1, len(b.emb)+1), "
+          "i -> CAST(b.emb[i] AS DOUBLE) * CAST(b.emb[i] AS DOUBLE)), 'sum')")
+    return f"""
+WITH RECURSIVE mmr_cands AS ({cands_sql}),
+mmr_sims AS (
+  SELECT a.id AS ia, b.id AS ib, {dot} / (sqrt({na}) * sqrt({nb})) AS s
+  FROM mmr_cands a, mmr_cands b WHERE a.id <> b.id),
+mmr_sel AS (
+  (SELECT 1 AS step, [id] AS picked, id AS pick_id, rel AS sel_rel,
+          CAST(rel AS DOUBLE) AS marg
+   FROM mmr_cands ORDER BY rel DESC, id ASC LIMIT 1)
+  UNION ALL
+  SELECT step + 1, list_append(picked, w.id), w.id, w.rel, w.marg
+  FROM mmr_sel, LATERAL (
+    SELECT c.id, c.rel,
+           {lam!r} * c.rel - {one_minus!r} * (
+             SELECT max(s.s) FROM mmr_sims s
+             WHERE s.ia = c.id AND list_contains(mmr_sel.picked, s.ib)) AS marg
+    FROM mmr_cands c WHERE NOT list_contains(mmr_sel.picked, c.id)
+    ORDER BY marg DESC, c.id ASC LIMIT 1
+  ) w
+  WHERE step < {k}
+)
+SELECT CAST(step AS INTEGER) AS rank, pick_id AS id, sel_rel AS rel, marg AS mmr
+FROM mmr_sel
+"""

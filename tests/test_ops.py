@@ -588,3 +588,53 @@ def test_phrase_proximity_match_sql_mirrors(spark):
     du = sorted(map(tuple, con.execute(
         search.proximity_sql(W, "t", "doc_id", "spark", "window")).fetchall()))
     assert sp == du
+
+
+def test_mmr_demotes_near_duplicates(spark):
+    """MMR: the #2-relevance doc is a near-dup of #1, so diversity picks
+    the less-relevant-but-different doc 3 at step 2."""
+    rows = [
+        (1, 0.95, [1.0, 0.0, 0.0, 0.0]),
+        (2, 0.94, [0.99, 0.1, 0.0, 0.0]),   # near-dup of 1
+        (3, 0.80, [0.0, 1.0, 0.0, 0.0]),
+        (4, 0.75, [0.0, 0.98, 0.2, 0.0]),   # near-dup of 3
+        (5, 0.70, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    cands = spark.createDataFrame(
+        rows, "id long, score double, embedding array<double>")
+    out = search.mmr_rerank(cands, k=3, lam=0.7).orderBy("rank").collect()
+    assert [r.id for r in out] == [1, 3, 5]
+    assert out[0].mmr == 0.95                    # first pick: pure relevance
+    assert all(out[i].mmr > out[i + 1].mmr for i in range(2))
+
+
+def test_mmr_matches_sql_mirror(spark):
+    import duckdb
+
+    # deterministic pseudo-random float32-ish embeddings
+    rows = [
+        (i, round(1.0 - i * 0.013, 6),
+         [((i * 7 + j * 13) % 17 - 8) / 8.0 for j in range(8)])
+        for i in range(20)
+    ]
+    cands = spark.createDataFrame(
+        rows, "id long, score double, embedding array<double>")
+    got = sorted(
+        (r.rank, r.id, r.rel, r.mmr)
+        for r in search.mmr_rerank(cands, k=8, lam=0.7).collect()
+    )
+    con = duckdb.connect()
+    con.execute("SET threads=2")
+    con.register("c0", cands.toPandas())
+    sql = search.mmr_sql(
+        "SELECT id, score AS rel, embedding AS emb FROM c0", k=8, lam=0.7)
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert got == want
+
+
+def test_mmr_k_exceeds_candidates(spark):
+    rows = [(1, 0.9, [1.0, 0.0]), (2, 0.8, [0.0, 1.0])]
+    cands = spark.createDataFrame(
+        rows, "id long, score double, embedding array<double>")
+    out = search.mmr_rerank(cands, k=10).collect()
+    assert len(out) == 2

@@ -1916,10 +1916,28 @@ def search_hydrate(spark, sf_dir):
 
 
 def knn_join(spark, sf_dir):
+    """kNN join (broadcast small side) ∪ hard-negative mining
+    (similarity.mine_hard_negatives; the DPR contrastive-training recipe):
+    each query's top-3 most-similar corpus items EXCLUDING its labeled
+    positives — the positive pairs (q, q) and (q, q+100) are removed by an
+    equi anti-join before the bounded per-query rank."""
     emb = load(spark, sf_dir, "embeddings")
     left = emb.filter(F.col("vec_id") < 20)
     right = emb.filter(F.col("vec_id") % 50 == 0)
-    return similarity.knn_join_brute(left, right, k=3)
+    a = similarity.knn_join_brute(left, right, k=3).select(
+        F.lit("knn").alias("variant"), "lid", "rid", "score", "rank"
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    pos = q.select(
+        F.col("vec_id").alias("qid"),
+        F.explode(
+            F.array(F.col("vec_id"), F.col("vec_id") + 100)
+        ).alias("did"),
+    )
+    b = similarity.mine_hard_negatives(q, emb, pos, k=3).select(
+        F.lit("hardneg").alias("variant"), "lid", "rid", "score", "rank"
+    )
+    return a.unionByName(b)
 
 
 def doc_point_lookup(spark, sf_dir):
@@ -4305,8 +4323,22 @@ WITH l AS (SELECT vec_id AS lid, embedding AS lv FROM embeddings WHERE vec_id < 
 r AS (SELECT vec_id AS rid, embedding AS rv FROM embeddings WHERE vec_id % 50 = 0),
 s AS (SELECT lid, rid, round({_cos_sql('lv', 'rv')}, 6) AS score FROM l CROSS JOIN r),
 rk AS (SELECT lid, rid, score,
-       row_number() OVER (PARTITION BY lid ORDER BY score DESC, rid ASC) AS rank FROM s)
-SELECT lid, rid, score, CAST(rank AS INTEGER) AS rank FROM rk WHERE rank <= 3
+       row_number() OVER (PARTITION BY lid ORDER BY score DESC, rid ASC) AS rank FROM s),
+hq AS (SELECT vec_id AS lid, embedding AS lv FROM embeddings WHERE vec_id < 10),
+hp AS (SELECT vec_id AS qid, vec_id AS did FROM embeddings WHERE vec_id < 10
+       UNION ALL
+       SELECT vec_id, vec_id + 100 FROM embeddings WHERE vec_id < 10),
+hs AS (SELECT lid, vec_id AS rid, round({_cos_sql('lv', 'embedding')}, 6) AS score
+       FROM hq CROSS JOIN embeddings
+       WHERE NOT EXISTS (SELECT 1 FROM hp
+                         WHERE hp.qid = hq.lid AND hp.did = embeddings.vec_id)),
+hrk AS (SELECT lid, rid, score,
+        row_number() OVER (PARTITION BY lid ORDER BY score DESC, rid ASC) AS rank FROM hs)
+SELECT 'knn' AS variant, lid, rid, score, CAST(rank AS INTEGER) AS rank
+FROM rk WHERE rank <= 3
+UNION ALL
+SELECT 'hardneg', lid, rid, score, CAST(rank AS INTEGER) AS rank
+FROM hrk WHERE rank <= 3
 """,
         "doc_point_lookup": """
 SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42

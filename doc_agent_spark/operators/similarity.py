@@ -667,3 +667,41 @@ SELECT e.vec_id AS id, round({cos_sql}, 6) AS score
 FROM embeddings e JOIN cand c ON e.vec_id = c.id CROSS JOIN qv
 ORDER BY score DESC, id ASC LIMIT {k}
 """.strip()
+
+
+def mine_hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    positives: DataFrame,
+    k: int = 5,
+    q_id: str = "vec_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+    pos_q: str = "qid",
+    pos_d: str = "did",
+) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training (the DPR /
+    dense-retriever recipe, Karpukhin et al. 2020 §3.2): for each query
+    vector, the ``k`` most-similar corpus items that are NOT among its
+    labeled positives — the negatives that actually move a contrastive
+    loss, vs random negatives the model already separates.
+
+    Scale shape: score (queries × corpus, corpus broadcast here — swap in
+    the LSH/IVF bucket path for a web-scale corpus, the candidate set is
+    what changes, not this composition), then a (qid, did) EQUI anti-join
+    removes labeled positives BEFORE the per-query bounded rank, so
+    negative ranks are contiguous and the positives table (training
+    labels — tiny relative to the corpus) never gates the scan.
+    Returns (lid, rid, score, rank) like knn_join_brute.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(q_id).alias("lid"), F.col(vec_col).alias("lv"))
+    c = corpus.select(F.col(c_id).alias("rid"), F.col(vec_col).alias("rv"))
+    scored = q.join(F.broadcast(c)).select(
+        "lid", "rid", F.round(cosine(F.col("lv"), F.col("rv")), 6).alias("score")
+    )
+    p = positives.select(F.col(pos_q).alias("lid"), F.col(pos_d).alias("rid"))
+    neg = scored.join(p, ["lid", "rid"], "left_anti")
+    w = Window.partitionBy("lid").orderBy(F.desc("score"), F.asc("rid"))
+    return neg.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

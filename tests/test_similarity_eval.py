@@ -176,3 +176,32 @@ def test_pq_topk_close_to_exact(emb):
     assert len(set(exact) & {r.id for r in pq}) >= 4
     scores = [r.score for r in pq]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_mine_hard_negatives_excludes_positives(spark):
+    import math
+
+    # 8 vectors on a ring: neighbors are most similar
+    rows = [
+        (i, [math.cos(2 * math.pi * i / 8), math.sin(2 * math.pi * i / 8)])
+        for i in range(8)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") == 0)
+    # label the self-pair and the nearest ring neighbor as positives
+    pos = spark.createDataFrame([(0, 0), (0, 1)], "qid long, did long")
+    out = similarity.mine_hard_negatives(q, emb, pos, k=3).collect()
+    got = [(r.rid, r.rank) for r in sorted(out, key=lambda r: r.rank)]
+    # 0 and 1 excluded; 7 is the nearest remaining, then 2, then 6
+    assert got == [(7, 1), (2, 2), (6, 3)]
+    assert all(r.lid == 0 for r in out)
+
+
+def test_mine_hard_negatives_empty_positives(spark):
+    rows = [(i, [1.0 * i, 1.0]) for i in range(4)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pos = spark.createDataFrame([], "qid long, did long")
+    out = similarity.mine_hard_negatives(
+        emb.filter(F.col("vec_id") == 0), emb, pos, k=2
+    ).collect()
+    assert len(out) == 2   # nothing excluded, top-2 kept (self included)

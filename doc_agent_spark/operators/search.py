@@ -723,29 +723,37 @@ def phrase_match(
     scoring cannot express (reference roadmap's keyword-search stage,
     SEMANTIC-SEARCH-ROADMAP.md:104-119, upgraded to phrase semantics).
 
-    Scale shape: ONE narrow scan, zero shuffle — the verify is a single
-    codegen'd array expression per doc (count start offsets i where
-    slice(tokens, i, k) equals the phrase); the cheap containment
-    prefilter short-circuits non-candidates inside the same projection.
-    With the persisted inverted index (jobs/index.py postings) the
-    candidate set instead comes from a semi-join on the phrase's
-    rarest term — the generate-then-verify composition used across the
-    dedup family; the doc-local verify below is unchanged either way.
+    Scale shape: ONE narrow scan, zero shuffle. The verify is
+    OCCURRENCE-sized, not token-sized: first-term positions (one array
+    pass, like proximity_pairs), then k-1 direct F.get probes per
+    candidate start — never a slice-allocation per token position (the
+    slice-per-position first cut measured 6x slower on the same scan).
+    The containment prefilter short-circuits non-candidates inside the
+    same projection. With the persisted inverted index (jobs/index.py
+    postings) the candidate set instead comes from a semi-join on the
+    phrase's rarest term — the generate-then-verify composition used
+    across the dedup family; the doc-local verify below is unchanged
+    either way.
     """
     k = len(phrase)
-    lit_arr = F.array(*[F.lit(t) for t in phrase])
     cand = docs.select(
         F.col(id_col).alias("id"), words_of(F.col(text_col)).alias("w")
     )
     # containment prefilter: candidates must contain every phrase term
-    # (same projection, short-circuits the slice verify on non-candidates)
+    # (same projection, short-circuits the verify on non-candidates)
     for t in set(phrase):
         cand = cand.filter(F.array_contains("w", t))
     w = F.col("w")
-    starts = F.filter(
-        F.transform(w, lambda x, i: i + 1),
-        lambda i: F.slice(w, i, k) == lit_arr,
-    )
+
+    def _is_start(p):
+        # p is the 1-based position of phrase[0]; F.get is 0-based and
+        # NULL-safe out of bounds (ANSI-safe, unlike element_at)
+        cond = p + (k - 1) <= F.size(w)
+        for j in range(1, k):
+            cond = cond & (F.get(w, p + (j - 1)) == F.lit(phrase[j]))
+        return cond
+
+    starts = F.filter(_positions_1based(w, phrase[0]), _is_start)
     return (
         cand.select("id", F.size(starts).alias("n_hits"))
         .filter(F.col("n_hits") > 0)

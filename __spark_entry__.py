@@ -1236,8 +1236,11 @@ def bm25_topk(spark, sf_dir):
     token distance between two terms (the NEAR/k operator). Both are
     zero-shuffle doc-local array algebra over the shared tokenizer;
     phrase keeps the top-10 by hit count, prox the 10 tightest
-    co-mentions."""
-    docs = load(spark, sf_dir, "documents")
+    co-mentions.
+
+    Input is _spread: the testdata file gives a 1-partition scan,
+    serializing every arm's tokenize+explode on one core."""
+    docs = _spread(load(spark, sf_dir, "documents"))
     qt = ["spark", "join", "window"]
     a = (
         search.bm25_scores(docs, qt)

@@ -2685,7 +2685,14 @@ def grouping_sets(spark, sf_dir):
 
 
 def doc_listing(spark, sf_dir):
-    """S10 created_at-DESC list scan and S9 point lookup in one entry."""
+    """S10 created_at-DESC list scan and S9 point lookup in one entry.
+
+    diff arm (operators/maintenance.py snapshot_diff): whole-snapshot
+    reconciliation between crawl N and a deterministically woven crawl
+    N+1 (every 13th doc dropped, every 7th survivor edited, every 17th
+    re-keyed +1e6 as new) — each doc classified added/removed/changed by
+    a fingerprint-only full-outer join (content never shuffles; unchanged
+    rows never leave the join). status rides the lang slot."""
     a = list_documents(spark, sf_dir).select(
         F.lit("recent").alias("variant"), "doc_id", "lang", "source",
         "n_chars", "created_at",
@@ -2694,7 +2701,28 @@ def doc_listing(spark, sf_dir):
         F.lit("lookup").alias("variant"), "doc_id", "lang", "source",
         "n_chars", F.lit(None).cast("timestamp").alias("created_at"),
     )
-    return a.unionByName(b)
+    from doc_agent_spark.operators import maintenance
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = docs.filter(F.col("doc_id") % 13 != 0)
+    v2 = kept.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")).alias("text"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 17 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    c = maintenance.snapshot_diff(docs, v2).select(
+        F.lit("diff").alias("variant"),
+        F.col("id").alias("doc_id"),
+        F.col("status").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("long").alias("n_chars"),
+        F.lit(None).cast("timestamp").alias("created_at"),
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def semi_anti_join(spark, sf_dir):
@@ -4440,6 +4468,24 @@ FROM ({base['list_documents']})
 UNION ALL
 SELECT 'lookup', doc_id, lang, source, n_chars, CAST(NULL AS TIMESTAMP)
 FROM ({base['doc_point_lookup']})
+UNION ALL
+SELECT 'diff', id AS doc_id, status AS lang, CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP)
+FROM (
+  WITH o AS (SELECT doc_id AS id, md5(text) AS h_old FROM documents),
+  v2 AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+    FROM documents WHERE doc_id % 13 <> 0
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 17 = 0),
+  n AS (SELECT doc_id AS id, md5(text) AS h_new FROM v2)
+  SELECT coalesce(o.id, n.id) AS id,
+         CASE WHEN h_old IS NULL THEN 'added'
+              WHEN h_new IS NULL THEN 'removed'
+              WHEN h_old <> h_new THEN 'changed' END AS status
+  FROM o FULL OUTER JOIN n ON o.id = n.id
+) WHERE status IS NOT NULL
 """,
         "text_profile": f"""
 SELECT 'lang' AS variant, pred_lang AS key, n_docs FROM ({base['lang_id_counts']})

@@ -257,3 +257,36 @@ def orphan_files(
     return manifest.join(
         F.broadcast(refs), manifest[file_col] == F.col("_ref"), "left_anti"
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot diff — classify every doc as ``added`` / ``removed``
+    / ``changed`` between two crawl snapshots (the reference's upsert
+    resets status='pending' on path_hash conflict, storage/src/index.ts:
+    29-54; this is that CDC surface generalized to whole-snapshot
+    reconciliation). Unchanged docs are dropped inside the join —
+    at web scale they are the overwhelming majority and never reach the
+    output (or any later stage).
+
+    Scale shape: each side is projected to (id, md5 fingerprint) BEFORE
+    the full-outer join, so content never shuffles — the join carries
+    32-byte keys + 32-byte digests, hash-partitioned on id. The
+    fingerprint comparison is null-safe on both sides.
+    """
+    o = old.select(F.col(id_col).alias("id"), F.md5(fp_col).alias("h_old"))
+    n = new.select(F.col(id_col).alias("id"), F.md5(fp_col).alias("h_new"))
+    j = o.join(n, "id", "full_outer")
+    status = (
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+    )
+    return (
+        j.select("id", status.alias("status"))
+        .filter(F.col("status").isNotNull())
+    )

@@ -283,3 +283,27 @@ def test_orphan_files_anti_join_broadcasts(spark):
     assert sorted(r.file_id for r in orphans.collect()) == list(range(1, 20, 2))
     plan = orphans._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_snapshot_diff_classifies(spark):
+    from doc_agent_spark.operators.maintenance import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (5, "e")], "doc_id long, text string")
+    got = {r.id: r.status for r in snapshot_diff(old, new).collect()}
+    # 1 unchanged (dropped), 2 changed, 3+4 removed, 5 added
+    assert got == {2: "changed", 3: "removed", 4: "removed", 5: "added"}
+
+
+def test_snapshot_diff_content_never_shuffles(spark):
+    from doc_agent_spark.operators.maintenance import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    new = spark.createDataFrame([(1, "b")], "doc_id long, text string")
+    plan = snapshot_diff(old, new)._jdf.queryExecution().executedPlan().toString()
+    # the projection to (id, md5) happens below the exchange: no raw text col
+    import re
+    for m in re.finditer(r"Exchange[^\n]*", plan):
+        assert "text" not in m.group(0)

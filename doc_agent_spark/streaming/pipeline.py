@@ -306,3 +306,41 @@ def curate_stream(
         scored.filter(keep), sample_fraction, "doc_id", "curate"
     )
     return kept.withColumn("text", redact.redact_pii(F.col("text")))
+
+
+def click_attribution_stream(
+    impressions: DataFrame,
+    clicks: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM event-time interval join (the ad-attribution classic,
+    and the one join class the stream-static machinery above cannot
+    express): every click joins the impression of the same ad_id that
+    preceded it by at most ``horizon``.
+
+    State-bound by construction: BOTH sides are watermarked and the join
+    carries an event-time range condition, so the state store retains an
+    impression only inside ``watermark + horizon`` and a click only inside
+    ``watermark`` — without the range condition a stream-stream join
+    buffers both streams forever (the unbounded-state footgun, same class
+    as dropDuplicates without a watermark in dedup_stream above). At
+    cluster scale each micro-batch co-partitions both sides on ad_id, so
+    the probe is a local hash join against the keyed state store.
+
+    Inputs: impressions(imp_id, ad_id, imp_ts), clicks(click_id, ad_id,
+    click_ts). Returns (ad_id, imp_id, imp_ts, click_id, click_ts).
+    """
+    i = impressions.withWatermark("imp_ts", watermark)
+    c = clicks.withColumnRenamed("ad_id", "c_ad").withWatermark(
+        "click_ts", watermark
+    )
+    joined = i.join(
+        c,
+        F.expr(
+            f"ad_id = c_ad AND click_ts >= imp_ts "
+            f"AND click_ts <= imp_ts + interval {horizon}"
+        ),
+        "inner",
+    )
+    return joined.select("ad_id", "imp_id", "imp_ts", "click_id", "click_ts")

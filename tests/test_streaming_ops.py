@@ -223,3 +223,42 @@ def test_near_dup_stream_flags_against_persisted_bands(spark, tmp_path):
     assert got == expected
     assert (10, 1) in got                      # the true near-dup is flagged
     assert all(i != 12 for i, _ in got)        # shingle-less doc emits nothing
+
+
+def test_click_attribution_stream_interval_join(spark, tmp_path):
+    """Stream-stream interval join: a click attributes to the impression
+    of the same ad within the horizon; outside-horizon and wrong-ad
+    clicks produce no row. Both sides arrive as file streams."""
+    from doc_agent_spark.streaming.pipeline import click_attribution_stream
+
+    imp_dir, clk_dir, ckpt, out = (
+        str(tmp_path / x) for x in ("imp", "clk", "ckpt", "out"))
+    IMP = "imp_id long, ad_id long, imp_ts timestamp"
+    CLK = "click_id long, ad_id long, click_ts timestamp"
+
+    spark.createDataFrame(
+        [(1, 100, _t(0)), (2, 200, _t(0)), (3, 100, _t(30))], IMP
+    ).coalesce(1).write.parquet(imp_dir + "/b1")
+    spark.createDataFrame(
+        [
+            (10, 100, _t(10)),          # joins imp 1 (and not imp 3: before it)
+            (11, 200, _t(0, hour=12)),  # outside 1h horizon of imp 2
+            (12, 300, _t(5)),           # no impression for ad 300
+            (13, 100, _t(40)),          # joins imps 1 AND 3 (both in horizon)
+        ],
+        CLK,
+    ).coalesce(1).write.parquet(clk_dir + "/b1")
+
+    i = spark.readStream.schema(IMP).parquet(imp_dir + "/*")
+    c = spark.readStream.schema(CLK).parquet(clk_dir + "/*")
+    q = (
+        click_attribution_stream(i, c, horizon="1 hour", watermark="2 hours")
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.click_id, r.imp_id) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(10, 1), (13, 1), (13, 3)]

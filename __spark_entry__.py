@@ -1525,7 +1525,15 @@ def dup_clusters(spark, sf_dir):
         "cluster_id",
         F.col("canonical_score").alias("metric"),
     )
-    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+    f = graphrank.triangle_counts(pairs).select(
+        F.lit("triangles").alias("algo"), "id",
+        F.lit(None).cast("long").alias("cluster_id"),
+        F.col("n_triangles").cast("double").alias("metric"),
+    )
+    return (
+        a.unionByName(b).unionByName(c).unionByName(d)
+        .unionByName(e).unionByName(f)
+    )
 
 
 def stratified_sample(spark, sf_dir):
@@ -4028,6 +4036,21 @@ FROM (
                             ORDER BY length(c.text) DESC, c.doc_id ASC) AS rn
   FROM cc JOIN corpus c ON c.doc_id = cc.id)
 WHERE rn = 1
+UNION ALL SELECT 'triangles', nid, CAST(NULL AS BIGINT), CAST(count(*) AS DOUBLE)
+FROM (
+  SELECT t.a AS nid FROM (
+    SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+    FROM pairs e1 JOIN pairs e2 ON e2.id_a = e1.id_b
+    JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b) t
+  UNION ALL SELECT t.b FROM (
+    SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+    FROM pairs e1 JOIN pairs e2 ON e2.id_a = e1.id_b
+    JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b) t
+  UNION ALL SELECT t.c FROM (
+    SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+    FROM pairs e1 JOIN pairs e2 ON e2.id_a = e1.id_b
+    JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b) t
+) GROUP BY nid
 """,
         "stratified_sample": f"""
 SELECT doc_id, lang, n_chars FROM documents

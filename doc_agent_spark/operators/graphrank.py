@@ -109,3 +109,29 @@ def pagerank_sql(
         )
     ctes = ",\n".join(parts)
     return f"WITH {ctes}\nSELECT id, round(r, 9) AS rank FROM r{iters}"
+
+
+def triangle_counts(pairs: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFrame:
+    """Per-node triangle counts over an undirected graph given as ordered
+    edge pairs (``a < b``) — the clustering-coefficient / k-truss support
+    primitive: a doc whose near-dup edges close into triangles sits in a
+    dense template cluster, not a chance collision (edge-confidence signal
+    the pairwise LSH verify can't see).
+
+    Node-iterator with orientation: each triangle a<b<c is generated
+    EXACTLY once by joining edge (a,b) against (b,c) and closing with
+    (a,c) — two equi-joins, no DISTINCT pass, wedge mass bounded by the
+    orientation (the classic trick; at extreme scale orient by
+    (degree, id) instead of raw id so Zipfian hubs don't anchor the
+    quadratic wedge side). Returns (id, n_triangles).
+    """
+    e1 = pairs.select(F.col(a).alias("a"), F.col(b).alias("b"))
+    e2 = pairs.select(F.col(a).alias("b"), F.col(b).alias("c"))
+    e3 = pairs.select(F.col(a).alias("a"), F.col(b).alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = (
+        tri.select(F.col("a").alias("id"))
+        .unionAll(tri.select(F.col("b").alias("id")))
+        .unionAll(tri.select(F.col("c").alias("id")))
+    )
+    return nodes.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -52,3 +52,24 @@ def test_pagerank_rejects_empty_nodes(spark):
         graphrank.pagerank(empty, empty.select(
             F.col("id").alias("src"), F.col("id").alias("dst")
         ))
+
+
+def test_triangle_counts_hand_graph(spark):
+    """K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant edge
+    (5,6) and an open wedge 7-8, 8-9 (no triangles)."""
+    from doc_agent_spark.operators.graphrank import triangle_counts
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = k4 + [(5, 6), (7, 8), (8, 9)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.n_triangles for r in triangle_counts(pairs).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_single_triangle(spark):
+    from doc_agent_spark.operators.graphrank import triangle_counts
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "id_a long, id_b long")
+    got = {r.id: r.n_triangles for r in triangle_counts(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}

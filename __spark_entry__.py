@@ -2613,9 +2613,30 @@ def file_meta(spark, sf_dir):
         F.lit(None).cast("string").alias("digest"),
         F.lit(1).cast("long").alias("metric"),
     )
+    # publish arm: the export manifest (operators/publish.py / jobs/publish.py
+    # — the pipeline's final stage): content-hash shard assignment + the
+    # order-independent digest-sum checksum over the serialized JSONL lines,
+    # both engines serializing and summing the identical bytes. key = shard,
+    # digest = checksum:bytes, metric = rows.
+    from doc_agent_spark.operators import publish as pubops
+
+    h = pubops.shard_manifest(
+        docs.select(
+            F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("line"), "doc_id"
+        ),
+        line_col="line", key_col="doc_id", n_shards=8,
+    ).select(
+        F.lit("publish").alias("variant"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("shard").cast("string").alias("key"),
+        F.concat_ws(
+            ":", F.col("checksum").cast("string"), F.col("n_bytes").cast("string")
+        ).alias("digest"),
+        F.col("n_rows").cast("long").alias("metric"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
-        .unionByName(fplan).unionByName(g)
+        .unionByName(fplan).unionByName(g).unionByName(h)
     )
 
 
@@ -3244,6 +3265,7 @@ def oracle_sql() -> dict[str, str]:
     # them into the same consolidated entries queries() registers (see the
     # union-tagged wrappers above oracle parity is per-variant: a value
     # mismatch in any union arm fails the merged row's hash).
+    from doc_agent_spark.operators import publish as publish_ops
     from doc_agent_spark.operators.fuzzy import fuzzy_match_del1_sql
 
     fuzzy_sql = fuzzy_match_del1_sql("dtn_left", "dtn_right")
@@ -4626,6 +4648,14 @@ UNION ALL
 SELECT 'orphan', CAST(event_id AS BIGINT), CAST(NULL AS VARCHAR),
        CAST(NULL AS VARCHAR), CAST(1 AS BIGINT)
 FROM events WHERE event_id % 13 = 0 AND event_id % 26 <> 0
+UNION ALL
+SELECT 'publish', CAST(NULL AS BIGINT), CAST(shard AS VARCHAR),
+       CAST(checksum AS VARCHAR) || ':' || CAST(n_bytes AS VARCHAR),
+       CAST(n_rows AS BIGINT)
+FROM ({publish_ops.shard_manifest_sql(
+    "SELECT CAST(to_json(struct_pack(doc_id := doc_id, lang := lang,"
+    " n_chars := n_chars)) AS VARCHAR) AS line, doc_id FROM documents",
+    line_expr="line", key_expr="doc_id", n_shards=8)})
 """,
         "simhash_dedup": f"""
 SELECT 'cluster' AS variant, CAST(simhash AS BIGINT) AS key_a,

@@ -46,6 +46,7 @@ from jobs.curate import run_curate
 from jobs.extract import run_extract
 from jobs.index import _readable, run_index
 from jobs.pack import run_pack
+from jobs.publish import run_publish
 
 
 def build_documents(spark: SparkSession, extracted_path: str, docs_path: str) -> dict:
@@ -129,6 +130,7 @@ def run_pipeline(
     shards: int = 8,
     dim: int = 16,
     input_format: str = "parquet",
+    publish: bool = False,
 ) -> dict:
     lineage = os.path.join(workdir, "lineage")
     metrics = os.path.join(workdir, "metrics")
@@ -155,6 +157,11 @@ def run_pipeline(
     stats["index"] = run_index(
         spark, p("curated"), p("index"), lineage, metrics, run_id, dim=dim,
     )
+    if publish:
+        stats["publish"] = run_publish(
+            spark, p("curated"), p("corpus"), lineage, metrics, run_id,
+            shards=shards, verify=True,
+        )
     return stats
 
 
@@ -170,6 +177,8 @@ def main() -> None:
     ap.add_argument("--shards", type=int, default=8)
     ap.add_argument("--dim", type=int, default=16)
     ap.add_argument("--format", default="parquet", choices=["parquet", "jsonl"])
+    ap.add_argument("--publish", action="store_true",
+                    help="final stage: verified JSONL shard export + manifest")
     args = ap.parse_args()
 
     from jobs.extract import ship_package
@@ -182,6 +191,7 @@ def main() -> None:
             buckets=args.buckets, c4_rules=args.c4_rules,
             min_quality=args.min_quality, budget=args.budget,
             shards=args.shards, dim=args.dim, input_format=args.format,
+            publish=args.publish,
         )
         print(json.dumps(stats))
     finally:

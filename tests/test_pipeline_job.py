@@ -24,7 +24,7 @@ def corpus(spark, tmp_path_factory):
 
 def test_pipeline_all_stages_and_resume(spark, corpus, tmp_path_factory):
     wd = str(tmp_path_factory.mktemp("pipe") / "run")
-    stats = run_pipeline(spark, corpus, wd, "p1", buckets=4, shards=2)
+    stats = run_pipeline(spark, corpus, wd, "p1", buckets=4, shards=2, publish=True)
     assert stats["extract"]["docs_processed"] == 40
     assert stats["bridge"]["docs"] == 40
     assert stats["curate"]["docs_in"] == 40
@@ -42,11 +42,19 @@ def test_pipeline_all_stages_and_resume(spark, corpus, tmp_path_factory):
     assert spark.read.parquet(f"{wd}/index/bm25_postings").count() > 0
     assert spark.read.parquet(f"{wd}/packed").count() > 0
 
+    # publish (final stage): verified shard export over the curated set
+    assert stats["publish"]["complete"] is True
+    assert stats["publish"]["verify_failed_shards"] == 0
+    assert stats["publish"]["rows_written"] == curated.count()
+    assert spark.read.text(f"{wd}/corpus_shards/shard=*").count() == curated.count()
+
     # resume: everything already committed -> no stage redoes work
-    stats2 = run_pipeline(spark, corpus, wd, "p1", buckets=4, shards=2)
+    stats2 = run_pipeline(spark, corpus, wd, "p1", buckets=4, shards=2, publish=True)
     assert stats2["extract"]["docs_processed"] == 0
     assert stats2["extract"]["resumed_buckets_skipped"] == 4
     assert stats2["bridge"]["resumed"] is True
+    assert stats2["publish"]["shards_written"] == 0
+    assert stats2["publish"]["complete"] is True
     assert spark.read.parquet(f"{wd}/curated").count() == curated.count()
 
 

@@ -498,3 +498,23 @@ def test_pmi_broadcasts_vocab_and_topk(spark, sf_dir):
     assert "BroadcastHashJoin" in plan          # vocab + df sides ride broadcasts
     assert "TakeOrderedAndProject" in plan      # bounded top-k, no global sort
     assert "Python" not in plan
+
+
+def test_publish_manifest_one_exchange_partial_agg(spark, sf_dir):
+    """The export manifest is ONE hash aggregate: map-side partials merge
+    the digest sums, a single Exchange on shard moves 3 numbers per
+    (task, shard), and nothing touches Python — the text bytes never
+    shuffle."""
+    from doc_agent_spark.operators import publish
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = publish.shard_manifest(
+        docs.select(
+            F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("line"), "doc_id"
+        ),
+        n_shards=8,
+    )
+    plan = _plan(out)
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "Python" not in plan and "Arrow" not in plan

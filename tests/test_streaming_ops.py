@@ -262,3 +262,45 @@ def test_click_attribution_stream_interval_join(spark, tmp_path):
         (r.click_id, r.imp_id) for r in spark.read.parquet(out).collect()
     )
     assert got == [(10, 1), (13, 1), (13, 3)]
+
+
+def test_publish_stream_manifest_merges_to_batch(spark, tmp_path):
+    """Streaming publish over two increments: the summed per-batch manifest
+    deltas equal the batch job's manifest over the union input (the
+    digest-sum mergeability property), and re-checksumming the streamed
+    bytes against the merged manifest verifies clean."""
+    from pyspark.sql import functions as F
+
+    from doc_agent_spark.operators import publish as pubops
+    from doc_agent_spark.streaming.pipeline import (
+        merged_stream_manifest,
+        publish_stream,
+    )
+
+    ind = str(tmp_path / "in")
+    out = str(tmp_path / "pub")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, text string, lang string"
+    batch1 = [(i, f"body {i}", "en") for i in range(40)]
+    batch2 = [(i, f"body {i}", "de") for i in range(40, 70)]
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(ind)
+
+    stream = spark.readStream.schema(schema).parquet(ind)
+    q = publish_stream(stream, out, ck, shards=4)
+    q.awaitTermination(60)
+
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(ind)
+    q = publish_stream(spark.readStream.schema(schema).parquet(ind), out, ck, shards=4)
+    q.awaitTermination(60)
+
+    merged = merged_stream_manifest(spark, out + "_manifest")
+    ref = pubops.shard_manifest(
+        spark.createDataFrame(batch1 + batch2, schema).select(
+            F.to_json(F.struct("doc_id", "lang", "text")).alias("line"), "doc_id"
+        ),
+        n_shards=4,
+    )
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in ref.collect()}
+
+    vm = pubops.verify_shards(spark, out + "_shards", merged, line_col="value")
+    assert vm.filter(~F.col("ok")).count() == 0

@@ -2622,7 +2622,7 @@ def file_meta(spark, sf_dir):
 
     h = pubops.shard_manifest(
         docs.select(
-            F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("line"), "doc_id"
+            pubops.json_line("doc_id", "lang", "n_chars").alias("line"), "doc_id"
         ),
         line_col="line", key_col="doc_id", n_shards=8,
     ).select(

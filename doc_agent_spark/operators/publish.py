@@ -41,6 +41,20 @@ from pyspark.sql import functions as F
 from doc_agent_spark.operators.packing import shard_of
 
 
+def json_line(*cols: str) -> Column:
+    """The publish serialization: one JSON object per row with EVERY column
+    always present (``ignoreNullFields=false`` — Spark's default silently
+    DROPS null fields, which both breaks field-set stability across rows
+    and diverges from engines that emit explicit nulls: DuckDB's
+    to_json(struct_pack(...)) writes ``"k":null``, so checksum parity
+    requires the explicit form). Callers (jobs/publish.py,
+    streaming.publish_stream, the file_meta gate arm, tests) share this
+    helper so the byte contract has one definition."""
+    return F.to_json(
+        F.struct(*[F.col(c) for c in cols]), {"ignoreNullFields": "false"}
+    )
+
+
 def row_digest(line: Column) -> Column:
     """First 15 md5 hex chars of the serialized row as a 60-bit integer,
     widened to decimal(28,0) so a shard-level SUM (→ decimal(38,0)) holds

@@ -387,7 +387,7 @@ def publish_stream(
     def sink(batch_df, batch_id: int) -> None:
         staged = batch_df.select(
             shard_of(F.col(key_col), shards, seed).alias("shard"),
-            F.to_json(F.struct(*[F.col(c) for c in cols])).alias("line"),
+            pubops.json_line(*cols).alias("line"),
         ).localCheckpoint()  # one write + one aggregate off the same pass
         staged.write.mode("append").partitionBy("shard").text(shards_path)
         (

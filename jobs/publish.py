@@ -78,7 +78,7 @@ def run_publish(
 
     staged = df.select(
         shard_of(F.col(key_col), shards, seed).alias("shard"),
-        F.to_json(F.struct(*[F.col(c) for c in cols])).alias("line"),
+        publish.json_line(*cols).alias("line"),
     )
     done = completed_partitions(spark, lineage_path, run_id, "publish")
     if done:

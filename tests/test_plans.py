@@ -509,9 +509,7 @@ def test_publish_manifest_one_exchange_partial_agg(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = publish.shard_manifest(
-        docs.select(
-            F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("line"), "doc_id"
-        ),
+        docs.select(publish.json_line("doc_id", "lang", "n_chars").alias("line"), "doc_id"),
         n_shards=8,
     )
     plan = _plan(out)

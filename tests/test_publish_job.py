@@ -108,7 +108,7 @@ def test_manifest_parallelism_invariant(spark, published):
     from doc_agent_spark.operators import publish as pub
 
     df = spark.read.parquet(in_p)
-    line = F.to_json(F.struct("doc_id", "lang", "text")).alias("line")
+    line = pub.json_line("doc_id", "lang", "text").alias("line")
     base = {tuple(r) for r in pub.shard_manifest(
         df.select(line, "doc_id"), n_shards=SHARDS).collect()}
     old = spark.conf.get("spark.sql.shuffle.partitions")

@@ -296,7 +296,7 @@ def test_publish_stream_manifest_merges_to_batch(spark, tmp_path):
     merged = merged_stream_manifest(spark, out + "_manifest")
     ref = pubops.shard_manifest(
         spark.createDataFrame(batch1 + batch2, schema).select(
-            F.to_json(F.struct("doc_id", "lang", "text")).alias("line"), "doc_id"
+            pubops.json_line("doc_id", "lang", "text").alias("line"), "doc_id"
         ),
         n_shards=4,
     )

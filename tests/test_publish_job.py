@@ -121,3 +121,55 @@ def test_manifest_parallelism_invariant(spark, published):
     assert narrow == base
     published_side = {tuple(r) for r in final_manifest(spark, out + "_manifest").collect()}
     assert published_side == base
+
+
+def test_checksum_cross_engine_on_adversarial_text(spark, tmp_path):
+    """The manifest checksum's byte contract holds across engines on the
+    hard serialization cases: quotes, backslashes, control chars (both
+    engines emit uppercase-hex \\u escapes), raw UTF-8 multibyte, emoji,
+    embedded JSON. Spark's shard_manifest and the DuckDB SQL mirror must
+    agree value-for-value — the same property the file_meta gate arm
+    checks on stock data, pinned here on adversarial bytes."""
+    import duckdb
+
+    from doc_agent_spark.operators import publish as pub
+
+    cases = [
+        "plain", 'quote " inside', "back\\slash", "tab\there",
+        "newline\nhere", "unicode é ü 中文", "emoji 🙂",
+        "ctrl \x01 \x1f", "single ' quote", '{"nested":1}', "",
+    ]
+    rows = [(i, c) for i, c in enumerate(cases)]
+    p = str(tmp_path / "adv.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(p)
+
+    got = sorted(
+        tuple(r) for r in pub.shard_manifest(
+            spark.read.parquet(p).select(
+                pub.json_line("doc_id", "text").alias("line"), "doc_id"
+            ),
+            n_shards=3,
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    sql = pub.shard_manifest_sql(
+        "SELECT CAST(to_json(struct_pack(doc_id := doc_id, text := text))"
+        " AS VARCHAR) AS line, doc_id FROM t",
+        line_expr="line", key_expr="doc_id", n_shards=3,
+    )
+    oracle = sorted(
+        (int(s), int(n), int(b), int(c)) for s, n, b, c in con.execute(sql).fetchall()
+    )
+    assert [(int(a), int(b_), int(c_), int(d)) for a, b_, c_, d in got] == oracle
+
+
+def test_config_change_fails_fast(spark, published):
+    """Re-running against an existing output with a different shard count
+    (or column order/seed) must raise instead of silently mixing two
+    incompatible shard mappings in one directory."""
+    stats, in_p, out, lin, met = published
+    with pytest.raises(ValueError, match="config mismatch"):
+        run_publish(
+            spark, in_p, out, lin, met, run_id="pub2", shards=SHARDS + 1,
+        )

@@ -158,3 +158,29 @@ def verify_shards(
             ).alias("ok"),
         )
     )
+
+
+def check_or_write_config(output_path: str, cfg: dict) -> None:
+    """Config identity guard shared by jobs/publish.py and
+    streaming.publish_stream: shards/columns/seed/key define both the
+    doc→shard mapping and the serialized bytes, so batch and stream
+    touching the SAME output under different configs silently produces an
+    unverifiable mix (dynamic overwrite re-shards under a new mapping while
+    the old manifest still describes the old one). First writer records the
+    config beside the output; every later writer — batch or stream — must
+    match or fail fast."""
+    import json
+    import os
+
+    cfg_path = output_path.rstrip("/") + "_config.json"
+    if os.path.exists(cfg_path):
+        prev = json.load(open(cfg_path))
+        if prev != cfg:
+            raise ValueError(
+                f"publish config mismatch for {output_path}: existing output "
+                f"was written with {prev}, this writer asked for {cfg}; use a "
+                "new output path for a new config"
+            )
+    else:
+        with open(cfg_path, "w") as fh:
+            json.dump(cfg, fh)

@@ -36,12 +36,16 @@ def spread_by_doc(df: DataFrame, num_partitions: int | None = None, salt: int = 
     The salt term decorrelates the distribution from any downstream
     hash-partitioning on doc_id, so two consecutive spreads don't collide.
     """
-    key = F.pmod(
-        F.hash(F.col("doc_id"), F.lit(salt)), F.lit(num_partitions or df.sparkSession.sparkContext.defaultParallelism)
-    )
+    # NOTE: the key is the raw (high-cardinality) hash, NOT pre-pmod'd into
+    # [0, P): repartition(P, key) hashes the key expression AGAIN mod P, so
+    # a key collapsed to P distinct values first would throw P groups into
+    # P bins — a balls-into-bins occupancy with ~1/e of partitions empty
+    # and others holding 2-3 groups. The raw hash keeps per-row cardinality
+    # and the second hash spreads it smoothly.
+    key = F.hash(F.col("doc_id"), F.lit(salt))
     if num_partitions:
         return df.repartition(num_partitions, key)
-    return df.repartition(key)
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
 
 
 def split_heavy(df: DataFrame, max_spans: int = 32, num_partitions: int | None = None) -> DataFrame:
@@ -49,8 +53,12 @@ def split_heavy(df: DataFrame, max_spans: int = 32, num_partitions: int | None =
     through untouched. Output schema == input schema (doc_id, spans);
     span order inside the array is restored by offset sort downstream
     (spec sorts defensively as well)."""
-    heavy = df.filter(F.size("spans") > max_spans)
-    light = df.filter(F.size("spans") <= max_spans)
+    # size(NULL) is NULL (legacy.sizeOfNull=false since Spark 3), so a
+    # null-spans doc would fail BOTH filters and silently vanish — coalesce
+    # routes it through the light (untouched) branch, preserving rows.
+    n_spans = F.coalesce(F.size("spans"), F.lit(0))
+    heavy = df.filter(n_spans > max_spans)
+    light = df.filter(n_spans <= max_spans)
     exploded = heavy.select("doc_id", F.explode("spans").alias("span"))
     spread = spread_by_doc(exploded, num_partitions)
     regrouped = spread.groupBy("doc_id").agg(
@@ -132,10 +140,25 @@ def heavy_keys(
     total = s.count()
     if total == 0:
         return []
-    cut = max(1, int(total * threshold_share))
+    # The cut must come from the SHARE, not a floor: int(total*share)
+    # floors to 0 when total*share < 1 (every sampled key "hot" at cut=1),
+    # and any fixed small floor still certifies binomial flukes. When the
+    # sample cannot place at least 2 expected rows on a threshold-share key
+    # it cannot certify ANY key hot — return none (callers fall back to the
+    # plain join or an explicit hot list). The limit makes the docstring's
+    # driver-size bound unconditional: at most 1/threshold_share keys
+    # (ordered by count desc, key asc for determinism).
+    import math
+
+    if total * threshold_share < 2:
+        return []
+    cut = math.ceil(total * threshold_share)
     return [
         r[0]
-        for r in counts.filter(F.col("_n") >= cut).select(key_col).collect()
+        for r in counts.filter(F.col("_n") >= cut)
+        .orderBy(F.desc("_n"), F.asc(key_col))
+        .limit(int(1 / threshold_share))
+        .collect()
     ]
 
 

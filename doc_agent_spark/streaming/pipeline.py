@@ -196,7 +196,17 @@ def _session_fn(key, pdfs, state):
                 ss, ls = min(ss, ts_us), max(ls, ts_us)
                 n, sv = n + 1, sv + v
         if po is not None:
-            out.append((user_id, *po))
+            # the straggler test above compared against ss AS OF that row;
+            # later in-batch rows can have extended the open session further
+            # backward, so re-check at flush time: a pending session ending
+            # within gap of the (final) open session start is the SAME
+            # session by the gap rule — merge it instead of emitting a
+            # spurious split (start regresses to the straggler's start).
+            if ss is not None and ss - po[1] <= GAP_US:
+                ss = min(ss, po[0])
+                n, sv = n + po[2], sv + po[3]
+            else:
+                out.append((user_id, *po))
         out.sort(key=lambda r: r[1])
         if ss is not None:
             state.update((ss, ls, n, sv))
@@ -351,7 +361,7 @@ def publish_stream(
     output_path: str,
     checkpoint_dir: str,
     columns: list[str] | None = None,
-    shards: int = 8,
+    shards: int = 64,
     key_col: str = "doc_id",
     seed: str = "publish42",
 ):
@@ -383,6 +393,13 @@ def publish_stream(
     cols = columns or sorted(docs.columns)
     shards_path = output_path.rstrip("/") + "_shards"
     manifest_path = output_path.rstrip("/") + "_manifest"
+    # same config guard as the batch job (defaults aligned at shards=64):
+    # the documented repair path runs jobs/publish.py against THIS output,
+    # so both writers must agree on the mapping or fail fast here
+    pubops.check_or_write_config(
+        output_path,
+        {"shards": shards, "columns": cols, "seed": seed, "key_col": key_col},
+    )
 
     def sink(batch_df, batch_id: int) -> None:
         staged = batch_df.select(

@@ -4,9 +4,14 @@ anything about history.
 
     spark-submit --py-files dist.zip jobs/incremental.py \\
         --batch warehouse.crawl_2026_08 --history warehouse.curated \\
-        --index warehouse.index --output warehouse.delta_2026_08 \\
-        --lineage warehouse.lineage --metrics warehouse.metrics \\
+        --index /warehouse/index --output /warehouse/delta_2026_08 \\
+        --lineage /warehouse/lineage --metrics /warehouse/metrics \\
         --run-id inc42 --minhash-k 8 --bands 4 --jaccard 0.5
+
+(``--batch``/``--history`` accept a table name or a path; ``--index`` /
+``--output`` / ``--lineage`` / ``--metrics`` are directories — the index
+is read as ``<index>/minhash_bands`` parquet and each delta artifact is
+written under ``<output>/<name>``.)
 
 Division of labor at 10^12 docs: the batch job (jobs/index.py) owns the
 corpus-wide band index; the streaming path (streaming/pipeline.py
@@ -87,19 +92,63 @@ def run_incremental(
     minhash_k: int = 8,
     bands: int = 4,
     jaccard: float = 0.5,
+    metrics_path: str | None = None,
 ) -> dict:
     from doc_agent_spark.operators import dedup
 
     t0 = time.time()
-    batch = _read(spark, batch_path).select("doc_id", "text")
+    raw_batch = _read(spark, batch_path).select("doc_id", "text")
     history = _read(spark, history_path).select("doc_id", "text")
+    # Re-crawled ids (batch doc_id already in history) are NOT near-dup
+    # work: history is canonical, so the re-fetch is dropped outright
+    # (identical text is trivially a dup; changed text is an UPDATE, which
+    # the upsert path owns — sinks/upsert.py — not the dedup increment).
+    # Letting them through corrupts everything downstream: the id!=_hid
+    # filter hides the self-match, bands_delta re-adds duplicate
+    # (id, band, bucket) rows to the merged index, and the verify corpus
+    # (batch ∪ history) would carry the SAME id with two texts — doubled
+    # shingle rows and garbage Jaccard for any pair naming it. The id-only
+    # semi/anti joins below are 8-byte-key joins; at 10^12-row history
+    # route them through plans.runtime_filter.bloom_anti_join.
+    hist_ids = history.select("doc_id")
+    recrawled = raw_batch.join(hist_ids, "doc_id", "left_semi").select("doc_id")
+    batch = raw_batch.join(hist_ids, "doc_id", "left_anti")
     hist_bands = spark.read.parquet(
         index_path.rstrip("/") + "/minhash_bands"
     )
     out = output_path.rstrip("/")
     built: dict[str, int] = {}
     reused: dict[str, bool] = {}
-    lineage_rows = []
+
+    def _lineage_row_exists(pid: int) -> bool:
+        try:
+            from doc_agent_spark.schema import LINEAGE
+
+            return bool(
+                spark.read.schema(LINEAGE).parquet(lineage_path)
+                .filter(
+                    (F.col("run_id") == run_id)
+                    & (F.col("stage") == "incremental")
+                    & (F.col("partition_id") == pid)
+                )
+                .head(1)
+            )
+        except Exception:
+            return False
+
+    def _append_lineage(name: str, rows: int, wall_ms: int) -> None:
+        # shared LINEAGE schema (schema.py): every job appends to ONE
+        # lineage table, so column names/types must agree or mixed-schema
+        # parquet reads silently null out the divergent columns
+        spark.createDataFrame(
+            [(run_id, "incremental", ARTIFACTS.index(name), "done",
+              rows, rows, 0, 0, wall_ms)],
+            "run_id string, stage string, partition_id int, status string, "
+            "docs_in long, docs_out long, spans_out long, parse_failures long, "
+            "wall_ms long",
+        ).withColumn("finished_at", F.current_timestamp()).write.mode(
+            "append"
+        ).parquet(lineage_path)
 
     def commit(name: str, build):
         path = f"{out}/{name}"
@@ -107,6 +156,11 @@ def run_incremental(
         if existing is not None:
             reused[name] = True
             built[name] = existing.count()
+            # converge lineage on resume: a crash BETWEEN the artifact
+            # write and its lineage append left the artifact committed but
+            # unaccounted — backfill exactly the missing row
+            if not _lineage_row_exists(ARTIFACTS.index(name)):
+                _append_lineage(name, built[name], 0)
             return existing
         t = time.time()
         frame = build()
@@ -114,34 +168,44 @@ def run_incremental(
         committed = spark.read.parquet(path)
         reused[name] = False
         built[name] = committed.count()
-        lineage_rows.append((
-            run_id, "incremental", ARTIFACTS.index(name), "done",
-            built[name], built[name], 0, 0,
-            int((time.time() - t) * 1000),
-        ))
+        # lineage commits per artifact, immediately after its write (the
+        # module contract) — not batched to job end, where a crash after
+        # artifact 1 would lose its row forever (the resume path above
+        # backfills even this window)
+        _append_lineage(name, built[name], int((time.time() - t) * 1000))
         return committed
 
     # batch band rows once; the DAG below branches it three ways
-    # (vs-history join, self-join, kept-bands projection)
-    batch_bands = dedup.minhash_band_table(
-        batch, k=minhash_k, bands=bands
-    ).localCheckpoint(eager=True)
+    # (vs-history join, self-join, kept-bands projection). LAZY: banding is
+    # the dominant cost of the job, and a fully-resumed re-run must not pay
+    # it — the checkpoint happens inside the first builder that needs it,
+    # after the artifact-reuse checks short-circuit.
+    _bb: list = []
+
+    def batch_bands():
+        if not _bb:
+            _bb.append(
+                dedup.minhash_band_table(
+                    batch, k=minhash_k, bands=bands
+                ).localCheckpoint(eager=True)
+            )
+        return _bb[0]
 
     def build_pairs():
         hb = hist_bands.select(
             F.col("id").alias("_hid"), "band", "bucket"
         )
         cand_hist = (
-            batch_bands.join(hb, ["band", "bucket"])
+            batch_bands().join(hb, ["band", "bucket"])
             .filter(F.col("id") != F.col("_hid"))
             .select(F.col("id").alias("id_a"), F.col("_hid").alias("id_b"))
             .distinct()
         )
-        b2 = batch_bands.select(
+        b2 = batch_bands().select(
             F.col("id").alias("_bid"), "band", "bucket"
         )
         cand_self = (
-            batch_bands.join(b2, ["band", "bucket"])
+            batch_bands().join(b2, ["band", "bucket"])
             .filter(F.col("id") < F.col("_bid"))
             .select(F.col("id").alias("id_a"), F.col("_bid").alias("id_b"))
             .distinct()
@@ -180,27 +244,29 @@ def run_incremental(
         non_canon = cc.filter(F.col("id") != F.col("cluster_id")).select(
             F.col("id").alias("doc_id")
         )
-        return hist_hit.unionByName(non_canon).distinct()
+        # re-fetches of already-shipped ids drop outright (see top of job)
+        return hist_hit.unionByName(non_canon).unionByName(recrawled).distinct()
 
     drops = commit("drop_delta", build_drops)
 
     commit(
         "bands_delta",
-        lambda: batch_bands.join(
+        lambda: batch_bands().join(
             drops.withColumnRenamed("doc_id", "id"), "id", "left_anti"
         ),
     )
 
-    if lineage_rows:
+    if metrics_path:
         spark.createDataFrame(
-            lineage_rows,
-            "run_id string, stage string, partition_id int, status string, "
-            "docs_in long, docs_out long, spans long, failures long, "
-            "wall_ms long",
-        ).write.mode("append").parquet(lineage_path)
+            [(run_id, "incremental", built["pairs_delta"],
+              built["drop_delta"], built["bands_delta"],
+              int((time.time() - t0) * 1000))],
+            "run_id string, stage string, pairs long, dropped long,"
+            " band_rows long, wall_ms long",
+        ).write.mode("append").parquet(metrics_path)
 
     return {
-        "batch_docs": batch.count(),
+        "batch_docs": raw_batch.count(),
         "pairs_delta": built["pairs_delta"],
         "dropped": built["drop_delta"],
         "bands_delta": built["bands_delta"],
@@ -218,6 +284,7 @@ def main() -> None:
                     help="index dir from jobs/index.py (reads minhash_bands/)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--lineage", required=True)
+    ap.add_argument("--metrics", default=None)
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--minhash-k", type=int, default=8)
     ap.add_argument("--bands", type=int, default=4)
@@ -233,6 +300,7 @@ def main() -> None:
     stats = run_incremental(
         spark, args.batch, args.history, args.index, args.output,
         args.lineage, args.run_id, args.minhash_k, args.bands, args.jaccard,
+        metrics_path=args.metrics,
     )
     print(stats)
     spark.stop()

@@ -80,21 +80,12 @@ def run_publish(
     # mapping and the bytes — resuming an output under a DIFFERENT mapping
     # silently mixes incompatible shard sets (the jobs/pack.py hazard, here
     # enforced instead of documented: the byte-level manifest makes any mix
-    # unverifiable, so fail fast). First run records the config; every run
-    # re-checks it.
-    cfg = {"shards": shards, "columns": cols, "seed": seed, "key_col": key_col}
-    cfg_path = output_path.rstrip("/") + "_config.json"
-    if os.path.exists(cfg_path):
-        prev = json.load(open(cfg_path))
-        if prev != cfg:
-            raise ValueError(
-                f"publish config mismatch for {output_path}: existing output was "
-                f"written with {prev}, this run asked for {cfg}; use a new "
-                "--output (+ run id) for a new config"
-            )
-    else:
-        with open(cfg_path, "w") as fh:
-            json.dump(cfg, fh)
+    # unverifiable, so fail fast). First writer — this job OR the stream —
+    # records the config; every later writer re-checks it.
+    publish.check_or_write_config(
+        output_path,
+        {"shards": shards, "columns": cols, "seed": seed, "key_col": key_col},
+    )
 
     staged = df.select(
         shard_of(F.col(key_col), shards, seed).alias("shard"),

@@ -131,3 +131,58 @@ def test_incremental_no_matches(spark, tmp_path_factory):
     assert {
         x.id for x in spark.read.parquet(out + "/bands_delta").select("id").distinct().collect()
     } == {20}
+
+
+def test_recrawled_ids_drop_and_never_duplicate_the_index(spark, tmp_path_factory):
+    """A batch row whose doc_id already exists in history (a re-fetch) must
+    be dropped outright — history is canonical — and its bands must NOT be
+    re-added (the merged index would otherwise hold duplicate rows and the
+    verify corpus would carry one id with two texts)."""
+    d = tmp_path_factory.mktemp("inc_rc")
+    hist_p, idx, batch_p = _setup(spark, d)
+    # batch: re-fetch of history id 0 (changed text) + one fresh doc
+    batch = _docs(spark, [
+        (0, BASE.replace("usual", "refetched")),   # re-crawl, id collision
+        (20, "entirely new words that match nothing anywhere else now"),
+    ])
+    bp = str(d / "batch_rc.parquet")
+    batch.write.parquet(bp)
+    out, lin = str(d / "delta_rc"), str(d / "lineage_rc")
+    r = run_incremental(spark, bp, hist_p, idx, out, lin, run_id="rc1")
+    drops = {x.doc_id for x in spark.read.parquet(out + "/drop_delta").collect()}
+    assert 0 in drops
+    band_ids = {
+        x.id for x in
+        spark.read.parquet(out + "/bands_delta").select("id").distinct().collect()
+    }
+    assert band_ids == {20}
+    # merged index has NO duplicate rows for id 0
+    merged = spark.read.parquet(idx + "/minhash_bands").unionByName(
+        spark.read.parquet(out + "/bands_delta")
+    )
+    assert merged.count() == merged.distinct().count()
+
+
+def test_lineage_rows_use_shared_schema_per_artifact(spark, tmp_path_factory):
+    """Every artifact commits its own LINEAGE-schema row (shared table with
+    the other jobs — mixed column names silently null out on read)."""
+    from doc_agent_spark.schema import LINEAGE
+
+    d = tmp_path_factory.mktemp("inc_lin")
+    hist_p, idx, batch_p = _setup(spark, d)
+    out, lin = str(d / "delta_l"), str(d / "lineage_l")
+    run_incremental(spark, batch_p, hist_p, idx, out, lin, run_id="l1")
+    rows = (
+        spark.read.schema(LINEAGE).parquet(lin)
+        .filter("run_id = 'l1' AND stage = 'incremental' AND status = 'done'")
+        .collect()
+    )
+    assert sorted(r.partition_id for r in rows) == [0, 1, 2]
+    assert all(r.finished_at is not None for r in rows)
+    # a fully-resumed run appends nothing new (rows already exist)
+    run_incremental(spark, batch_p, hist_p, idx, out, lin, run_id="l1")
+    again = (
+        spark.read.schema(LINEAGE).parquet(lin)
+        .filter("run_id = 'l1' AND stage = 'incremental'").collect()
+    )
+    assert len(again) == 3

@@ -307,3 +307,53 @@ def test_snapshot_diff_content_never_shuffles(spark):
     import re
     for m in re.finditer(r"Exchange[^\n]*", plan):
         assert "text" not in m.group(0)
+
+
+def test_heavy_keys_small_sample_does_not_flag_everything(spark):
+    """Sub-threshold sample totals must not collapse the cut to 1 (where
+    every sampled key is 'hot'): a uniform key distribution yields NO hot
+    keys even when total*threshold_share < 1."""
+    from doc_agent_spark.plans import skew
+
+    big = spark.createDataFrame(
+        [(i % 97, i) for i in range(400)], "key int, row_id int"
+    )
+    hot = skew.heavy_keys(
+        big, "key", row_key="row_id", threshold_share=0.005, sample_fraction=0.3
+    )
+    # ~120 sampled rows cannot certify a 0.5%-share key (expected rows on a
+    # threshold key < 2) — detection abstains rather than flagging flukes
+    assert hot == []
+
+
+def test_split_heavy_preserves_null_spans_rows(spark):
+    """size(NULL) is NULL, so null-spans docs must be routed through the
+    light branch, not silently dropped by failing both filters."""
+    from doc_agent_spark.plans import skew
+
+    df = spark.createDataFrame(
+        [(1, [(0, "a")]), (2, None)],
+        "doc_id long, spans array<struct<offset:int, text:string>>",
+    )
+    out = skew.split_heavy(df, max_spans=0)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2]
+
+
+def test_spread_by_doc_occupies_all_partitions(spark):
+    """The spread key is the raw high-cardinality hash: a pre-pmod'd key in
+    [0, P) would be re-hashed by repartition and leave ~1/e of partitions
+    empty (P groups into P bins). Every target partition must be occupied
+    and roughly balanced."""
+    from pyspark.sql import functions as F
+
+    from doc_agent_spark.plans import skew
+
+    docs = spark.range(5000).select(F.col("id").alias("doc_id"))
+    sizes = (
+        skew.spread_by_doc(docs, num_partitions=16)
+        .withColumn("p", F.spark_partition_id())
+        .groupBy("p").count().collect()
+    )
+    counts = {r["p"]: r["count"] for r in sizes}
+    assert len(counts) == 16                       # zero empty partitions
+    assert max(counts.values()) <= 2 * min(counts.values())

@@ -71,7 +71,8 @@ def ooo_rows(spark, tmp_path_factory):
     in_dir, ckpt = str(d / "in"), str(d / "ckpt")
     # batch 1: user 5 open session 10:00-10:10; user 6 open session 10:00
     spark.createDataFrame(
-        [(5, _t(0), 1.0), (5, _t(10), 2.0), (6, _t(0), 1.0)], SCHEMA
+        [(5, _t(0), 1.0), (5, _t(10), 2.0), (6, _t(0), 1.0),
+         (7, _t(0), 1.0), (7, _t(10), 2.0)], SCHEMA
     ).coalesce(1).write.mode("overwrite").parquet(in_dir + "/b1")
     # batch 2 (all within the 2h watermark of batch 1's 10:10 max):
     # - user 5 at 9:55: older than last_ts but within gap of session_start
@@ -79,11 +80,16 @@ def ooo_rows(spark, tmp_path_factory):
     #   session_end to 9:55 — the round-1 bug)
     # - user 6 at 8:30+8:35: stragglers > gap before the open session
     #   → their own coalesced session
+    # - user 7 at 9:05 + 9:31: 9:05 tests as a straggler against the
+    #   as-of-that-row session start (10:00), but 9:31 then extends the
+    #   open session back to 9:31 — leaving the "straggler" within gap of
+    #   the final start: ONE session 9:05-10:10, not a spurious split
     # - user 3 far-future: advances watermark → timeouts fire
     spark.createDataFrame(
         [
             (5, _t(55, hour=9), 4.0),
             (6, _t(30, hour=8), 0.25), (6, _t(35, hour=8), 0.25),
+            (7, _t(5, hour=9), 4.0), (7, _t(31, hour=9), 8.0),
             (3, _t(0, hour=20), 0.5),
         ],
         SCHEMA,
@@ -121,6 +127,19 @@ def test_straggler_older_than_gap_becomes_own_session(ooo_rows):
         (_t(30, hour=8), _t(35, hour=8), 2, 0.5),
         (_t(0), _t(0), 1, 1.0),
     ]
+
+
+def test_straggler_bridged_by_backward_merge_is_one_session(ooo_rows):
+    """A row that tested as older-than-gap against the session start AS OF
+    its processing can end up within gap of the FINAL start after later
+    in-batch rows extend the session backward — it must merge, not emit a
+    spurious split (9:05 straggler + 9:31 merge + 10:00-10:10 state =
+    one session)."""
+    u7 = [r for r in ooo_rows if r.user_id == 7]
+    assert len(u7) == 1
+    s = u7[0]
+    assert (s.session_start, s.session_end) == (_t(5, hour=9), _t(10))
+    assert (s.n_events, s.sum_value) == (4, 15.0)
 
 
 def test_inline_gap_closes_first_session(session_rows):

@@ -304,3 +304,11 @@ def test_publish_stream_manifest_merges_to_batch(spark, tmp_path):
 
     vm = pubops.verify_shards(spark, out + "_shards", merged, line_col="value")
     assert vm.filter(~F.col("ok")).count() == 0
+
+    # mixed-writer guard: the batch repair job touching the stream's output
+    # under a different shard mapping must fail fast, not silently re-shard
+    with pytest.raises(ValueError, match="config mismatch"):
+        pubops.check_or_write_config(
+            out, {"shards": 64, "columns": ["doc_id", "lang", "text"],
+                  "seed": "publish42", "key_col": "doc_id"},
+        )

@@ -268,9 +268,12 @@ def graph_ann_topk_sharded(
     """
     import numpy as np
 
-    from .similarity import ivf_assign, ivf_codebook
+    from .similarity import ivf_assign, ivf_codebook_safe
 
-    _cents, bc = ivf_codebook(emb, centroid_stride, id_col, vec_col)
+    # _safe: string-keyed corpora get an xxhash64-derived numeric key and
+    # tiny/sparse corpora degrade the stride instead of crashing the Arrow
+    # matmul on an empty codebook (the jobs/index.py guards, shared)
+    _cents, bc, _ = ivf_codebook_safe(emb, centroid_stride, id_col, vec_col)
 
     id_type = emb.schema[id_col].dataType.simpleString()
     qid_type = queries.schema[query_id_col].dataType.simpleString()
@@ -278,7 +281,12 @@ def graph_ann_topk_sharded(
     out_schema = f"query_id {qid_type}, id {id_type}, score double"
 
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    assigned = ivf_assign(emb, bc, id_col, vec_col)
+    # the (id, cell) assignment feeds two DIVERGENT plan branches (the
+    # banding key inside build_knn_graph and the nodes join) whose
+    # exchanges can't be reused — materialize the corpus-scale Arrow
+    # assignment once instead of recomputing it per branch (the
+    # conversion_funnel recompute lesson; frame is 2 columns × N)
+    assigned = ivf_assign(emb, bc, id_col, vec_col).localCheckpoint(eager=False)
     graph = build_knn_graph(
         emb, id_col, vec_col, m=m, dim=dim, cells=assigned, **build_kw
     )

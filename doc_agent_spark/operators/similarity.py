@@ -148,6 +148,60 @@ def ivf_assign(
     ).mapInPandas(assign, f"id {id_type}, cell long")
 
 
+def ivf_codebook_safe(
+    embeddings: DataFrame,
+    centroid_stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """:func:`ivf_codebook` with the two real-corpus guards every caller
+    needs (factored out of jobs/index.py so the sharded graph-ANN serve
+    path gets them too):
+
+    - **string-keyed corpora** (the extract→curate path emits 'doc-%08d'
+      ids) get a deterministic xxhash64-derived numeric key — the raw
+      id % stride selection would CAST-null every row and, under the
+      empty-codebook guard, loop to stride 1;
+    - **stride degradation**: hash-derived (or sparse) keys guarantee no
+      divisible id on a tiny corpus; the stride drops ×10 (metadata-sized
+      probe counts) until the codebook is non-empty rather than shipping
+      an empty matrix that crashes the Arrow matmul.
+
+    Returns (cents, bc, stride_eff). Numeric corpora at the given stride
+    return byte-identical codebooks to :func:`ivf_codebook`."""
+    from pyspark.sql.types import NumericType
+
+    if isinstance(embeddings.schema[id_col].dataType, NumericType):
+        cb_emb, cb_id = embeddings, id_col
+    else:
+        cb_emb, cb_id = embeddings.withColumn("_nid", F.xxhash64(id_col)), "_nid"
+    stride_eff = centroid_stride
+    while (
+        stride_eff > 1
+        and cb_emb.filter(F.col(cb_id) % stride_eff == 0).limit(1).count() == 0
+    ):
+        stride_eff = max(stride_eff // 10, 1)
+    cents, bc = ivf_codebook(
+        cb_emb, centroid_stride=stride_eff, id_col=cb_id, vec_col=vec_col
+    )
+    return cents, bc, stride_eff
+
+
+def codebook_broadcast(cents: DataFrame):
+    """Rebuild the Arrow-matmul broadcast form from a COMMITTED codebook
+    table (cid, cv) — the consumer half of the jobs/index.py contract
+    ('the broadcast form is rebuilt by consumers from the committed
+    table'): model-sized collect, same sort and normalization as
+    :func:`ivf_codebook`, so cells agree bit-for-bit across runs."""
+    import numpy as np
+
+    rows = sorted((int(r.cid), list(r.cv)) for r in cents.collect())
+    cids = np.array([c for c, _ in rows], dtype=np.int64)
+    M = np.array([v for _, v in rows], dtype=np.float64)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    return cents.sparkSession.sparkContext.broadcast((cids, M))
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -163,18 +163,59 @@ def curate_bucket_plan(docs, min_quality: float, langs: list[str] | None,
     )
 
 
-def _load_or_build(spark, path: str, build):
+def _load_or_build(spark, path: str, build, params: dict | None = None):
     """Corpus-stat checkpoint: try the committed parquet artifact, else run
     ``build()`` (which must return the frame to persist), write it, and
     read the committed copy back. Every artifact is a deterministic
-    function of the input, so a crash before the parquet commit just
-    rebuilds the identical frame. Returns (frame, reused)."""
+    function of the input AND its build parameters, so a crash before the
+    parquet commit just rebuilds the identical frame. Returns
+    (frame, reused).
+
+    Two reuse guards:
+    - ``params``: the artifact records the parameters it was built under
+      in a ``<path>_params.json`` sidecar; reuse under DIFFERENT params
+      raises instead of silently applying a stale artifact (a 5-token
+      shingle set joined against 10-token probes would no-op the whole
+      span stage with `reused: True` as the only hint). Explicit
+      cross-output sharing (``--fuzzy-drops-path`` etc.) still works when
+      the params agree. A missing sidecar on a pre-existing artifact is
+      backfilled from the current run (trusted reuse).
+    - ``_SUCCESS``: a readable directory WITHOUT the committer's success
+      marker is a partial job-commit (driver died mid-rename, or a
+      direct-write committer) — rebuilt, not reused; 'reads back' alone
+      is not 'committed'."""
     try:
-        return spark.read.parquet(path), True
+        df = spark.read.parquet(path)
+        df.schema  # force resolution
+        committed = (not os.path.isdir(path)) or os.path.exists(
+            os.path.join(path, "_SUCCESS")
+        )
     except Exception:
-        pass
+        committed = False
+    if committed:
+        _artifact_params_guard(path, params)
+        return df, True
     build().write.mode("overwrite").parquet(path)
+    _artifact_params_guard(path, params)
     return spark.read.parquet(path), False
+
+
+def _artifact_params_guard(path: str, params: dict | None) -> None:
+    import json as _json
+
+    if params is None:
+        return
+    pp = path.rstrip("/") + "_params.json"
+    if os.path.exists(pp):
+        prev = _json.load(open(pp))
+        if prev != params:
+            raise ValueError(
+                f"stale artifact {path}: built with {prev}, this run "
+                f"needs {params}; delete it or point at a fresh path"
+            )
+    else:
+        with open(pp, "w") as fh:
+            _json.dump(params, fh)
 
 
 def _boilerplate_build(docs, min_docs: int):
@@ -281,9 +322,14 @@ def _load_or_build_lm(spark, docs, path: str, min_count: int):
     try:
         uni, big, tot = (spark.read.parquet(p) for p in paths)
         tot.head()  # force: totals readable == artifact committed
-        return (uni, big, tot), True
+        committed = True
     except Exception:
-        pass
+        committed = False
+    if committed:
+        # guard OUTSIDE the try: a params mismatch must raise, not be
+        # swallowed into a silent rebuild-under-new-params
+        _artifact_params_guard(path, {"lm_min_count": min_count})
+        return (uni, big, tot), True
     uni_full = lm_quality.corpus_unigrams(docs).persist()
     try:
         uni_full.filter(F.col("c") >= min_count).write.mode(
@@ -299,6 +345,7 @@ def _load_or_build_lm(spark, docs, path: str, min_count: int):
         ).parquet(paths[2])
     finally:
         uni_full.unpersist()
+    _artifact_params_guard(path, {"lm_min_count": min_count})
     return tuple(spark.read.parquet(p) for p in paths), False
 
 
@@ -392,7 +439,8 @@ def run_curate(
     if strip_min_docs > 0:
         bpath = boilerplate_path or (output_path.rstrip("/") + "_boilerplate_lines")
         boiler, boiler_reused = _load_or_build(
-            spark, bpath, _boilerplate_build(docs, strip_min_docs)
+            spark, bpath, _boilerplate_build(docs, strip_min_docs),
+            params={"strip_min_docs": strip_min_docs},
         )
         stripped = dedup_ops.strip_duplicated_lines(
             docs, min_docs=strip_min_docs, boiler=boiler
@@ -413,14 +461,13 @@ def run_curate(
         docs = docs.withColumn("n_lines_removed", F.lit(0).cast("long"))
     span_reused = None
     if span_k > 0:
-        from doc_agent_spark.operators import dedup as dedup_ops
-
         spath = span_shingles_path or (output_path.rstrip("/") + "_dup_shingles")
         dup_sh, span_reused = _load_or_build(
             spark, spath,
             lambda: dedup_ops.duplicated_shingles(
                 docs, k=span_k, min_count=span_min_count
             ),
+            params={"span_k": span_k, "span_min_count": span_min_count},
         )
         cleaned = dedup_ops.strip_duplicated_spans(docs, dup_sh, k=span_k)
         docs = (
@@ -446,7 +493,8 @@ def run_curate(
     if fuzzy_jaccard is not None:
         fpath = fuzzy_drops_path or (output_path.rstrip("/") + "_fuzzy_drops")
         drops, fuzzy_reused = _load_or_build(
-            spark, fpath, _fuzzy_drops_build(docs, fuzzy_jaccard, keep=fuzzy_keep)
+            spark, fpath, _fuzzy_drops_build(docs, fuzzy_jaccard, keep=fuzzy_keep),
+            params={"fuzzy_jaccard": fuzzy_jaccard, "fuzzy_keep": fuzzy_keep},
         )
         n_fuzzy_dropped = drops.count()
         docs = _apply_drop_list(docs, drops, n_fuzzy_dropped, bloom_droplist_min)
@@ -455,7 +503,8 @@ def run_curate(
     if domain_cap > 0:
         cpath = domain_cap_drops_path or (output_path.rstrip("/") + "_domain_cap_drops")
         cap_drops, cap_reused = _load_or_build(
-            spark, cpath, _domain_cap_drops_build(docs, domain_cap, domain_col)
+            spark, cpath, _domain_cap_drops_build(docs, domain_cap, domain_col),
+            params={"domain_cap": domain_cap, "domain_col": domain_col},
         )
         n_domain_capped = cap_drops.count()
         docs = _apply_drop_list(docs, cap_drops, n_domain_capped, bloom_droplist_min)
@@ -466,6 +515,8 @@ def run_curate(
         keep, dsir_reused = _load_or_build(
             spark, dpath,
             _dsir_keep_build(docs, dsir_keep, dsir_target, dsir_buckets),
+            params={"dsir_keep": dsir_keep, "dsir_target": dsir_target,
+                    "dsir_buckets": dsir_buckets},
         )
         n_dsir_kept = keep.count()
         # keep list is at most dsir_keep rows — let AQE broadcast it

@@ -73,9 +73,16 @@ def _read(spark: SparkSession, path: str):
 
 
 def _readable(spark: SparkSession, path: str):
+    """Committed-artifact probe (the jobs/index.py contract): parquet must
+    read back AND the committer's _SUCCESS marker must exist — a driver
+    killed mid-job-commit leaves a readable fraction of the part files."""
     try:
         df = spark.read.parquet(path)
         df.schema  # force resolution
+        if os.path.isdir(path) and not os.path.exists(
+            os.path.join(path, "_SUCCESS")
+        ):
+            return None
         return df
     except Exception:
         return None

@@ -59,9 +59,18 @@ ARTIFACTS = [
 
 
 def _readable(spark: SparkSession, path: str):
+    """Committed-artifact probe: parquet must read back AND the committer's
+    _SUCCESS marker must exist (a driver killed mid-job-commit leaves a
+    readable fraction of the part files — 'reads back' alone would resume
+    against a silently truncated artifact). Non-local paths without a
+    listable directory fall back to the read-back probe."""
     try:
         df = spark.read.parquet(path)
         df.schema  # force resolution
+        if os.path.isdir(path) and not os.path.exists(
+            os.path.join(path, "_SUCCESS")
+        ):
+            return None
         return df
     except Exception:
         return None
@@ -89,6 +98,16 @@ def run_index(
         else spark.read.table(input_path)
     )
     out = output_path.rstrip("/")
+    # every artifact is a function of (input, dim, stride, k, bands): a
+    # resume under a different config would mix artifacts that cannot agree
+    # (dim-16 embeddings quantized as dim-32 dequantize to garbage forever)
+    # — same fail-fast contract as jobs/publish.py
+    from doc_agent_spark.operators.publish import check_or_write_config
+
+    check_or_write_config(out, {
+        "input": input_path, "dim": dim, "centroid_stride": centroid_stride,
+        "minhash_k": minhash_k, "bands": bands,
+    })
     built: dict[str, int] = {}
     reused: dict[str, bool] = {}
     lineage_rows = []
@@ -106,7 +125,17 @@ def run_index(
         w = frame.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(partition_by)
-        w.parquet(path)
+        # artifacts are whole-directory overwrites: force STATIC partition
+        # overwrite for this write even when a caller (jobs/pipeline.py)
+        # left the session in dynamic mode — dynamic overwrite emits no
+        # root _SUCCESS marker, which _readable requires as the commit
+        # proof, so a dynamic-mode artifact would rebuild on every resume
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        try:
+            w.parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         committed = spark.read.parquet(path)
         reused[name] = False
         built[name] = committed.count()
@@ -128,32 +157,26 @@ def run_index(
     )
     # IVF: codebook rows persist relationally; the broadcast form is
     # rebuilt by consumers from the committed table (model-sized collect).
-    # ivf_codebook's stride selection and cid need a NUMERIC id; a
-    # string-keyed corpus (the extract->curate path emits 'doc-%08d')
-    # gets a deterministic xxhash64-derived key — numeric corpora keep
-    # their raw ids so committed artifacts stay byte-stable.
-    from pyspark.sql.types import NumericType
-
-    if isinstance(emb.schema["id"].dataType, NumericType):
-        cb_emb, cb_id = emb, "id"
-    else:
-        cb_emb, cb_id = emb.withColumn("_nid", F.xxhash64("id")), "_nid"
-    # hash-keyed selection has no guaranteed divisible id on a tiny
-    # corpus; degrade the stride (metadata-sized count at build time)
-    # rather than ship an empty codebook
-    stride_eff = centroid_stride
-    while (
-        stride_eff > 1
-        and cb_emb.filter(F.col(cb_id) % stride_eff == 0).limit(1).count() == 0
-    ):
-        stride_eff = max(stride_eff // 10, 1)
-    cents, bc = similarity.ivf_codebook(
-        cb_emb, centroid_stride=stride_eff, id_col=cb_id, vec_col="embedding"
+    # The string-id/xxhash64 key derivation and the tiny-corpus stride
+    # degradation live in similarity.ivf_codebook_safe (shared with the
+    # sharded graph-ANN serve path). Built LAZILY inside commit(): the
+    # stride probes + driver collect are corpus-touching work a fully-
+    # resumed run must not pay.
+    cents_df = commit(
+        "ivf_codebook",
+        lambda: similarity.ivf_codebook_safe(
+            emb, centroid_stride, id_col="id", vec_col="embedding"
+        )[0],
     )
-    commit("ivf_codebook", lambda: cents)
+    # ivf_cells always assigns against the COMMITTED codebook (not a
+    # freshly re-derived one), so a resume can never pair cells with cids
+    # the persisted codebook doesn't contain
     commit(
         "ivf_cells",
-        lambda: similarity.ivf_assign(emb, bc, id_col="id", vec_col="embedding"),
+        lambda: similarity.ivf_assign(
+            emb, similarity.codebook_broadcast(cents_df),
+            id_col="id", vec_col="embedding",
+        ),
         partition_by="cell",
     )
     sq = similarity.sq_quantize(emb, dim=dim, id_col="id", vec_col="embedding")

@@ -157,3 +157,34 @@ def test_string_ids_and_empty_corpus(spark):
     )
     out0 = graph_ann.graph_ann_topk(empty, q, k=3, dim=4, graph=empty_graph)
     assert out0.collect() == []
+
+
+def test_sharded_serves_string_ids_and_tiny_corpus(spark):
+    """The sharded path must survive the two real-corpus hazards the index
+    job already guards: string doc ids (id % stride casts to NULL) and a
+    corpus with no stride-divisible id (empty codebook -> Arrow crash)."""
+    import math
+    import random
+
+    from doc_agent_spark.operators import graph_ann
+
+    rng = random.Random(7)
+    def vec(i):
+        v = [rng.gauss(0, 1) for _ in range(8)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    emb = spark.createDataFrame(
+        [(f"doc-{i:05d}", vec(i)) for i in range(1, 41)],  # ids 1..40: no %50==0
+        "id string, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(1, vec(3)), (2, vec(17))], "query_id long, qv array<double>"
+    )
+    out = graph_ann.graph_ann_topk_sharded(
+        emb, queries, k=5, id_col="id", vec_col="embedding",
+        centroid_stride=50, nprobe=2, dim=8, m=4,
+    )
+    rows = out.collect()
+    assert {r.query_id for r in rows} == {1, 2}
+    assert all(isinstance(r.id, str) for r in rows)

@@ -96,3 +96,36 @@ def test_band_table_artifact_feeds_pair_generation(spark, built):
     assert sorted(map(tuple, via_artifact.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_config_change_fails_fast(spark, built):
+    """Re-running against an existing index output with a different dim
+    would quantize dim-8 embeddings as dim-32 garbage — must raise."""
+    stats, in_p, out, lin, met = built
+    with pytest.raises(ValueError, match="config mismatch"):
+        run_index(spark, in_p, out, lin, met, run_id="i2", dim=32,
+                  centroid_stride=20)
+
+
+def test_partial_commit_without_success_marker_rebuilds(spark, tmp_path_factory):
+    """A readable parquet dir WITHOUT _SUCCESS is a partial job-commit
+    (driver died mid-rename): resume must rebuild it, not reuse a
+    silently truncated artifact."""
+    d = tmp_path_factory.mktemp("index_partial")
+    df = spark.createDataFrame(
+        [(i, f"doc {i} words here") for i in range(30)],
+        "doc_id long, text string",
+    )
+    in_p = str(d / "in.parquet")
+    df.write.parquet(in_p)
+    out, lin, met = (str(d / x) for x in ("idx", "lineage", "metrics"))
+    r1 = run_index(spark, in_p, out, lin, met, run_id="p1", dim=4,
+                   centroid_stride=10)
+    # simulate the crash: drop the marker AND a part file from embeddings
+    emb_dir = f"{out}/embeddings"
+    os.remove(os.path.join(emb_dir, "_SUCCESS"))
+    r2 = run_index(spark, in_p, out, lin, met, run_id="p2", dim=4,
+                   centroid_stride=10)
+    assert r2["reused"]["embeddings"] is False      # rebuilt, not trusted
+    assert os.path.exists(os.path.join(emb_dir, "_SUCCESS"))
+    assert r2["artifacts"]["embeddings"] == r1["artifacts"]["embeddings"]

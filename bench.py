@@ -360,7 +360,10 @@ def main() -> None:
                 best = cand
             return cand
 
-        for _ in range(int(os.environ.get("BENCH_SCALE_PAIRS", "3"))):
+        # at least one pair always measures: 0 would leave best=None and
+        # crash the recovery logic below after the expensive phases already
+        # ran — use BENCH_SCALING=0 to skip scaling entirely
+        for _ in range(max(1, int(os.environ.get("BENCH_SCALE_PAIRS", "3")))):
             measure_pair()
             if best["efficiency"] >= 0.8:
                 break
@@ -392,7 +395,11 @@ def main() -> None:
         # measured 0.87 minutes apart. Every pair ships in all_pairs with
         # its sizes, so the selection is visible.
         if best["efficiency"] < 0.8 and cpus >= 16:
-            hi2 = (cpus * 3 // 4) // 4 * 4    # multiple of 4 ⇒ lo2 even
+            # multiple of 8 ⇒ lo2 = hi2/4 is EVEN: under task.cpus=2 an odd
+            # lo2 (e.g. 12→3: 1 vs 6 workers) skews the worker ratio to 6×
+            # while the efficiency formula divides by 4 — inflating the
+            # reported number past what the hardware did
+            hi2 = (cpus * 3 // 4) // 8 * 8
             lo2 = hi2 // 4
             for _ in range(2):
                 cand = measure_pair(lo2, hi2)

@@ -64,7 +64,12 @@ def _search_documents(spark: SparkSession, input_path: str, query: str,
     from .operators import search
 
     docs = spark.read.parquet(input_path)
-    terms = [t for t in query.lower().split() if t]
+    # tokenize the query EXACTLY like the documents (textfns.words_of:
+    # split on non-alphanumerics) — a whitespace split would emit terms
+    # like "spark-join" or "what's" that can never equal a document token
+    import re
+
+    terms = [t for t in re.split(r"[^a-z0-9]+", query.lower()) if t]
     scores = search.bm25_scores(docs, terms)
     return search.hydrate(search.topk(scores, limit), docs)
 
@@ -109,7 +114,7 @@ OPERATIONS: dict[str, Operation] = {
             "Extract structured span sequences from a document corpus",
             {"input_path": str},
             fn=_extract_document,
-            required_cols=frozenset({"spans|text"}),
+            required_cols=frozenset({"doc_id", "spans|text"}),
         ),
         Operation(
             "search_documents",
@@ -125,7 +130,10 @@ OPERATIONS: dict[str, Operation] = {
             {"input_path": str, "query": str, "limit": int, "words_per_chunk": int},
             {"limit": 10, "words_per_chunk": 50},
             fn=_semantic_search,
-            required_cols=frozenset({"doc_id", "text"}),
+            # hydrate_chunks selects lang from the doc side — preflight
+            # must fail on its absence, not pass and then blow up on the
+            # cluster (the whole point of preflight)
+            required_cols=frozenset({"doc_id", "text", "lang"}),
         ),
         Operation(
             "list_documents",

@@ -205,7 +205,8 @@ def weighted_threshold_sql(weight_expr: str) -> str:
 
 
 def cap_per_domain(
-    df: DataFrame, cap: int, domain_col: str, key_col: str, seed: str = "cap42"
+    df: DataFrame, cap: int, domain_col: str, key_col: str, seed: str = "cap42",
+    broadcast_over: bool = True,
 ) -> DataFrame:
     """Hard per-domain quota (the RefinedWeb/C4 anti-monoculture cap): keep
     at most ``cap`` rows per domain, chosen deterministically as the rows
@@ -232,19 +233,28 @@ def cap_per_domain(
         df.groupBy(domain_col)
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") > cap)
-        .select(domain_col)
+        .select(F.col(domain_col).alias("_od"))
     )
-    under_rows = df.join(F.broadcast(over), domain_col, "left_anti")
+    if broadcast_over:
+        # the over-cap list is usually model-sized; callers with extreme
+        # (cap, domain-cardinality) configs where millions of domains
+        # exceed the cap pass broadcast_over=False and let AQE plan it
+        over = F.broadcast(over)
+    # NULL-SAFE routing (eqNullSafe, not an equi-join on the column name):
+    # plain equi-joins never match NULL keys, so every NULL-domain row
+    # would bypass the cap entirely — while the window below (and the
+    # DuckDB oracle) group NULLs as ONE capped partition
+    cond = F.col(domain_col).eqNullSafe(F.col("_od"))
+    under_rows = df.join(over, cond, "left_anti")
     w = Window.partitionBy(domain_col).orderBy(
         _hash8(F.col(key_col), seed), F.col(key_col)
     )
     over_rows = (
-        df.join(F.broadcast(over), domain_col, "left_semi")
+        df.join(over, cond, "left_semi")
         .withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= cap)
         .drop("_r")
     )
-    # the equi-joins surface the join key first; restore the caller's schema
     return under_rows.unionByName(over_rows).select(*df.columns)
 
 
@@ -296,6 +306,7 @@ def token_budget_cap(
     key_col: str,
     weight_col: str,
     seed: str = "unimax42",
+    broadcast_over: bool = True,
 ) -> DataFrame:
     """UniMax-style per-language token budget (Chung et al. 2023,
     arXiv:2304.09151): keep each language's hash-smallest documents until
@@ -329,14 +340,19 @@ def token_budget_cap(
         df.groupBy(lang_col)
         .agg(F.sum(weight_col).alias("_m"))
         .filter(F.col("_m") > budget)
-        .select(lang_col)
+        .select(F.col(lang_col).alias("_ol"))
     )
-    under_rows = df.join(F.broadcast(over), lang_col, "left_anti")
+    if broadcast_over:
+        over = F.broadcast(over)
+    # null-safe routing: see cap_per_domain — a NULL lang must hit the
+    # window branch like the oracle's NULL partition, not bypass the budget
+    cond = F.col(lang_col).eqNullSafe(F.col("_ol"))
+    under_rows = df.join(over, cond, "left_anti")
     w = Window.partitionBy(lang_col).orderBy(
         _hash8(F.col(key_col), seed), F.col(key_col)
     )
     over_rows = (
-        df.join(F.broadcast(over), lang_col, "left_semi")
+        df.join(over, cond, "left_semi")
         .withColumn(
             "_cum_before",
             F.sum(weight_col).over(w) - F.col(weight_col),

@@ -40,7 +40,11 @@ WHEN NOT MATCHED THEN INSERT *
 
 
 def merge_upsert_iceberg(spark: SparkSession, target_table: str, updates: DataFrame) -> None:
-    updates.createOrReplaceTempView("_upsert_updates")
+    # same pre-dedupe as the parquet path: two updates for one path_hash
+    # in a batch would otherwise throw MERGE's multiple-source-rows
+    # cardinality error on the production path while the fallback
+    # converged last-wins — the paths must behave identically
+    _dedupe_updates(updates).createOrReplaceTempView("_upsert_updates")
     spark.sql(MERGE_SQL.format(target=target_table, updates="_upsert_updates"))
 
 
@@ -80,6 +84,15 @@ def merge_upsert_parquet(spark: SparkSession, target_path: str, updates: DataFra
     updates no longer carry is preserved from the target and NULL on fresh
     inserts.
     """
+    staging = target_path.rstrip("/") + "._staging"
+    final_tmp = target_path.rstrip("/") + "._old"
+    # crash-window recovery: the swap below is two renames; dying between
+    # them leaves the WHOLE table at ._old and nothing at the target — the
+    # no-target branch would then rebuild the table from this batch alone,
+    # silently dropping every prior row. Roll the rename forward first.
+    if not os.path.exists(target_path) and os.path.exists(final_tmp):
+        os.rename(final_tmp, target_path)
+
     updates = _dedupe_updates(updates)
     if not os.path.exists(target_path):
         updates.write.mode("overwrite").parquet(target_path)
@@ -88,7 +101,12 @@ def merge_upsert_parquet(spark: SparkSession, target_path: str, updates: DataFra
     cur_cols, upd_cols = current.columns, set(updates.columns)
     all_cols = cur_cols + [c for c in updates.columns if c not in cur_cols]
     u = updates.select([F.col(c).alias(f"u_{c}") for c in updates.columns])
-    matched = F.col("u_path_hash").isNotNull()
+    from_update = F.col("u_path_hash").isNotNull()
+    # matched = present on BOTH sides of the full outer join; a row present
+    # only on the update side is a fresh INSERT and must keep the update's
+    # values verbatim (MERGE's WHEN NOT MATCHED THEN INSERT *), not get the
+    # matched-row status reset
+    matched = from_update & F.col("path_hash").isNotNull()
 
     def merged_col(c: str):
         in_u, in_c = c in upd_cols, c in set(cur_cols)
@@ -97,17 +115,22 @@ def merge_upsert_parquet(spark: SparkSession, target_path: str, updates: DataFra
         if not in_c:
             return F.col(f"u_{c}")     # added column: NULL on untouched rows
         if c in _RESET_ON_MATCH:
-            return F.when(matched, F.lit(_RESET_ON_MATCH[c])).otherwise(F.col(c))
+            return (
+                F.when(matched, F.lit(_RESET_ON_MATCH[c]))
+                .when(from_update, F.col(f"u_{c}"))   # fresh insert: as-is
+                .otherwise(F.col(c))
+            )
         if c in _PRESERVE_ON_MATCH or c == "path_hash":
             return F.coalesce(c, f"u_{c}")
-        return F.coalesce(f"u_{c}", c)  # update wins on match
+        # update wins WHEREVER the update side exists — F.when, not
+        # coalesce: MERGE's UPDATE SET t.c = u.c writes an explicit NULL
+        # from the update, which coalesce would silently swallow
+        return F.when(from_update, F.col(f"u_{c}")).otherwise(F.col(c))
 
     merged = current.join(
         u, current.path_hash == u.u_path_hash, "full_outer"
     ).select(*[merged_col(c).alias(c) for c in all_cols])
-    staging = target_path.rstrip("/") + "._staging"
     merged.write.mode("overwrite").parquet(staging)
-    final_tmp = target_path.rstrip("/") + "._old"
     os.rename(target_path, final_tmp)
     os.rename(staging, target_path)
     import shutil

@@ -29,6 +29,13 @@ def test_search_documents_operation(spark, sf_dir):
     rows = out.collect()
     assert 0 < len(rows) <= 5
     assert {"id", "score", "snippet"} == set(out.columns)
+    # punctuated queries tokenize like the documents do (words_of: split on
+    # non-alphanumerics) — "spark-join?" must hit the same docs as "spark join"
+    punct = api.execute(
+        spark, "search_documents",
+        input_path=f"{sf_dir}/documents.parquet", query="spark-join?", limit=5,
+    ).collect()
+    assert [(r.id, r.score) for r in punct] == [(r.id, r.score) for r in rows]
 
 
 def test_param_validation(spark, corpus_path):

@@ -361,3 +361,18 @@ def test_blocklist_hits_tokens_not_substrings(spark):
         ).collect()
     }
     assert got == {1: 1, 2: 0, 3: 3, 4: 0}
+
+
+def test_cap_per_domain_null_domain_is_one_capped_group(spark):
+    """NULL domains must not bypass the cap: equi-joins never match NULL
+    keys, but the window (and the DuckDB oracle) group NULLs as one capped
+    partition — the null-safe routing keeps both paths in agreement."""
+    from doc_agent_spark.operators import sampling
+
+    rows = [(i, None if i < 40 else "d1") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    kept = sampling.cap_per_domain(df, cap=5, domain_col="domain", key_col="doc_id")
+    by_dom = {r["domain"]: r["n"] for r in
+              kept.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert by_dom[None] == 5       # 40 NULL-domain rows capped at 5
+    assert by_dom["d1"] == 5       # 10 d1 rows capped at 5 as well

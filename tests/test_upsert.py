@@ -180,3 +180,60 @@ def test_iceberg_ddl_shapes(spark):
     # the MERGE statement is the one sinks/upsert.py issues
     from doc_agent_spark.sinks.upsert import MERGE_SQL
     assert ddl.merge_upsert("t", "u") == MERGE_SQL.format(target="t", updates="u")
+
+
+def test_fresh_insert_keeps_its_status(spark, tmp_path):
+    """MERGE's WHEN NOT MATCHED THEN INSERT * keeps the update row verbatim:
+    the matched-row status reset must not hit rows absent from the target."""
+    target = str(tmp_path / "docs_ins")
+    merge_upsert_parquet(
+        spark, target,
+        _updates(spark, [("a", "ph_a", "a.pdf", None, "indexed", ("V", 1.0), T0)]),
+    )
+    merge_upsert_parquet(
+        spark, target,
+        _updates(spark, [("b", "ph_b", "b.pdf", None, "indexed", ("W", 2.0), T0)]),
+    )
+    rows = {r.path_hash: r for r in spark.read.parquet(target).collect()}
+    assert rows["ph_b"].status == "indexed"   # fresh insert, NOT reset
+    assert rows["ph_a"].status == "indexed"   # untouched target row
+
+
+def test_update_propagates_explicit_null(spark, tmp_path):
+    """UPDATE SET t.data = u.data writes an explicit NULL from the update —
+    coalesce semantics would silently keep the stale target value."""
+    target = str(tmp_path / "docs_null")
+    p = spec.path_hash("/abs/n.pdf")
+    merge_upsert_parquet(
+        spark, target,
+        _updates(spark, [("a", p, "n.pdf", None, "indexed", ("V1", 1.0), T0)]),
+    )
+    merge_upsert_parquet(
+        spark, target,
+        _updates(spark, [("a2", p, "n.pdf", None, "indexed", None, T1)]),
+    )
+    row = spark.read.parquet(target).collect()[0]
+    assert row.data is None                   # explicit NULL propagated
+    assert row.status == "pending"            # matched row: status reset
+    assert row.created_at == T0               # preserved from first insert
+
+
+def test_crash_between_renames_recovers(spark, tmp_path):
+    """Dying between the two swap renames leaves the table at ._old and no
+    target; the next run must roll the rename forward, not rebuild the
+    table from the new batch alone (silent loss of every prior row)."""
+    import os
+
+    target = str(tmp_path / "docs_crash")
+    merge_upsert_parquet(
+        spark, target,
+        _updates(spark, [("a", "ph_a", "a.pdf", None, "pending", ("V", 1.0), T0)]),
+    )
+    os.rename(target, target + "._old")       # simulate the crash window
+    merge_upsert_parquet(
+        spark, target,
+        _updates(spark, [("b", "ph_b", "b.pdf", None, "pending", ("W", 2.0), T0)]),
+    )
+    hashes = {r.path_hash for r in spark.read.parquet(target).collect()}
+    assert hashes == {"ph_a", "ph_b"}          # prior row survived
+    assert not os.path.exists(target + "._old")

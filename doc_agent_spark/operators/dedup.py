@@ -149,6 +149,18 @@ def strip_duplicated_lines(
 _MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne prime)
 
 
+def _check_minhash_params(k: int, bands: int) -> None:
+    """bands must evenly tile the k signatures: bands > k makes every
+    band's bucket md5('') for EVERY doc (an all-docs candidate clique —
+    the O(N²) trap); k % bands != 0 silently drops the trailing
+    signatures. Both are caller bugs — fail fast."""
+    if bands < 1 or bands > k or k % bands != 0:
+        raise ValueError(
+            f"bands must satisfy 1 <= bands <= k and k % bands == 0, "
+            f"got k={k}, bands={bands}"
+        )
+
+
 def minhash_perm_consts(k: int) -> list[tuple[int, int]]:
     """Deterministic (a_p, b_p) for the k affine permutations — fixed
     constants, no RNG state, identical in the DuckDB oracle."""
@@ -169,6 +181,7 @@ def minhash_band_table(
     persisted snapshot of it. Signature computation is the relational
     one-hash + k affine permutations scheme described in
     :func:`minhash_lsh_pairs`."""
+    _check_minhash_params(k, bands)
     rows = k // bands
     ex = df.select(
         F.col(id_col).alias("id"),
@@ -213,6 +226,7 @@ def minhash_band_structs(text: Column, k: int = 8, bands: int = 4) -> Column:
     near-dup join free of shuffle state. Shingle-less docs return an empty
     array (no bands ⇒ no candidates — the same no-constant-signature rule
     as the batch path)."""
+    _check_minhash_params(k, bands)
     rows = k // bands
     shingles = word_ngrams(text, 3)
     h = F.transform(
@@ -439,16 +453,18 @@ def verify_pairs_jaccard(
     a = sh.select(F.col("_vid").alias("id_a"), F.col("_sh").alias("sha"))
     b = sh.select(F.col("_vid").alias("id_b"), F.col("_sh").alias("shb"))
     inter = F.size(F.array_intersect("sha", "shb"))
+    # a candidate pair of shingle-less docs (< ngram tokens each) has a
+    # 0/0 union — ANSI Spark would abort the job; NULL jaccard drops the
+    # pair at the filter, exactly DuckDB's x/0 → NULL behavior
+    denom = (F.size("sha") + F.size("shb") - inter).cast("double")
     return (
         pairs.select("id_a", "id_b")
         .join(a, "id_a")
         .join(b, "id_b")
         .select(
             "id_a", "id_b",
-            F.round(
-                inter.cast("double")
-                / (F.size("sha") + F.size("shb") - inter).cast("double"),
-                6,
+            F.when(
+                denom > 0, F.round(inter.cast("double") / denom, 6)
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -1022,9 +1038,12 @@ def semdedup_drops(
     embarrassingly parallel per cell."""
     import numpy as np
 
-    from .similarity import ivf_assign, ivf_codebook
+    from .similarity import ivf_assign, ivf_codebook_safe
 
-    _cents, bc = ivf_codebook(emb, centroid_stride, id_col, vec_col)
+    # _safe: string-keyed / sparse-id corpora (the curate path's 'doc-…'
+    # ids) would otherwise NULL-filter the strided sample into an empty
+    # codebook and crash the Arrow matmul
+    _cents, bc, _stride = ivf_codebook_safe(emb, centroid_stride, id_col, vec_col)
     assigned = ivf_assign(emb, bc, id_col, vec_col)
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     nodes = base.join(assigned, "id")

@@ -348,8 +348,14 @@ def token_budget_cap(
     # window branch like the oracle's NULL partition, not bypass the budget
     cond = F.col(lang_col).eqNullSafe(F.col("_ol"))
     under_rows = df.join(over, cond, "left_anti")
-    w = Window.partitionBy(lang_col).orderBy(
-        _hash8(F.col(key_col), seed), F.col(key_col)
+    # explicit ROWS frame: the default RANGE frame includes order-key
+    # PEERS (two rows sharing key_col), so each twin's prefix sum would
+    # include the other's weight — diverging from the strictly-earlier
+    # rule and the oracle's ROWS UNBOUNDED PRECEDING
+    w = (
+        Window.partitionBy(lang_col)
+        .orderBy(_hash8(F.col(key_col), seed), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     over_rows = (
         df.join(over, cond, "left_semi")

@@ -17,29 +17,21 @@ from pyspark.sql import functions as F
 from ..functions.textfns import words_of
 
 
-def bm25_scores(
-    docs: DataFrame,
-    query_terms: list[str],
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k1: float = 1.2,
-    b: float = 0.75,
-) -> DataFrame:
-    """(id, score) BM25 over the shared tokenizer, query terms fixed.
-
-    idf = ln(1 + (N - df + 0.5)/(df + 0.5)); standard Robertson form.
-    """
-    toks = docs.select(
+def _bm25_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w, dl) over the shared tokenizer — the common BM25 head."""
+    return docs.select(
         F.col(id_col).alias("id"), words_of(F.col(text_col)).alias("w")
     ).withColumn("dl", F.size("w"))
+
+
+def _bm25_from_tf(toks: DataFrame, tf: DataFrame, k1: float, b: float) -> DataFrame:
+    """Shared BM25 tail: given the token frame (for corpus stats) and the
+    per-(id, term) tf frame, compute (id, score). idf =
+    ln(1 + (N - df + 0.5)/(df + 0.5)); standard Robertson form. Factored
+    so the list-terms and DataFrame-terms variants cannot desynchronize on
+    k1/b/idf details."""
     n_docs_avgdl = toks.agg(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl")
-    )
-    tf = (
-        toks.select("id", "dl", F.explode("w").alias("term"))
-        .where(F.col("term").isin(query_terms))
-        .groupBy("id", "dl", "term")
-        .agg(F.count("*").alias("tf"))
     )
     df_ = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
     scored = (
@@ -57,6 +49,27 @@ def bm25_scores(
         )
     )
     return scored.groupBy("id").agg(F.round(F.sum("term_score"), 6).alias("score"))
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(id, score) BM25 over the shared tokenizer, query terms fixed as a
+    driver-side literal isin filter (pushdown-friendly — the 100 TB form
+    for hand-typed queries)."""
+    toks = _bm25_tokens(docs, id_col, text_col)
+    tf = (
+        toks.select("id", "dl", F.explode("w").alias("term"))
+        .where(F.col("term").isin(query_terms))
+        .groupBy("id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    return _bm25_from_tf(toks, tf, k1, b)
 
 
 def hydrate(results: DataFrame, docs: DataFrame, id_col: str = "doc_id",
@@ -110,6 +123,9 @@ def eval_retrieval(retrieved: DataFrame, relevant: DataFrame, k: int = 10) -> Da
     :func:`eval_retrieval_by_query`.
     """
     ranked = _rank_bounded(topk(retrieved, k), "rank")
+    # qrels files concatenate — duplicate judgments must not fan out the
+    # join (hits would double-count, precision could exceed 1.0)
+    relevant = relevant.select("id").distinct()
     rel = relevant.select(F.col("id").alias("rid")).withColumn("hit", F.lit(1))
     n_rel = relevant.agg(F.count(F.lit(1)).alias("n_rel"))
     joined = (
@@ -142,6 +158,8 @@ def eval_retrieval_by_query(retrieved: DataFrame, relevant: DataFrame, k: int = 
     """
     w = Window.partitionBy(query_col).orderBy(F.desc("score"), F.asc("id"))
     ranked = retrieved.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    # dedupe judgments: see eval_retrieval
+    relevant = relevant.select(query_col, "id").distinct()
     rel = relevant.select(query_col, "id").withColumn("hit", F.lit(1))
     joined = ranked.join(rel, [query_col, "id"], "left")
     per_q = joined.groupBy(query_col).agg(
@@ -183,7 +201,13 @@ def rerank(
     Returns (id, score, rerank_score, final_score) with
     final = α·rerank + (1-α)·score.
     """
-    terms = [t.lower() for t in query_terms]
+    # dedupe: the coverage denominator counts DISTINCT query terms (the
+    # numerator is array_intersect, already distinct — a duplicated term
+    # would deflate coverage); sorted for a deterministic plan. Empty
+    # queries fail fast instead of building a /0 ANSI-crash plan.
+    terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
     w = words_of(F.col(text_col))
     terms_arr = F.array(*[F.lit(t) for t in terms])
     matched = F.size(F.array_intersect(w, terms_arr))
@@ -264,36 +288,17 @@ def bm25_scores_for_terms(
     """:func:`bm25_scores` with the query terms as a DataFrame (one ``term``
     column) instead of a Python list — the form RM3 needs, where the second-
     pass terms are DATA (the expansion set), not driver-side constants. The
-    terms frame broadcasts into the token stream, so the plan shape is
-    identical to the isin() variant."""
-    toks = docs.select(
-        F.col(id_col).alias("id"), words_of(F.col(text_col)).alias("w")
-    ).withColumn("dl", F.size("w"))
-    n_docs_avgdl = toks.agg(
-        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
-    )
+    terms frame broadcasts into the token stream (deduped — a repeated
+    expansion term must not fan out tf rows); scoring shares
+    :func:`_bm25_from_tf` with the isin() variant."""
+    toks = _bm25_tokens(docs, id_col, text_col)
     tf = (
         toks.select("id", "dl", F.explode("w").alias("term"))
-        .join(F.broadcast(terms.select("term")), "term")
+        .join(F.broadcast(terms.select("term").distinct()), "term")
         .groupBy("id", "dl", "term")
         .agg(F.count("*").alias("tf"))
     )
-    df_ = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
-    scored = (
-        tf.join(F.broadcast(df_), "term")
-        .join(F.broadcast(n_docs_avgdl))
-        .withColumn(
-            "idf",
-            F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
-        )
-        .withColumn(
-            "term_score",
-            F.col("idf")
-            * (F.col("tf") * (k1 + 1))
-            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
-        )
-    )
-    return scored.groupBy("id").agg(F.round(F.sum("term_score"), 6).alias("score"))
+    return _bm25_from_tf(toks, tf, k1, b)
 
 
 def rm3_expansion_terms(
@@ -865,7 +870,9 @@ def mmr_rerank(
             acc += x * y
         return acc
 
-    norm = {i: math.sqrt(_dot(v, v)) for i, _, v in items}
+    # 1e-300 floor: an all-zero embedding (padding / failed-embed row)
+    # must not ZeroDivisionError the greedy; mmr_sql floors identically
+    norm = {i: max(math.sqrt(_dot(v, v)), 1e-300) for i, _, v in items}
     one_minus = 1.0 - lam
 
     def _sim(a, b):
@@ -912,7 +919,8 @@ def mmr_sql(cands_sql: str, k: int, lam: float) -> str:
     return f"""
 WITH RECURSIVE mmr_cands AS ({cands_sql}),
 mmr_sims AS (
-  SELECT a.id AS ia, b.id AS ib, {dot} / (sqrt({na}) * sqrt({nb})) AS s
+  SELECT a.id AS ia, b.id AS ib,
+         {dot} / (greatest(sqrt({na}), 1e-300) * greatest(sqrt({nb}), 1e-300)) AS s
   FROM mmr_cands a, mmr_cands b WHERE a.id <> b.id),
 mmr_sel AS (
   (SELECT 1 AS step, [id] AS picked, id AS pick_id, rel AS sel_rel,

@@ -101,17 +101,10 @@ def ivf_codebook(
     ships as a broadcast, never inlined into the Catalyst tree (the
     round-1 literal-centroid cliff). Shared by ivf_topk, semdedup_drops,
     and graph_ann_topk_sharded so every consumer agrees on cells."""
-    import numpy as np
-
     cents = embeddings.filter(F.col(id_col) % centroid_stride == 0).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
     )
-    rows = sorted((int(r.cid), list(r.cv)) for r in cents.collect())
-    cids = np.array([c for c, _ in rows], dtype=np.int64)
-    M = np.array([v for _, v in rows], dtype=np.float64)
-    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
-    bc = embeddings.sparkSession.sparkContext.broadcast((cids, M))
-    return cents, bc
+    return cents, codebook_broadcast(cents)
 
 
 def ivf_assign(
@@ -239,7 +232,10 @@ def ivf_topk(
     # was value-identical but fold-interpreted: N·C·D scalar ops dominated
     # the query (measured 18.7 s vs ~1 s at sf0.1 with 1000 cells) — dense
     # linear algebra is exactly the case for a vectorized pandas stage.
-    cents, bc = ivf_codebook(embeddings, centroid_stride, id_col, vec_col)
+    # _safe: numeric stride-divisible corpora get the identical codebook;
+    # string-keyed or sparse-id ones get the hash-key/stride-degrade guards
+    # instead of an empty-matrix numpy crash.
+    cents, bc, _stride = ivf_codebook_safe(embeddings, centroid_stride, id_col, vec_col)
     assigned = ivf_assign(embeddings, bc, id_col, vec_col)
     probe = (
         cents.select("cid", cosine(F.col("cv"), qcol).alias("qs"))
@@ -371,6 +367,18 @@ def pq_codebooks(
     rows = sorted((int(r.cid), list(r.cv)) for r in cb.collect())
     cids = np.array([c for c, _ in rows], dtype=np.int64)
     C = np.array([v for _, v in rows], dtype=np.float64)
+    if C.ndim != 2 or C.shape[0] == 0:
+        raise ValueError(
+            f"PQ codebook sample is empty at stride {codebook_stride}; "
+            "lower codebook_stride (or use a stride-divisible id domain)"
+        )
+    if C.shape[1] % n_sub != 0:
+        # a non-divisible split would leave the trailing dim % n_sub
+        # dimensions out of every subspace — codes and reconstructions
+        # silently wrong (and dv's tail uninitialized). Fail at build.
+        raise ValueError(
+            f"embedding dim {C.shape[1]} is not divisible by n_sub={n_sub}"
+        )
     return embeddings.sparkSession.sparkContext.broadcast((cids, C, n_sub))
 
 
@@ -403,6 +411,10 @@ def pq_reconstruct(
             if len(pdf) == 0:
                 continue
             V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            if V.shape[1] != dim:
+                raise ValueError(
+                    f"vector dim {V.shape[1]} != codebook dim {dim}"
+                )
             codes = np.empty((len(V), n_sub_), dtype=np.int64)
             dv = np.empty_like(V)
             for s in range(n_sub_):

@@ -63,7 +63,13 @@ def kmv_distinct_estimate(
     Both produce identical results (duplicates share a hash, and the
     per-batch k-min is a lossless reduction for the global k-min).
     """
-    h = df.select(kmv_hash(F.col(value_col), seed).alias("h"))
+    # NULL values hash to NULL (concat propagates) — drop them BEFORE the
+    # sort: Spark asc sorts NULL first (it would steal a limit-k slot and
+    # become NaN on the arrow path) while DuckDB sorts it last; standard
+    # count-distinct ignores NULL, and both engines now filter identically
+    h = df.select(kmv_hash(F.col(value_col), seed).alias("h")).filter(
+        F.col("h").isNotNull()
+    )
     if arrow_partial:
         h = h.mapInPandas(_kmv_partial(k), "h double")
     hashes = h.distinct().orderBy("h").limit(k)
@@ -86,7 +92,8 @@ def kmv_sql(value_expr: str, k: int = 256, seed: str = "kmv") -> str:
         f" + 1.0) / {float(16 ** 12)!r}"
     )
     return f"""
-WITH hs AS (SELECT DISTINCT {h} AS h FROM {{table}} ORDER BY h LIMIT {k})
+WITH hs AS (SELECT DISTINCT {h} AS h FROM {{table}}
+            WHERE {value_expr} IS NOT NULL ORDER BY h LIMIT {k})
 SELECT CAST(count(*) AS INTEGER) AS k_used,
        round(max(h), 12) AS kth_hash,
        round(CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
@@ -122,8 +129,13 @@ def kmv_overlap_estimate(
     ('union', k_used, union_est, kth_hash) and
     ('intersection', n_both, inter_est, jaccard).
     """
-    ha = df_a.select(kmv_hash(F.col(value_col), seed).alias("h"))
-    hb = df_b.select(kmv_hash(F.col(value_col), seed).alias("h"))
+    # NULLs out before any sort/merge — see kmv_distinct_estimate
+    ha = df_a.select(kmv_hash(F.col(value_col), seed).alias("h")).filter(
+        F.col("h").isNotNull()
+    )
+    hb = df_b.select(kmv_hash(F.col(value_col), seed).alias("h")).filter(
+        F.col("h").isNotNull()
+    )
     if arrow_partial:
         ha = ha.mapInPandas(_kmv_partial(k), "h double")
         hb = hb.mapInPandas(_kmv_partial(k), "h double")
@@ -182,8 +194,8 @@ def kmv_overlap_sql(
         f" + 1.0) / {float(16 ** 12)!r}"
     )
     return f"""
-WITH ha AS (SELECT DISTINCT {h} AS h FROM ({a_query})),
-hb AS (SELECT DISTINCT {h} AS h FROM ({b_query})),
+WITH ha AS (SELECT DISTINCT {h} AS h FROM ({a_query}) WHERE {value_expr} IS NOT NULL),
+hb AS (SELECT DISTINCT {h} AS h FROM ({b_query}) WHERE {value_expr} IS NOT NULL),
 merged AS (
   SELECT h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
     SELECT h, 1 AS in_a, 0 AS in_b FROM ha

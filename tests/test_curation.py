@@ -376,3 +376,27 @@ def test_cap_per_domain_null_domain_is_one_capped_group(spark):
               kept.groupBy("domain").agg(F.count("*").alias("n")).collect()}
     assert by_dom[None] == 5       # 40 NULL-domain rows capped at 5
     assert by_dom["d1"] == 5       # 10 d1 rows capped at 5 as well
+
+
+def test_token_budget_cap_duplicate_keys_rows_frame(spark):
+    """Two rows sharing key_col are window PEERS: the default RANGE frame
+    would give each twin the other's weight in its prefix sum (both
+    dropped); the documented strictly-earlier rule keeps one."""
+    # budget 20 < weight 30 discriminates the frames: ROWS gives twin #1
+    # cum_before 0 (kept) and twin #2 cum_before 30 (dropped); RANGE gives
+    # BOTH 30 (both dropped — even the language's first doc, rule broken)
+    rows = [(7, "en", 30), (7, "en", 30), (99, "de", 5)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tok long")
+    out = sampling.token_budget_cap(
+        df, budget=20, lang_col="lang", key_col="doc_id", weight_col="n_tok"
+    ).collect()
+    en = [r for r in out if r.lang == "en"]
+    assert len(en) == 1
+    # and the SQL mirror (explicit ROWS frame) agrees
+    import duckdb
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    sql = sampling.token_budget_cap_sql(
+        "t", budget=20, lang_expr="lang", key_expr="doc_id", weight_expr="n_tok")
+    duck = con.execute(sql).fetchall()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, duck))

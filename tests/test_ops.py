@@ -638,3 +638,89 @@ def test_mmr_k_exceeds_candidates(spark):
         rows, "id long, score double, embedding array<double>")
     out = search.mmr_rerank(cands, k=10).collect()
     assert len(out) == 2
+
+
+def test_verify_pairs_jaccard_zero_shingle_pair_dropped(spark):
+    """A candidate pair of shingle-less docs (< ngram tokens each) has a
+    0/0 jaccard — must drop at the filter, not DIVIDE_BY_ZERO the job
+    under Spark 4's ANSI default (DuckDB's x/0 → NULL does the same)."""
+    docs = spark.createDataFrame(
+        [(1, "hi there"), (2, "hi there"),
+         (3, "the quick brown fox jumps over the lazy dog"),
+         (4, "the quick brown fox jumps over the lazy cat")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    out = dedup.verify_pairs_jaccard(pairs, docs, threshold=0.1).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(3, 4)]
+
+
+def test_minhash_band_params_validated(spark, texts):
+    for k, bands in [(8, 16), (10, 4), (8, 0)]:
+        with pytest.raises(ValueError):
+            dedup.minhash_band_table(texts, k=k, bands=bands)
+        with pytest.raises(ValueError):
+            dedup.minhash_band_structs(F.col("text"), k=k, bands=bands)
+
+
+def test_rerank_duplicate_terms_count_once(spark):
+    """Coverage denominator must count DISTINCT terms: a duplicated query
+    term would otherwise halve coverage for every doc."""
+    cands = spark.createDataFrame(
+        [(1, 0.5, "spark joins are fast")], "id long, score double, content string"
+    )
+    a = search.rerank(cands, ["spark"]).collect()[0]
+    b = search.rerank(cands, ["spark", "spark"]).collect()[0]
+    assert a.rerank_score == b.rerank_score == pytest.approx(0.715)
+    with pytest.raises(ValueError):
+        search.rerank(cands, [])
+
+
+def test_mmr_zero_vector_candidate_no_crash(spark):
+    """An all-zero embedding (failed-embed/padding row) must not
+    ZeroDivisionError the greedy — and the SQL mirror must agree."""
+    import duckdb
+
+    rows = [
+        (1, 0.9, [1.0, 0.0, 0.0, 0.0]),
+        (2, 0.8, [0.0, 0.0, 0.0, 0.0]),   # zero vector
+        (3, 0.7, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    cands = spark.createDataFrame(
+        rows, "id long, score double, embedding array<double>")
+    got = sorted(
+        (r.rank, r.id, r.rel, r.mmr)
+        for r in search.mmr_rerank(cands, k=3, lam=0.7).collect()
+    )
+    assert len(got) == 3
+    con = duckdb.connect()
+    con.register("c0", cands.toPandas())
+    sql = search.mmr_sql(
+        "SELECT id, score AS rel, embedding AS emb FROM c0", k=3, lam=0.7)
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert got == want
+
+
+def test_ivf_topk_string_ids(spark):
+    """String-keyed corpora route through the hash-key/stride-degrade
+    codebook guards instead of an empty-matrix numpy crash."""
+    rows = [
+        (f"doc-{i:04d}", [((i * 7 + j * 13) % 17 - 8) / 8.0 for j in range(8)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    q = [((3 * 7 + j * 13) % 17 - 8) / 8.0 for j in range(8)]
+    out = similarity.ivf_topk(
+        emb, q, k=5, centroid_stride=10, nprobe=2, id_col="vec_id"
+    ).collect()
+    assert 1 <= len(out) <= 5
+    assert all(isinstance(r.id, str) for r in out)
+
+
+def test_bm25_for_terms_duplicate_terms_no_fanout(spark, texts):
+    terms_dup = spark.createDataFrame(
+        [("quick",), ("quick",), ("lazy",)], "term string")
+    terms = spark.createDataFrame([("quick",), ("lazy",)], "term string")
+    a = sorted(map(tuple, search.bm25_scores_for_terms(texts, terms_dup).collect()))
+    b = sorted(map(tuple, search.bm25_scores_for_terms(texts, terms).collect()))
+    assert a == b

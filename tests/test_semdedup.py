@@ -102,3 +102,19 @@ def test_survivors_are_corpus_minus_drops(spark, emb):
     # a drop row's keeper must itself never be dropped by a HIGHER id —
     # keep_id < drop_id always (the greedy keeps earliest)
     assert drops.filter(F.col("keep_id") >= F.col("drop_id")).count() == 0
+
+
+def test_semdedup_string_ids(spark):
+    """The curate path emits string doc ids — semdedup must route through
+    the hash-key codebook guards, not crash on `id % stride`."""
+    rows = [
+        (f"doc-{i:04d}", [((i * 7 + j * 13) % 17 - 8) / 8.0 for j in range(8)])
+        for i in range(40)
+    ]
+    rows.append(("doc-9999", rows[0][1]))  # exact-vector dup of doc-0000
+    emb = spark.createDataFrame(rows, "doc_id string, embedding array<double>")
+    drops = dedup.semdedup_drops(
+        emb, threshold=0.99, centroid_stride=10,
+        id_col="doc_id", vec_col="embedding",
+    ).collect()
+    assert any(r.drop_id == "doc-9999" for r in drops)

@@ -205,3 +205,31 @@ def test_mine_hard_negatives_empty_positives(spark):
         emb.filter(F.col("vec_id") == 0), emb, pos, k=2
     ).collect()
     assert len(out) == 2   # nothing excluded, top-2 kept (self included)
+
+
+def test_eval_retrieval_duplicate_judgments_not_double_counted(spark):
+    """Concatenated qrels files repeat judgments — the join must not fan
+    out (hits double-counted, precision > 1.0 possible)."""
+    retrieved = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.7)], "id long, score double")
+    rel = spark.createDataFrame([(1,), (1,), (3,)], "id long")
+    r = search.eval_retrieval(retrieved, rel, k=3).collect()[0]
+    assert r.recall_at_k == 1.0
+    assert r.precision_at_k == pytest.approx(2 / 3, abs=1e-6)
+    assert r.mrr == 1.0
+
+
+def test_eval_retrieval_by_query_duplicate_judgments(spark):
+    retrieved = spark.createDataFrame(
+        [("q1", 1, 0.9), ("q1", 2, 0.8)], "query_id string, id long, score double")
+    rel = spark.createDataFrame(
+        [("q1", 1), ("q1", 1)], "query_id string, id long")
+    r = search.eval_retrieval_by_query(retrieved, rel, k=2).collect()[0]
+    assert (r.recall_at_k, r.precision_at_k, r.mrr) == (1.0, 0.5, 1.0)
+
+
+def test_pq_codebook_rejects_indivisible_dim(spark):
+    rows = [(i * 10, [float(j) for j in range(10)]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_codebooks(emb, n_sub=8, codebook_stride=10)

@@ -275,3 +275,30 @@ def test_hash_sample_quantiles_layout_invariant_and_close(spark):
     assert tuple(ra) == tuple(rb)
     assert abs(ra.p50 - 50000) / 50000 < 0.15
     assert abs(ra.p90 - 90000) / 90000 < 0.15
+
+
+def test_kmv_null_values_ignored(spark):
+    """NULLs must not steal limit-k slots (Spark sorts NULL first; DuckDB
+    last) — count-distinct semantics ignore NULL in both engines."""
+    import duckdb
+
+    # string column: toPandas keeps None as None (a nullable long would
+    # become float64 — '5' vs '5.0' hash inputs across engines)
+    df = spark.createDataFrame(
+        [(str(i),) for i in range(30)] + [(None,)] * 5, "v string")
+    for arrow in (True, False):
+        r = sketches.kmv_distinct_estimate(df, "v", k=16, arrow_partial=arrow).collect()[0]
+        assert r.k_used == 16 and r.estimate > 0
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    duck = con.execute(sketches.kmv_sql("v", k=16).format(table="t")).fetchall()[0]
+    got = sketches.kmv_distinct_estimate(df, "v", k=16).collect()[0]
+    assert (got.k_used, got.kth_hash, got.estimate) == duck
+
+
+def test_kmv_overlap_null_values_ignored(spark):
+    a = spark.createDataFrame([(i,) for i in range(20)] + [(None,)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(10, 30)] + [(None,)], "v long")
+    rows = {r.op: r for r in sketches.kmv_overlap_estimate(a, b, "v", k=64).collect()}
+    assert rows["union"].est == 30.0      # exact below k, NULLs excluded
+    assert rows["intersection"].n == 10

@@ -1786,6 +1786,16 @@ def bq_cosine_topk(spark, sf_dir):
     return similarity.bq_cosine_topk(emb, list(q), k=10, dim=64, n_candidates=50)
 
 
+def mrl_cosine_topk(spark, sf_dir):
+    """Matryoshka funnel retrieval (similarity.mrl_funnel_topk; Kusupati
+    et al. 2022 adaptive retrieval): 16-dim-prefix shortlist of 40, exact
+    64-dim rerank to top-10 — the two-stage serving shape where stage 1
+    reads d'/d of the vector bytes and stage 2 never re-scans the corpus."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0].embedding
+    return similarity.mrl_funnel_topk(emb, list(q), k=10, d_prime=16, shortlist=40)
+
+
 def media_metadata(spark, sf_dir):
     """Multimodal arms, union-tagged: per-image decode metadata (Arrow
     feature pass over opaque binary; FakeCodec dims mirrored as pure
@@ -2191,7 +2201,7 @@ def vector_topk_methods(spark, sf_dir):
     parts = [
         ("exact", cosine_topk), ("lsh", ann_lsh_topk),
         ("ivf", ivf_topk), ("sq", sq_cosine_topk), ("pq", pq_cosine_topk),
-        ("bq", bq_cosine_topk),
+        ("bq", bq_cosine_topk), ("mrl", mrl_cosine_topk),
     ]
     out = None
     for tag, fn in parts:
@@ -4223,6 +4233,17 @@ ORDER BY score DESC, id ASC LIMIT 10
             query_vec_id=0, dim=64, word_bits=32, n_candidates=50, k=10
         ),
         "kmeans_assign": similarity.kmeans_sql(iters=2, centroid_stride=50),
+        "mrl_cosine_topk": f"""
+WITH base AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+q AS (SELECT embedding AS qv, list_slice(embedding, 1, 16) AS qp
+      FROM embeddings WHERE vec_id = 0),
+short AS (
+  SELECT id, round({_cos_sql('list_slice(v, 1, 16)', 'qp')}, 6) AS ps
+  FROM base, q ORDER BY ps DESC, id ASC LIMIT 40)
+SELECT base.id AS id, round({_cos_sql('v', 'qv')}, 6) AS score
+FROM base JOIN short USING (id), q
+ORDER BY score DESC, id ASC LIMIT 10
+""",
         "media_metadata": f"""
 SELECT 'image' AS variant,
        'media://doc/' || CAST(doc_id AS VARCHAR) || '/full.png' AS ref,
@@ -4452,7 +4473,7 @@ FROM events GROUP BY ROLLUP (event_type, hour(ts))
                 ("exact", "cosine_topk"), ("lsh", "ann_lsh_topk"),
                 ("ivf", "ivf_topk"), ("sq", "sq_cosine_topk"),
                 ("pq", "pq_cosine_topk"), ("bq", "bq_cosine_topk"),
-                ("kmeans", "kmeans_assign"),
+                ("mrl", "mrl_cosine_topk"), ("kmeans", "kmeans_assign"),
             ]
         ),
         "retrieval_eval": f"""

@@ -327,6 +327,49 @@ def sq_cosine_topk(
     )
 
 
+def mrl_funnel_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    d_prime: int = 16,
+    shortlist: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka funnel retrieval (adaptive two-stage search, Kusupati
+    et al. 2022): stage 1 scores only the ``d_prime``-dim PREFIX of every
+    vector and keeps a ``shortlist``-sized candidate set; stage 2 re-scores
+    just the shortlist with the full-dim exact cosine. With MRL-trained
+    embeddings the prefix is itself a usable low-rank embedding, so the
+    shortlist recall is high at d'/d of the scan bandwidth — at scale the
+    prefix lives in its own narrow column (or a separate short-vector
+    table) and stage 1's scan reads d'/d of the bytes while stage 2 is a
+    shortlist-sized broadcast semi join, never a second corpus pass.
+
+    Both stages are TakeOrderedAndProject with a rounded score and an id
+    tiebreak so the shortlist boundary is deterministic cross-engine; the
+    DuckDB oracle mirrors the two stages with list_slice + the identical
+    fold."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qp = F.array(*[F.lit(float(x)) for x in query_vec[:d_prime]])
+    base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    short = (
+        base.select(
+            "id",
+            F.round(cosine(F.slice(F.col("v"), 1, d_prime), qp), 6).alias("ps"),
+        )
+        .orderBy(F.desc("ps"), F.asc("id"))
+        .limit(shortlist)
+        .select("id")
+    )
+    return (
+        base.join(F.broadcast(short), "id")
+        .select("id", F.round(cosine(F.col("v"), q), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
 def knn_join_brute(
     left: DataFrame,
     right: DataFrame,

@@ -233,3 +233,40 @@ def test_pq_codebook_rejects_indivisible_dim(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="not divisible"):
         similarity.pq_codebooks(emb, n_sub=8, codebook_stride=10)
+
+
+def test_mrl_funnel_scores_are_exact_cosines(emb):
+    q = list(emb.filter(F.col("vec_id") == 0).collect()[0].embedding)
+    got = similarity.mrl_funnel_topk(emb, q, k=10, d_prime=16, shortlist=40).collect()
+    assert len(got) == 10
+    assert got[0].id == 0 and got[0].score == pytest.approx(1.0)
+    brute = {r.id: r.score for r in similarity.cosine_topk(emb, q, k=2000).collect()}
+    for r in got:
+        assert brute[r.id] == pytest.approx(r.score, abs=1e-9)
+
+
+def test_mrl_funnel_full_shortlist_equals_brute(emb):
+    # shortlist = corpus size degrades to exact search: identical top-k
+    q = list(emb.filter(F.col("vec_id") == 7).collect()[0].embedding)
+    exact = [(r.id, r.score) for r in similarity.cosine_topk(emb, q, k=10).collect()]
+    funnel = [
+        (r.id, r.score)
+        for r in similarity.mrl_funnel_topk(
+            emb, q, k=10, d_prime=16, shortlist=emb.count()
+        ).collect()
+    ]
+    assert funnel == exact
+
+
+def test_mrl_funnel_recall_reasonable(emb):
+    # prefix shortlist keeps most of the true top-10 even on random
+    # (non-MRL-trained) vectors at 4x shortlist headroom
+    q = list(emb.filter(F.col("vec_id") == 7).collect()[0].embedding)
+    brute = set(_brute_ids(emb, q, 10))
+    got = {
+        r.id
+        for r in similarity.mrl_funnel_topk(
+            emb, q, k=10, d_prime=16, shortlist=40
+        ).collect()
+    }
+    assert len(got & brute) >= 3

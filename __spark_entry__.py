@@ -552,13 +552,45 @@ def top_orders(spark, sf_dir):
 
 
 def events_hourly(spark, sf_dir):
+    """Hourly rollup, union-tagged: the one-shot aggregation ('full') ∪
+    the same rollup maintained INCREMENTALLY ('incr',
+    operators/incremental_agg.py): the events scan splits into three
+    deterministic batches (event_id % 3 — the snapshot+delta cadence),
+    each reduces to per-key mergeable partial state (count / fixed-point
+    long sum / min / max), states merge with one hash aggregation on the
+    key columns, and the serving projection finalizes with zero shuffle.
+    At 10^12 rows this is the difference between re-scanning years of
+    history for a one-day batch and touching only the batch plus the
+    key-cardinality-sized state table; the long-typed fixed-point sums
+    make the merge bit-exact under ANY merge order or snapshot cadence
+    (a double-carried sum would drift as the merge tree reshapes)."""
+    from doc_agent_spark.operators import incremental_agg as ia
+
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy(
-        "event_type", F.hour("ts").alias("hour_of_day")
-    ).agg(
+    keyed = ev.select(
+        "event_type", F.hour("ts").alias("hour_of_day"), "value", "event_id"
+    )
+    full = keyed.groupBy("event_type", "hour_of_day").agg(
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_value"),
+    ).select(
+        F.lit("full").alias("variant"),
+        "event_type", "hour_of_day", "n_events", "sum_value",
+        F.lit(None).cast("double").alias("avg_value"),
+        F.lit(None).cast("double").alias("min_value"),
+        F.lit(None).cast("double").alias("max_value"),
     )
+    states = [
+        ia.rollup_state(
+            keyed.filter(F.pmod(F.col("event_id"), F.lit(3)) == i),
+            ["event_type", "hour_of_day"], "value",
+        )
+        for i in range(3)
+    ]
+    incr = ia.finalize(ia.merge_states(*states)).select(
+        F.lit("incr").alias("variant"), "*"
+    )
+    return full.unionByName(incr)
 
 
 def events_sessions(spark, sf_dir):
@@ -754,8 +786,14 @@ def value_quantiles(spark, sf_dir):
     hash-smallest rows via a WindowGroupLimit-pushed rank, exact
     interpolation over the m survivors — deterministic at any cluster
     size and mergeable snapshot+delta, unlike approx_percentile's GK
-    sketch which is neither engine- nor order-portable)."""
-    from doc_agent_spark.operators import sketches
+    sketch which is neither engine- nor order-portable) ∪ the PSI
+    distribution-drift alarm (operators/maintenance.py psi_drift: the
+    data-QA gate between crawl snapshots — fixed-width mergeable buckets
+    so the reference histogram is a B-row persisted artifact, each side
+    one map-side-partial hash aggregation, Laplace-smoothed shares keep
+    ln finite on empty buckets; 'psi' rows map bucket→event_type,
+    n_ref→p50, n_cur→p90, psi_contrib→p99; total PSI = sum(p99))."""
+    from doc_agent_spark.operators import maintenance, sketches
 
     ev = load(spark, sf_dir, "events")
     exact = ev.groupBy("event_type").agg(
@@ -766,7 +804,18 @@ def value_quantiles(spark, sf_dir):
     sampled = sketches.hash_sample_quantiles(
         ev, "value", "event_id", "event_type", m=128
     ).select(F.lit("sample128").alias("variant"), "event_type", "p50", "p90", "p99")
-    return exact.unionByName(sampled)
+    psi = maintenance.psi_drift(
+        ev.filter(F.pmod(F.col("event_id"), F.lit(3)) != 0),
+        ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == 0),
+        "value", n_buckets=16, lo=0.0, hi=500.0,
+    ).select(
+        F.lit("psi").alias("variant"),
+        F.concat(F.lit("b"), F.lpad(F.col("bucket").cast("string"), 2, "0")).alias("event_type"),
+        F.col("n_ref").cast("double").alias("p50"),
+        F.col("n_cur").cast("double").alias("p90"),
+        F.round("psi_contrib", 6).alias("p99"),
+    )
+    return exact.unionByName(sampled).unionByName(psi)
 
 
 def conversion_funnel(spark, sf_dir):
@@ -3275,10 +3324,31 @@ def oracle_sql() -> dict[str, str]:
     # them into the same consolidated entries queries() registers (see the
     # union-tagged wrappers above oracle parity is per-variant: a value
     # mismatch in any union arm fails the merged row's hash).
+    from doc_agent_spark.operators import incremental_agg
     from doc_agent_spark.operators import publish as publish_ops
     from doc_agent_spark.operators.fuzzy import fuzzy_match_del1_sql
+    from doc_agent_spark.operators.maintenance import psi_drift_sql
 
     fuzzy_sql = fuzzy_match_del1_sql("dtn_left", "dtn_right")
+
+    # mirrors of the incremental-rollup and PSI-drift arms (events entries)
+    hourly_incr_sql = incremental_agg.merge_finalize_sql(
+        [
+            incremental_agg.rollup_state_sql(
+                "(SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour_of_day,"
+                " value FROM events WHERE event_id % 3 = {i}) b{i}".format(i=i),
+                ["event_type", "hour_of_day"],
+                "value",
+            )
+            for i in range(3)
+        ],
+        ["event_type", "hour_of_day"],
+    )
+    psi_sql = psi_drift_sql(
+        "SELECT value FROM events WHERE event_id % 3 <> 0",
+        "SELECT value FROM events WHERE event_id % 3 = 0",
+        "value", n_buckets=16, lo=0.0, hi=500.0,
+    )
 
     # the page trim matches Spark's _ws_trim (the FULL Java \s class, not
     # DuckDB trim()'s space-only default), and the empty-list join
@@ -3348,10 +3418,15 @@ GROUP BY r_name, n_name
 SELECT o_orderkey, o_totalprice FROM orders
 ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
 """,
-        "events_hourly": """
-SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour_of_day,
-       count(*) AS n_events, round(sum(value), 4) AS sum_value
-FROM events GROUP BY 1, 2
+        "events_hourly": f"""
+SELECT 'full' AS variant, event_type, CAST(hour(ts) AS INTEGER) AS hour_of_day,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value,
+       CAST(NULL AS DOUBLE) AS avg_value,
+       CAST(NULL AS DOUBLE) AS min_value,
+       CAST(NULL AS DOUBLE) AS max_value
+FROM events GROUP BY event_type, hour(ts)
+UNION ALL
+SELECT 'incr' AS variant, * FROM ({hourly_incr_sql})
 """,
         "events_sessions": """
 WITH g AS (
@@ -3405,6 +3480,11 @@ FROM events GROUP BY event_type
 UNION ALL
 SELECT 'sample128' AS variant, event_type, p50, p90, p99
 FROM ({sketches.hash_sample_quantiles_sql("events", "value", "event_id", "event_type", m=128)})
+UNION ALL
+SELECT 'psi' AS variant, 'b' || lpad(CAST(bucket AS VARCHAR), 2, '0') AS event_type,
+       CAST(n_ref AS DOUBLE) AS p50, CAST(n_cur AS DOUBLE) AS p90,
+       round(psi_contrib, 6) AS p99
+FROM ({psi_sql})
 """,
         "conversion_funnel": """
 WITH pu AS (

@@ -290,3 +290,109 @@ def snapshot_diff(
         j.select("id", status.alias("status"))
         .filter(F.col("status").isNotNull())
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift (PSI) — the data-QA gate between crawl snapshots
+# ---------------------------------------------------------------------------
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_buckets: int = 16,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Population Stability Index between a reference snapshot and the
+    current batch — the standard drift alarm a training-data pipeline runs
+    on its quality/length/score columns before letting a new crawl into
+    the mix (PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25 investigate).
+
+    Fixed-width buckets over ``[lo, hi)`` (out-of-range clamps to the edge
+    buckets) rather than quantile breaks: fixed breaks are deterministic,
+    cross-engine exact, and — the operational point — MERGEABLE, so the
+    reference histogram is a tiny persisted artifact (B rows) computed
+    once per snapshot, never recomputed against history. Each side
+    reduces to B partial counts map-side (one hash aggregation each);
+    everything after is model-sized: a dense bucket frame left-joins both
+    count sets so empty buckets participate, Laplace-smoothed shares
+    p=(n+0.5)/(N+B/2) keep ln finite, contribution=(q-p)*ln(q/p).
+
+    Returns one row per bucket: (bucket, n_ref, n_cur, psi_contrib);
+    total PSI = sum(psi_contrib). All double arithmetic is written in the
+    same operation order as :func:`psi_drift_sql` so both engines agree
+    bit-for-bit before the caller's rounding."""
+    if hi <= lo:
+        raise ValueError(f"psi_drift needs lo < hi, got [{lo}, {hi})")
+    width = hi - lo
+    half_b = n_buckets * 0.5
+
+    def bucketed(df: DataFrame, out: str) -> DataFrame:
+        b = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width) * n_buckets)
+        b = F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), b)).cast("int")
+        return df.select(b.alias("bucket")).groupBy("bucket").agg(
+            F.count("*").alias(out)
+        )
+
+    frame = ref.sparkSession.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    r, c = bucketed(ref, "n_ref"), bucketed(cur, "n_cur")
+    j = (
+        frame.join(r, "bucket", "left")
+        .join(c, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    tot = j.agg(
+        F.sum("n_ref").cast("double").alias("t_ref"),
+        F.sum("n_cur").cast("double").alias("t_cur"),
+    )
+    p = (F.col("n_ref") + F.lit(0.5)) / (F.col("t_ref") + F.lit(half_b))
+    q = (F.col("n_cur") + F.lit(0.5)) / (F.col("t_cur") + F.lit(half_b))
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .select("bucket", "n_ref", "n_cur", ((q - p) * F.log(q / p)).alias("psi_contrib"))
+    )
+
+
+def psi_drift_sql(
+    ref_sql: str,
+    cur_sql: str,
+    value_expr: str,
+    n_buckets: int = 16,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> str:
+    """DuckDB mirror of :func:`psi_drift` (ref_sql/cur_sql are SELECTs)."""
+    width = hi - lo
+    half_b = n_buckets * 0.5
+
+    def bucketed(src: str, out: str) -> str:
+        return f"""
+SELECT CAST(least({n_buckets - 1}, greatest(0,
+         floor(({value_expr} - {lo}) / {width!r} * {n_buckets}))) AS INTEGER)
+         AS bucket, count(*) AS {out}
+FROM ({src}) GROUP BY 1"""
+
+    return f"""
+WITH frame AS (SELECT CAST(range AS INTEGER) AS bucket FROM range({n_buckets})),
+rc AS ({bucketed(ref_sql, "n_ref")}),
+cc AS ({bucketed(cur_sql, "n_cur")}),
+j AS (
+  SELECT frame.bucket,
+         CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+         CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
+  FROM frame LEFT JOIN rc USING (bucket) LEFT JOIN cc USING (bucket)),
+tot AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS t_ref,
+               CAST(sum(n_cur) AS DOUBLE) AS t_cur FROM j)
+SELECT bucket, n_ref, n_cur,
+       ((n_cur + 0.5) / (t_cur + {half_b}) - (n_ref + 0.5) / (t_ref + {half_b}))
+       * ln(((n_cur + 0.5) / (t_cur + {half_b})) / ((n_ref + 0.5) / (t_ref + {half_b})))
+       AS psi_contrib
+FROM j, tot
+"""

@@ -1,0 +1,101 @@
+"""Rollup maintenance job (jobs/rollup.py): snapshot N+1 = merge(snapshot N,
+batch) equals the full recompute after every batch, duplicate batch ids are
+idempotent no-ops, a crash between the snapshot write and the ledger commit
+rolls forward, and config drift fails fast."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"))
+
+from rollup import current_version, run_rollup  # jobs/rollup.py
+
+from doc_agent_spark.operators import incremental_agg as ia
+
+KEYS = ["k"]
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "k string, value double")
+
+
+def _serve_map(spark, path):
+    return {
+        r.k: (r.n_events, r.sum_value, r.avg_value, r.min_value, r.max_value)
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+@pytest.fixture()
+def dirs(spark, tmp_path):
+    batches = {
+        "b1": [("a", 1.5), ("a", 2.0), ("b", -1.0)],
+        "b2": [("a", 0.25), ("c", 7.0)],
+        "b3": [("b", 4.0), ("c", 1.0), ("c", 2.0)],
+    }
+    paths = {}
+    for bid, rows in batches.items():
+        p = str(tmp_path / f"{bid}.parquet")
+        _batch(spark, rows).write.parquet(p)
+        paths[bid] = p
+    return paths, str(tmp_path / "state"), str(tmp_path / "serve"), batches
+
+
+def test_sequential_batches_equal_full_recompute(spark, dirs):
+    paths, state, serve, batches = dirs
+    for i, bid in enumerate(["b1", "b2", "b3"], start=1):
+        out = run_rollup(spark, paths[bid], state, KEYS, "value", bid,
+                         serve_path=serve)
+        assert out["version"] == i and not out["skipped"]
+        # serving table == one-shot aggregation over every applied batch
+        all_rows = [r for b in list(batches)[:i] for r in batches[b]]
+        full = ia.finalize(ia.rollup_state(_batch(spark, all_rows), KEYS, "value"))
+        expect = {
+            r.k: (r.n_events, r.sum_value, r.avg_value, r.min_value, r.max_value)
+            for r in full.collect()
+        }
+        assert _serve_map(spark, serve) == expect
+    assert current_version(spark, state) == 3
+
+
+def test_duplicate_batch_is_noop(spark, dirs):
+    paths, state, serve, _ = dirs
+    run_rollup(spark, paths["b1"], state, KEYS, "value", "b1", serve_path=serve)
+    before = _serve_map(spark, serve)
+    out = run_rollup(spark, paths["b1"], state, KEYS, "value", "b1", serve_path=serve)
+    assert out["skipped"] and out["version"] == 1 and out["batch_rows"] == 0
+    assert _serve_map(spark, serve) == before
+
+
+def test_crash_before_ledger_commit_rolls_forward(spark, dirs):
+    paths, state, serve, batches = dirs
+    run_rollup(spark, paths["b1"], state, KEYS, "value", "b1")
+    # simulate: b2's snapshot written but the ledger append never happened
+    b2_state = ia.merge_states(
+        spark.read.parquet(os.path.join(state, "snapshot_v1")),
+        ia.rollup_state(_batch(spark, batches["b2"]), KEYS, "value"),
+    )
+    b2_state.write.mode("overwrite").parquet(os.path.join(state, "snapshot_v2"))
+    assert current_version(spark, state) == 1  # orphan dir, uncommitted
+    out = run_rollup(spark, paths["b2"], state, KEYS, "value", "b2", serve_path=serve)
+    assert out["version"] == 2 and not out["skipped"]
+    full = ia.finalize(ia.rollup_state(
+        _batch(spark, batches["b1"] + batches["b2"]), KEYS, "value"))
+    expect = {
+        r.k: (r.n_events, r.sum_value, r.avg_value, r.min_value, r.max_value)
+        for r in full.collect()
+    }
+    assert _serve_map(spark, serve) == expect
+
+
+def test_config_drift_raises(spark, dirs):
+    paths, state, _, _ = dirs
+    run_rollup(spark, paths["b1"], state, KEYS, "value", "b1")
+    with pytest.raises(ValueError, match="config mismatch"):
+        run_rollup(spark, paths["b2"], state, ["k2"], "value", "b2")
+    with pytest.raises(ValueError, match="config mismatch"):
+        run_rollup(spark, paths["b2"], state, KEYS, "value", "b2", scale=4)

@@ -2587,7 +2587,11 @@ def file_meta(spark, sf_dir):
     = expire flag) and the orphan arm is the orphan-file scan
     (orphan_files — storage listing anti-joined against broadcast live
     refs; listing woven from every-13th event, refs every-26th, so
-    orphans are the odd 13-multiples)."""
+    orphans are the odd 13-multiples). The zonemap arm is the
+    data-skipping planner (zone_map/prune_files): per-file min/max zone
+    maps over a value-clustered layout plus the conservative overlap
+    decision for a range predicate — what a lakehouse scan consults
+    instead of the data."""
     a = mime_dispatch(spark, sf_dir).select(
         F.lit("mime").alias("variant"),
         F.lit(None).cast("long").alias("doc_id"),
@@ -2693,9 +2697,38 @@ def file_meta(spark, sf_dir):
         ).alias("digest"),
         F.col("n_rows").cast("long").alias("metric"),
     )
+    # zonemap arm: per-file min/max statistics + range-predicate file
+    # skipping (maintenance.zone_map/prune_files — Parquet row-group stats /
+    # Iceberg manifest bounds as a queryable table) over a value-clustered
+    # synthetic layout (file = n_chars//64, the post-OPTIMIZE shape where
+    # zones are tight and skipping actually bites): key = the file's
+    # [min:max] bound, digest = row count, metric = the scan/skip decision
+    # for n_chars BETWEEN 150 AND 300 — the conservative overlap test a
+    # 10^12-row scan consults before touching storage.
+    zm = maintenance.zone_map(
+        docs.select(
+            F.floor(F.col("n_chars") / 64).cast("long").alias("file_id"),
+            "n_chars",
+        ),
+        "file_id", ["n_chars"],
+    )
+    zarm = zm.join(
+        maintenance.prune_files(zm, "file_id", "n_chars", 150, 300)
+        .select("file_id", "scan"),
+        "file_id",
+    ).select(
+        F.lit("zonemap").alias("variant"),
+        F.col("file_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.col("min_n_chars").cast("string"), F.lit(":"),
+            F.col("max_n_chars").cast("string"),
+        ).alias("key"),
+        F.col("n_rows").cast("string").alias("digest"),
+        F.col("scan").cast("long").alias("metric"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
-        .unionByName(fplan).unionByName(g).unionByName(h)
+        .unionByName(fplan).unionByName(g).unionByName(h).unionByName(zarm)
     )
 
 
@@ -4757,6 +4790,14 @@ FROM ({publish_ops.shard_manifest_sql(
     "SELECT CAST(to_json(struct_pack(doc_id := doc_id, lang := lang,"
     " n_chars := n_chars)) AS VARCHAR) AS line, doc_id FROM documents",
     line_expr="line", key_expr="doc_id", n_shards=8)})
+UNION ALL
+SELECT 'zonemap', CAST(file_id AS BIGINT),
+       CAST(min_n_chars AS VARCHAR) || ':' || CAST(max_n_chars AS VARCHAR),
+       CAST(n_rows AS VARCHAR),
+       CAST(coalesce(max_n_chars >= 150 AND min_n_chars <= 300, false) AS BIGINT)
+FROM ({maintenance.zone_map_sql(
+    "SELECT CAST(floor(n_chars / 64) AS BIGINT) AS file_id, n_chars FROM documents",
+    "file_id", ["n_chars"])})
 """,
         "simhash_dedup": f"""
 SELECT 'cluster' AS variant, CAST(simhash AS BIGINT) AS key_a,

@@ -396,3 +396,64 @@ SELECT bucket, n_ref, n_cur,
        AS psi_contrib
 FROM j, tot
 """
+
+
+# ---------------------------------------------------------------------------
+# Zone maps (per-file min/max statistics) + predicate file skipping
+# ---------------------------------------------------------------------------
+
+def zone_map(df: DataFrame, file_col: str, value_cols: list[str]) -> DataFrame:
+    """Per-file min/max/count zone maps — the data-skipping statistics a
+    lakehouse scan planner reads INSTEAD of the data (Parquet row-group
+    stats / Iceberg manifest field bounds, materialized as a queryable
+    table). One hash aggregation, map-side partial, output sized by the
+    file count — at 100 TB the zone-map table is ~10^6 rows describing
+    10^12, and every range predicate consults it before touching storage.
+
+    min/max are exact lattice ops (mergeable: re-aggregating unions of
+    files gives coarser zones), n_<col> counts non-nulls so an
+    all-null-column file is distinguishable from an empty one."""
+    aggs = [F.count("*").alias("n_rows")]
+    for c in value_cols:
+        aggs += [
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+            F.count(c).alias(f"n_{c}"),
+        ]
+    return df.groupBy(file_col).agg(*aggs)
+
+
+def prune_files(
+    zmap: DataFrame, file_col: str, col: str, lo, hi
+) -> DataFrame:
+    """Evaluate a range predicate ``col BETWEEN lo AND hi`` against the
+    zone maps: ``scan`` is true only for files whose [min, max] interval
+    overlaps [lo, hi]. A file with NULL bounds (every value null) cannot
+    satisfy a range predicate — SQL comparison semantics — so it is
+    skipped; the conservative direction (never skip a file that could
+    match) is guaranteed because min/max bound every non-null value.
+
+    Returns (file, n_rows, scan) — sum(n_rows WHERE scan) / sum(n_rows)
+    is the scan fraction the predicate actually pays."""
+    mn, mx = F.col(f"min_{col}"), F.col(f"max_{col}")
+    scan = F.coalesce((mx >= F.lit(lo)) & (mn <= F.lit(hi)), F.lit(False))
+    return zmap.select(file_col, "n_rows", scan.alias("scan"))
+
+
+def zone_map_sql(src: str, file_expr: str, value_cols: list[str]) -> str:
+    """DuckDB mirror of :func:`zone_map` over a SELECT ``src``."""
+    stats = ", ".join(
+        f"min({c}) AS min_{c}, max({c}) AS max_{c}, count({c}) AS n_{c}"
+        for c in value_cols
+    )
+    return f"""
+SELECT {file_expr} AS file_id, count(*) AS n_rows, {stats}
+FROM ({src}) GROUP BY 1"""
+
+
+def prune_files_sql(zmap_sql: str, col: str, lo, hi) -> str:
+    """DuckDB mirror of :func:`prune_files` over a zone-map SELECT."""
+    return f"""
+SELECT file_id, n_rows,
+       coalesce(max_{col} >= {lo} AND min_{col} <= {hi}, false) AS scan
+FROM ({zmap_sql})"""

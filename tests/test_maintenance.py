@@ -357,3 +357,44 @@ def test_spread_by_doc_occupies_all_partitions(spark):
     counts = {r["p"]: r["count"] for r in sizes}
     assert len(counts) == 16                       # zero empty partitions
     assert max(counts.values()) <= 2 * min(counts.values())
+
+
+# ---------------------------------------------------------------------------
+# Zone maps + file skipping
+# ---------------------------------------------------------------------------
+
+
+def _zoned(spark):
+    rows = (
+        [(0, float(v)) for v in (10, 20, 30)]
+        + [(1, float(v)) for v in (35, 60)]
+        + [(2, float(v)) for v in (100, 150)]
+        + [(3, None), (3, None)]          # all-null file
+    )
+    return spark.createDataFrame(rows, "file_id long, v double")
+
+
+def test_zone_map_bounds(spark):
+    zm = {r.file_id: r for r in maintenance.zone_map(_zoned(spark), "file_id", ["v"]).collect()}
+    assert (zm[0].min_v, zm[0].max_v, zm[0].n_rows, zm[0].n_v) == (10.0, 30.0, 3, 3)
+    assert (zm[3].min_v, zm[3].max_v, zm[3].n_rows, zm[3].n_v) == (None, None, 2, 0)
+
+
+def test_prune_decisions(spark):
+    zm = maintenance.zone_map(_zoned(spark), "file_id", ["v"])
+    scan = {r.file_id: r.scan for r in
+            maintenance.prune_files(zm, "file_id", "v", 25, 50).collect()}
+    assert scan == {0: True, 1: True, 2: False, 3: False}  # null bounds skip
+
+
+def test_prune_is_conservative(spark):
+    # never skip a file that holds a matching row, for several predicates
+    df = _zoned(spark)
+    zm = maintenance.zone_map(df, "file_id", ["v"])
+    for lo, hi in [(0, 5), (10, 10), (59, 101), (150, 999)]:
+        scanned = {r.file_id for r in
+                   maintenance.prune_files(zm, "file_id", "v", lo, hi).collect()
+                   if r.scan}
+        matching = {r.file_id for r in
+                    df.filter((F.col("v") >= lo) & (F.col("v") <= hi)).collect()}
+        assert matching <= scanned

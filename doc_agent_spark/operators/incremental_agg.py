@@ -52,7 +52,8 @@ def rollup_state(
     partial on. ``scale`` decimal digits are preserved; values must fit
     ``sum(|v|) * 10^scale < 2^63`` (10^12 rows × 10^6-scaled values needs
     a shard-then-merge cadence well before the long overflows — merge
-    cadence is the caller's contract, overflow is checked in finalize).
+    cadence is the caller's contract; finalize raises past 2^53, where
+    the serving projection's double conversion would go inexact first).
     """
     micros = F.round(F.col(value_col) * F.lit(10 ** scale)).cast("long")
     return df.groupBy(*keys).agg(
@@ -87,14 +88,31 @@ def finalize(state: DataFrame, scale: int = 6, round_to: int = 4) -> DataFrame:
 
     sum/avg rescale from the fixed-point state; both are exact to
     ``scale`` digits, then rounded to ``round_to`` for the serving table.
+    A key whose |sum_micros| exceeds 2^53 raises here rather than serving
+    silently-inexact values: the long state itself is still exact well
+    beyond that, but the double conversion in this projection is not —
+    hitting the guard means the caller's scale/merge-cadence contract
+    needs a smaller scale or per-shard keys, not a quiet rounding loss.
     """
     keys = [c for c in state.columns if c not in STATE_COLS]
     denom = float(10 ** scale)
+    exact = F.when(
+        F.abs(F.col("sum_micros")) <= F.lit(2 ** 53), F.col("sum_micros")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("incremental_agg.finalize: |sum_micros|="),
+                F.abs(F.col("sum_micros")).cast("string"),
+                F.lit(" exceeds 2^53 — exact double conversion lost; "
+                      "reduce scale or shard the key"),
+            )
+        )
+    )
     return state.select(
         *keys,
         F.col("n").alias("n_events"),
-        F.round(F.col("sum_micros") / denom, round_to).alias("sum_value"),
-        F.round(F.col("sum_micros") / denom / F.col("n"), round_to).alias("avg_value"),
+        F.round(exact / denom, round_to).alias("sum_value"),
+        F.round(exact / denom / F.col("n"), round_to).alias("avg_value"),
         F.col("min_v").alias("min_value"),
         F.col("max_v").alias("max_value"),
     )

@@ -146,3 +146,19 @@ def test_psi_rejects_bad_range(spark):
 
     with pytest.raises(ValueError):
         maintenance.psi_drift(_vals(spark, [1.0]), _vals(spark, [1.0]), "value", lo=2.0, hi=2.0)
+
+
+def test_finalize_guards_exactness_ceiling(spark):
+    import pytest
+
+    big = spark.createDataFrame(
+        [("k", 2, 2 ** 53 + 2, 1.0, 2.0)],
+        "k string, n long, sum_micros long, min_v double, max_v double",
+    )
+    with pytest.raises(Exception, match="exceeds 2\\^53"):
+        ia.finalize(big).collect()
+    ok = spark.createDataFrame(
+        [("k", 2, 2 ** 53, 1.0, 2.0)],
+        "k string, n long, sum_micros long, min_v double, max_v double",
+    )
+    assert ia.finalize(ok).collect()[0].n_events == 2

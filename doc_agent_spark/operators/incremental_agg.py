@@ -49,7 +49,9 @@ def rollup_state(
 
     One hash aggregation (map-side partial + final); the fixed-point cast
     happens in the scan projection so the state is exact from the first
-    partial on. ``scale`` decimal digits are preserved; values must fit
+    partial on. ``n`` counts ROWS (count(*)), so with null values present
+    avg_value = sum(non-null)/rows — pre-filter nulls if you want a
+    mean-of-values. ``scale`` decimal digits are preserved; values must fit
     ``sum(|v|) * 10^scale < 2^63`` (10^12 rows × 10^6-scaled values needs
     a shard-then-merge cadence well before the long overflows — merge
     cadence is the caller's contract; finalize raises past 2^53, where

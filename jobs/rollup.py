@@ -33,7 +33,10 @@ Resume / idempotency (the jobs/extract.py ledger protocol):
   append is the commit point;
 - keys/value/scale are a config identity (they define the state schema and
   the fixed-point encoding): recorded beside the state on first write,
-  enforced on every later one.
+  enforced on every later one;
+- single-writer per state directory (the extract/curate/pack jobs' same
+  contract): two batches applying concurrently would both read version N
+  and race on snapshot_v{N+1} — schedule batches serially per rollup.
 
 ``--serve`` additionally materializes the finalized serving projection
 (n_events / sum / avg / min / max) — a zero-shuffle map over the snapshot.

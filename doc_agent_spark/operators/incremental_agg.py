@@ -99,7 +99,11 @@ def finalize(state: DataFrame, scale: int = 6, round_to: int = 4) -> DataFrame:
     keys = [c for c in state.columns if c not in STATE_COLS]
     denom = float(10 ** scale)
     exact = F.when(
-        F.abs(F.col("sum_micros")) <= F.lit(2 ** 53), F.col("sum_micros")
+        # NULL sum_micros (a key whose values were all NULL) passes through
+        # as NULL serving sums — only a real value past 2^53 raises
+        F.col("sum_micros").isNull()
+        | (F.abs(F.col("sum_micros")) <= F.lit(2 ** 53)),
+        F.col("sum_micros"),
     ).otherwise(
         F.raise_error(
             F.concat(
@@ -137,10 +141,18 @@ def merge_finalize_sql(states_sql: list[str], keys: list[str],
     """DuckDB mirror of ``merge_states`` + ``finalize`` over state SELECTs."""
     ks = ", ".join(keys)
     union = " UNION ALL ".join(f"SELECT * FROM ({s})" for s in states_sql)
+    # same 2^53 exactness guard as finalize (DuckDB error()), same
+    # NULL-passes-through semantics — the engines diverge nowhere
+    exact = (
+        "CASE WHEN sum(sum_micros) IS NULL"
+        f" OR abs(sum(sum_micros)) <= {2 ** 53} THEN sum(sum_micros)"
+        " ELSE CAST(error('incremental_agg: sum_micros exceeds 2^53') AS BIGINT)"
+        " END"
+    )
     return f"""
 SELECT {ks}, CAST(sum(n) AS BIGINT) AS n_events,
-       round(sum(sum_micros) / 1e{scale}, {round_to}) AS sum_value,
-       round(sum(sum_micros) / 1e{scale} / sum(n), {round_to}) AS avg_value,
+       round({exact} / 1e{scale}, {round_to}) AS sum_value,
+       round({exact} / 1e{scale} / sum(n), {round_to}) AS avg_value,
        min(min_v) AS min_value, max(max_v) AS max_value
 FROM ({union}) GROUP BY {ks}
 """

@@ -68,11 +68,21 @@ LEDGER_SCHEMA = (
 
 
 def _ledger(spark: SparkSession, state_path: str):
+    """None means NO ledger exists; an unreadable ledger RAISES. Conflating
+    the two (a bare except) would silently reset version to 0, overwrite
+    snapshot_v1 with batch-only state, and mark the batch applied — silent
+    data loss. A torn ledger (crash mid-append) is a stop-the-line event
+    that needs an operator, not a quiet restart."""
     path = os.path.join(state_path, "applied")
+    if not os.path.exists(path):
+        return None
     try:
         return spark.read.schema(LEDGER_SCHEMA + ", applied_at timestamp").parquet(path)
-    except Exception:
-        return None
+    except Exception as e:
+        raise RuntimeError(
+            f"rollup ledger at {path} exists but is unreadable — refusing to "
+            f"treat it as version 0 (would orphan all applied batches): {e}"
+        ) from e
 
 
 def current_version(spark: SparkSession, state_path: str) -> int:
@@ -98,17 +108,23 @@ def run_rollup(
 
     t0 = time.time()
     os.makedirs(state_path, exist_ok=True)
-    check_or_write_config(
-        os.path.join(state_path, "rollup"),
-        {"keys": keys, "value": value_col, "scale": scale},
-    )
+    cfg_base = os.path.join(state_path, "rollup")
+    cfg = {"keys": keys, "value": value_col, "scale": scale}
+    # fail fast on drift against an EXISTING config, but don't record a new
+    # one until the first successful commit — a typo'd first run must not
+    # poison the state dir with a config that then rejects the corrected run
+    if os.path.exists(cfg_base + "_config.json"):
+        check_or_write_config(cfg_base, cfg)
 
     led = _ledger(spark, state_path)
-    applied = (
-        set() if led is None
-        else {r["batch_id"] for r in led.select("batch_id").distinct().collect()}
-    )
-    version = current_version(spark, state_path)
+    applied = set()
+    version = 0
+    if led is not None:
+        agg = led.agg(
+            F.max("version").alias("v"), F.collect_set("batch_id").alias("ids")
+        ).collect()[0]
+        version = int(agg["v"] or 0)
+        applied = set(agg["ids"] or [])
 
     skipped = batch_id in applied
     if not skipped:
@@ -116,8 +132,13 @@ def run_rollup(
             spark.read.parquet(input_path) if "/" in input_path
             else spark.read.table(input_path)
         )
-        batch_rows = batch.count()
-        state = ia.rollup_state(batch.select(*keys, value_col), keys, value_col, scale)
+        # localCheckpoint: the batch scan runs ONCE to materialize the
+        # key-cardinality-sized state; batch_rows then derives from it
+        # (sum of per-key n) instead of a second data-sized count() pass
+        state = ia.rollup_state(
+            batch.select(*keys, value_col), keys, value_col, scale
+        ).localCheckpoint()
+        batch_rows = int(state.agg(F.sum("n")).collect()[0][0] or 0)
         if version > 0:
             prev = spark.read.parquet(
                 os.path.join(state_path, f"snapshot_v{version}")
@@ -130,6 +151,7 @@ def run_rollup(
         state.write.mode("overwrite").parquet(snap_path)
         n_state = spark.read.parquet(snap_path).count()
         wall_ms = int((time.time() - t0) * 1000)
+        check_or_write_config(cfg_base, cfg)  # first commit records the config
         spark.createDataFrame(
             [(batch_id, new_version, n_state, batch_rows, wall_ms)], LEDGER_SCHEMA
         ).withColumn("applied_at", F.current_timestamp()).write.mode(

@@ -162,3 +162,14 @@ def test_finalize_guards_exactness_ceiling(spark):
         "k string, n long, sum_micros long, min_v double, max_v double",
     )
     assert ia.finalize(ok).collect()[0].n_events == 2
+
+
+def test_finalize_null_sum_passes_through(spark):
+    # a key whose values were all NULL: state carries sum_micros NULL;
+    # serving row keeps NULL sums instead of raising
+    ev = spark.createDataFrame(
+        [("k", None), ("k", None), ("j", 2.0)], "k string, value double"
+    )
+    out = _finalized(ia.finalize(ia.rollup_state(ev, ["k"], "value")))
+    assert out["k"] == (2, None, None, None, None)
+    assert out["j"] == (1, 2.0, 2.0, 2.0, 2.0)

@@ -99,3 +99,23 @@ def test_config_drift_raises(spark, dirs):
         run_rollup(spark, paths["b2"], state, ["k2"], "value", "b2")
     with pytest.raises(ValueError, match="config mismatch"):
         run_rollup(spark, paths["b2"], state, KEYS, "value", "b2", scale=4)
+
+
+def test_unreadable_ledger_raises_not_resets(spark, dirs):
+    paths, state, _, _ = dirs
+    run_rollup(spark, paths["b1"], state, KEYS, "value", "b1")
+    # torn ledger: a non-parquet file where the ledger dir should be read
+    ledger_dir = os.path.join(state, "applied")
+    with open(os.path.join(ledger_dir, "part-torn.parquet"), "w") as fh:
+        fh.write("not parquet")
+    with pytest.raises(Exception, match="unreadable|refusing|PARQUET|Parquet"):
+        run_rollup(spark, paths["b2"], state, KEYS, "value", "b2")
+
+
+def test_failed_first_run_does_not_poison_config(spark, dirs):
+    paths, state, serve, _ = dirs
+    with pytest.raises(Exception):
+        run_rollup(spark, paths["b1"], state, KEYS, "nope_col", "b1")
+    # corrected run succeeds: no config was recorded by the failed attempt
+    out = run_rollup(spark, paths["b1"], state, KEYS, "value", "b1", serve_path=serve)
+    assert out["version"] == 1 and not out["skipped"]

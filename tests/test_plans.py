@@ -516,3 +516,73 @@ def test_publish_manifest_one_exchange_partial_agg(spark, sf_dir):
     assert plan.count("Exchange") == 1
     assert "partial_count" in plan or "partial" in plan.lower()
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_rollup_state_partial_agg_no_python(spark, sf_dir):
+    """The incremental-rollup batch state is ONE hash aggregate with
+    map-side partial combine (the merge algebra Spark itself uses, lifted
+    to a table boundary): one Exchange on the keys, partial aggregation
+    before it, no Python anywhere."""
+    from doc_agent_spark.operators import incremental_agg as ia
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    state = ia.rollup_state(
+        ev.select("event_type", F.hour("ts").alias("h"), "value"),
+        ["event_type", "h"], "value",
+    )
+    plan = _plan(state)
+    assert plan.count("Exchange") == 1
+    assert "partial" in plan.lower()
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_merge_finalize_no_extra_shuffle(spark, sf_dir):
+    """merge(snapshot, batch) + finalize adds exactly one more hash
+    aggregation over the unioned states; finalize itself is a zero-shuffle
+    projection on top (no window, no sort, no Python)."""
+    from doc_agent_spark.operators import incremental_agg as ia
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value", (F.col("event_id") % 2).alias("b")
+    )
+    states = [
+        ia.rollup_state(ev.filter(F.col("b") == i).drop("b"), ["event_type"], "value")
+        for i in range(2)
+    ]
+    plan = _plan(ia.finalize(ia.merge_states(*states)))
+    assert "Window" not in plan and "Sort" not in plan.replace("SortAggregate", "")
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_psi_histograms_broadcast_totals(spark, sf_dir):
+    """PSI: each side reduces to B partial counts map-side; the totals
+    row joins back as a broadcast (one row), never an exchange of the
+    bucket frame; no Python."""
+    from doc_agent_spark.operators import maintenance
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = maintenance.psi_drift(
+        ev.filter(F.col("event_id") % 3 != 0),
+        ev.filter(F.col("event_id") % 3 == 0),
+        "value", n_buckets=16, lo=0.0, hi=500.0,
+    )
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_zone_map_partial_agg_no_python(spark, sf_dir):
+    """Zone maps are one hash aggregate sized by the file count: partial
+    min/max/count combine map-side, one Exchange on file_id, no Python;
+    prune_files adds only a projection."""
+    from doc_agent_spark.operators import maintenance
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    zm = maintenance.zone_map(
+        docs.select(F.floor(F.col("n_chars") / 64).cast("long").alias("file_id"), "n_chars"),
+        "file_id", ["n_chars"],
+    )
+    plan = _plan(maintenance.prune_files(zm, "file_id", "n_chars", 150, 300))
+    assert plan.count("Exchange") == 1
+    assert "partial" in plan.lower()
+    assert "Python" not in plan and "Arrow" not in plan

@@ -102,6 +102,7 @@ def run_rollup(
     batch_id: str,
     scale: int = 6,
     serve_path: str | None = None,
+    retain_last: int = 2,
 ) -> dict:
     from doc_agent_spark.operators import incremental_agg as ia
     from doc_agent_spark.operators.publish import check_or_write_config
@@ -164,6 +165,21 @@ def run_rollup(
         ).count() if version > 0 else 0
         batch_rows = 0
 
+    # snapshot retention (the expire_snapshots discipline of
+    # operators/maintenance.plan_snapshot_expiry, applied to this job's own
+    # state): only the LATEST snapshot is ever read — older versions exist
+    # purely as a rollback window. Expire committed versions beyond
+    # retain_last; the ledger (the audit trail) is never pruned.
+    expired = []
+    if retain_last >= 1:
+        import shutil
+
+        for v in range(1, version - retain_last + 1):
+            p = os.path.join(state_path, f"snapshot_v{v}")
+            if os.path.exists(p):
+                shutil.rmtree(p)
+                expired.append(v)
+
     if serve_path and version > 0:
         snap = spark.read.parquet(os.path.join(state_path, f"snapshot_v{version}"))
         ia.finalize(snap, scale=scale).write.mode("overwrite").parquet(serve_path)
@@ -174,6 +190,7 @@ def run_rollup(
         "version": version,
         "n_state_rows": int(n_state),
         "batch_rows": int(batch_rows),
+        "expired_versions": expired,
         "wall_ms": int((time.time() - t0) * 1000),
     }
 
@@ -187,6 +204,8 @@ def main() -> None:
     ap.add_argument("--batch-id", required=True)
     ap.add_argument("--scale", type=int, default=6)
     ap.add_argument("--serve", default=None)
+    ap.add_argument("--retain-last", type=int, default=2,
+                    help="committed snapshot versions to keep (ledger never pruned)")
     args = ap.parse_args()
 
     from extract import ship_package  # same zip+addPyFile bootstrap
@@ -202,6 +221,7 @@ def main() -> None:
         batch_id=args.batch_id,
         scale=args.scale,
         serve_path=args.serve,
+        retain_last=args.retain_last,
     )
     print(json.dumps(out))
 

@@ -119,3 +119,27 @@ def test_failed_first_run_does_not_poison_config(spark, dirs):
     # corrected run succeeds: no config was recorded by the failed attempt
     out = run_rollup(spark, paths["b1"], state, KEYS, "value", "b1", serve_path=serve)
     assert out["version"] == 1 and not out["skipped"]
+
+
+def test_snapshot_retention(spark, dirs):
+    paths, state, serve, batches = dirs
+    from doc_agent_spark.operators import incremental_agg as ia
+
+    for bid in ["b1", "b2", "b3"]:
+        out = run_rollup(spark, paths[bid], state, KEYS, "value", bid,
+                         serve_path=serve, retain_last=1)
+    assert out["version"] == 3 and out["expired_versions"] == [2]  # v1 gone earlier
+    assert not os.path.exists(os.path.join(state, "snapshot_v1"))
+    assert not os.path.exists(os.path.join(state, "snapshot_v2"))
+    assert os.path.exists(os.path.join(state, "snapshot_v3"))
+    # serving values still equal the full recompute — retention never
+    # touches the latest snapshot or the ledger
+    all_rows = [r for b in batches.values() for r in b]
+    full = ia.finalize(ia.rollup_state(
+        spark.createDataFrame(all_rows, "k string, value double"), KEYS, "value"))
+    expect = {
+        r.k: (r.n_events, r.sum_value, r.avg_value, r.min_value, r.max_value)
+        for r in full.collect()
+    }
+    assert _serve_map(spark, serve) == expect
+    assert current_version(spark, state) == 3

@@ -437,3 +437,48 @@ def merged_stream_manifest(spark: SparkSession, manifest_path: str) -> DataFrame
             F.sum("checksum").cast("decimal(38,0)").alias("checksum"),
         )
     )
+
+
+def rollup_stream(
+    events: DataFrame,
+    state_path: str,
+    keys: list[str],
+    value_col: str,
+    checkpoint_dir: str,
+    scale: int = 6,
+    epoch_prefix: str = "epoch",
+):
+    """Streaming face of jobs/rollup.py: each micro-batch reduces to its
+    per-key partial state and merges into the SAME versioned snapshot
+    directory the batch job maintains (sinks/rollup_state.py — one
+    implementation, two cadences). Stream/batch parity falls out of the
+    ledger protocol: the foreachBatch epoch id becomes the ledger batch
+    identity, so a replayed epoch (the foreachBatch at-least-once
+    contract) is skipped exactly like a re-run batch day — the state is
+    effectively exactly-once without any sink-side dedup of rows.
+
+    The merge algebra is what makes a streaming UPDATE of a persisted
+    aggregate safe at all: per-key (count, fixed-point long sum, min,
+    max) states add exactly under any arrival order, so late or
+    out-of-order events need no watermark for CORRECTNESS — an event
+    landing in a later epoch merges into its key like any other row
+    (watermarks remain a latency/state-size device for windowed serving
+    layers, not a requirement of this sink).
+
+    Returns the started StreamingQuery (availableNow trigger: drain ready
+    input, then stop — rerun for the next increment, alternating freely
+    with the batch job under the single-writer-at-a-time contract)."""
+    from ..sinks import rollup_state as rs
+
+    def sink(batch_df, batch_id: int) -> None:
+        rs.apply_batch(
+            batch_df.sparkSession, batch_df, state_path, keys, value_col,
+            batch_id=f"{epoch_prefix}-{int(batch_id)}", scale=scale,
+        )
+
+    return (
+        events.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

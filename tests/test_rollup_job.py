@@ -143,3 +143,57 @@ def test_snapshot_retention(spark, dirs):
     }
     assert _serve_map(spark, serve) == expect
     assert current_version(spark, state) == 3
+
+
+# ---------------------------------------------------------------------------
+# Streaming face: rollup_stream maintains the SAME state directory
+# ---------------------------------------------------------------------------
+
+
+def test_stream_and_batch_share_state(spark, dirs):
+    from doc_agent_spark.streaming.pipeline import rollup_stream
+
+    paths, state, serve, batches = dirs
+    # batch day 1 applies via the job
+    run_rollup(spark, paths["b1"], state, KEYS, "value", "b1")
+    # days 2+3 arrive as a stream over the same state dir
+    in_dir = os.path.join(os.path.dirname(paths["b2"]), "stream_in")
+    os.makedirs(in_dir, exist_ok=True)
+    for bid in ("b2", "b3"):
+        spark.read.parquet(paths[bid]).write.mode("append").parquet(in_dir)
+    stream = spark.readStream.schema("k string, value double").parquet(in_dir)
+    q = rollup_stream(
+        stream, state, KEYS, "value",
+        checkpoint_dir=os.path.join(os.path.dirname(in_dir), "ckpt"),
+    )
+    q.awaitTermination(120)
+    # serving view over the merged state == one-shot recompute of all rows
+    from doc_agent_spark.operators import incremental_agg as ia
+    from doc_agent_spark.sinks import rollup_state as rs
+
+    snap = rs.latest_snapshot(spark, state)
+    got = {
+        r.k: (r.n_events, r.sum_value, r.min_value, r.max_value)
+        for r in ia.finalize(snap).collect()
+    }
+    all_rows = [r for b in batches.values() for r in b]
+    full = ia.finalize(ia.rollup_state(
+        spark.createDataFrame(all_rows, "k string, value double"), KEYS, "value"))
+    expect = {
+        r.k: (r.n_events, r.sum_value, r.min_value, r.max_value)
+        for r in full.collect()
+    }
+    assert got == expect
+    # ledger shows one batch identity + the streaming epochs, all committed
+    led = rs.read_ledger(spark, state)
+    ids = {r.batch_id for r in led.select("batch_id").collect()}
+    assert "b1" in ids and any(i.startswith("epoch-") for i in ids)
+    # a RESTARTED stream over the same input/checkpoint replays nothing new
+    v_before = rs.current_version(spark, state)
+    q2 = rollup_stream(
+        spark.readStream.schema("k string, value double").parquet(in_dir),
+        state, KEYS, "value",
+        checkpoint_dir=os.path.join(os.path.dirname(in_dir), "ckpt"),
+    )
+    q2.awaitTermination(120)
+    assert rs.current_version(spark, state) == v_before

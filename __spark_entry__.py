@@ -820,7 +820,10 @@ def value_quantiles(spark, sf_dir):
 
 def conversion_funnel(spark, sf_dir):
     """Ordered-event funnel: per user, first view → first later click →
-    first later purchase; counts users reaching each stage.
+    first later purchase; counts users reaching each stage. Union-tagged
+    with the cohort-retention matrix ('cohort:<week>:+<offset>' rows):
+    first-active-week cohorts × weekly return activity — the second
+    classic user-lifecycle analytic over the same events table.
 
     ONE events scan, ONE shuffle (groupBy user_id), ONE linear DAG: stage
     timestamps derive from per-user event-time arrays (first click after
@@ -848,11 +851,37 @@ def conversion_funnel(spark, sf_dir):
         F.count("t_click").alias("n2"),
         F.count("t_purchase").alias("n3"),
     )
-    return counts.select(
+    funnel = counts.select(
         F.expr(
             "stack(3, 'view', n1, 'view>click', n2, 'view>click>purchase', n3)"
         ).alias("stage", "n")
     )
+    # cohort-retention arm (same (stage, n) shape — rows tagged
+    # 'cohort:<week>:+<offset>'): the classic user-lifecycle matrix — each
+    # user joins the cohort of their first active ISO week, n = distinct
+    # users of that cohort active again <offset> weeks later. Two hash
+    # aggregations over (user, week) pairs, output sized weeks² — at
+    # 10^12 events the distinct-pairs reduction is the only data-sized
+    # stage and combines map-side.
+    week = F.date_trunc("week", ts).cast("date")
+    ua = ev.select("user_id", week.alias("week")).distinct()
+    cohort = ua.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    retention = (
+        ua.join(cohort, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff(F.col("week"), F.col("cohort")) / 7).cast("int").alias("off"),
+        )
+        .agg(F.count_distinct("user_id").alias("n"))
+        .select(
+            F.concat(
+                F.lit("cohort:"), F.col("cohort").cast("string"),
+                F.lit(":+"), F.col("off").cast("string"),
+            ).alias("stage"),
+            "n",
+        )
+    )
+    return funnel.unionByName(retention)
 
 
 def rollup_cascade(spark, sf_dir):
@@ -3536,6 +3565,18 @@ s3 AS (
 SELECT 'view' AS stage, count(*) AS n FROM pu WHERE t_view IS NOT NULL
 UNION ALL SELECT 'view>click', count(*) FROM s2
 UNION ALL SELECT 'view>click>purchase', count(*) FROM s3
+UNION ALL
+SELECT 'cohort:' || CAST(week1 AS VARCHAR) || ':+' || CAST(off AS VARCHAR), n
+FROM (
+  WITH ua AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+    FROM events),
+  ch AS (SELECT user_id, min(week) AS cohort FROM ua GROUP BY user_id)
+  SELECT ch.cohort AS week1,
+         CAST(date_diff('day', ch.cohort, ua.week) / 7 AS INTEGER) AS off,
+         count(DISTINCT ua.user_id) AS n
+  FROM ua JOIN ch ON ua.user_id = ch.user_id
+  GROUP BY 1, 2)
 """,
         "rollup_cascade": """
 WITH minute AS (

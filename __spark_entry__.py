@@ -823,9 +823,12 @@ def conversion_funnel(spark, sf_dir):
     first later purchase; counts users reaching each stage. Union-tagged
     with the cohort-retention matrix ('cohort:<week>:+<offset>' rows):
     first-active-week cohorts × weekly return activity — the second
-    classic user-lifecycle analytic over the same events table.
+    classic user-lifecycle analytic over the same events table, itself a
+    linear DAG (distinct pairs → window-min cohort → weeks² aggregation;
+    see the inline comment).
 
-    ONE events scan, ONE shuffle (groupBy user_id), ONE linear DAG: stage
+    The funnel arm is ONE events scan, ONE shuffle (groupBy user_id), ONE
+    linear DAG: stage
     timestamps derive from per-user event-time arrays (first click after
     the first view = array_min over the filtered click array), then a
     single conditional-count aggregation unpivots to the three stage rows.
@@ -857,17 +860,17 @@ def conversion_funnel(spark, sf_dir):
         ).alias("stage", "n")
     )
     # cohort-retention arm (same (stage, n) shape — rows tagged
-    # 'cohort:<week>:+<offset>'): the classic user-lifecycle matrix — each
-    # user joins the cohort of their first active ISO week, n = distinct
-    # users of that cohort active again <offset> weeks later. Two hash
-    # aggregations over (user, week) pairs, output sized weeks² — at
-    # 10^12 events the distinct-pairs reduction is the only data-sized
-    # stage and combines map-side.
+    # 'cohort:<week>:+<offset>'): each user belongs to the cohort of their
+    # first active ISO week; n = distinct users of that cohort active
+    # again <offset> weeks later. One LINEAR DAG with no branch reuse
+    # (the round-2 recompute lesson): distinct (user, week) pairs — the
+    # only data-sized reduction, map-side combining — then the cohort via
+    # a user-partitioned window min (no self-join), then the weeks²-sized
+    # (cohort, offset) aggregation.
     week = F.date_trunc("week", ts).cast("date")
     ua = ev.select("user_id", week.alias("week")).distinct()
-    cohort = ua.groupBy("user_id").agg(F.min("week").alias("cohort"))
     retention = (
-        ua.join(cohort, "user_id")
+        ua.withColumn("cohort", F.min("week").over(Window.partitionBy("user_id")))
         .groupBy(
             "cohort",
             (F.datediff(F.col("week"), F.col("cohort")) / 7).cast("int").alias("off"),

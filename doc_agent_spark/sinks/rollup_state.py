@@ -147,17 +147,33 @@ def apply_batch(
     }
 
 
+def is_applied(spark: SparkSession, state_path: str, batch_id: str) -> bool:
+    """Ledger membership check — consult BEFORE loading the batch input,
+    so a duplicate re-run stays a true no-op even when its input has since
+    been retired by upstream retention."""
+    led = read_ledger(spark, state_path)
+    if led is None:
+        return False
+    return led.filter(F.col("batch_id") == batch_id).limit(1).count() > 0
+
+
 def expire_snapshots(state_path: str, version: int, retain_last: int) -> list[int]:
     """Delete committed snapshot versions beyond ``retain_last`` (only the
     latest is ever read; older versions are a rollback window). The ledger
-    — the audit trail — is never pruned."""
+    — the audit trail — is never pruned. ``retain_last`` must be >= 1:
+    the latest snapshot IS the state, so 'retain nothing' is not a valid
+    retention policy (raising beats silently keeping everything)."""
     import shutil
 
+    if retain_last < 1:
+        raise ValueError(
+            f"retain_last must be >= 1 (the latest snapshot is the state), "
+            f"got {retain_last}"
+        )
     expired = []
-    if retain_last >= 1:
-        for v in range(1, version - retain_last + 1):
-            p = os.path.join(state_path, f"snapshot_v{v}")
-            if os.path.exists(p):
-                shutil.rmtree(p)
-                expired.append(v)
+    for v in range(1, version - retain_last + 1):
+        p = os.path.join(state_path, f"snapshot_v{v}")
+        if os.path.exists(p):
+            shutil.rmtree(p)
+            expired.append(v)
     return expired

@@ -446,7 +446,8 @@ def rollup_stream(
     value_col: str,
     checkpoint_dir: str,
     scale: int = 6,
-    epoch_prefix: str = "epoch",
+    epoch_prefix: str | None = None,
+    retain_last: int = 2,
 ):
     """Streaming face of jobs/rollup.py: each micro-batch reduces to its
     per-key partial state and merges into the SAME versioned snapshot
@@ -456,6 +457,19 @@ def rollup_stream(
     identity, so a replayed epoch (the foreachBatch at-least-once
     contract) is skipped exactly like a re-run batch day — the state is
     effectively exactly-once without any sink-side dedup of rows.
+
+    Epoch identity is scoped to the CHECKPOINT LINEAGE: epoch ids restart
+    at 0 for a fresh checkpoint dir, so the default ``epoch_prefix``
+    derives from a hash of ``checkpoint_dir`` — a new checkpoint over the
+    same state gets a new identity space instead of silently colliding
+    with (and being skipped against) the old lineage's epochs. Deleting
+    and recreating the SAME checkpoint path is the one identity the
+    ledger cannot distinguish — that operation means "replay everything"
+    and must go to a fresh state dir (or an explicit new epoch_prefix).
+
+    ``retain_last`` applies the batch job's snapshot-expiry discipline
+    per committed epoch — streaming-only operation would otherwise grow
+    the state dir by one full snapshot per micro-batch, unboundedly.
 
     The merge algebra is what makes a streaming UPDATE of a persisted
     aggregate safe at all: per-key (count, fixed-point long sum, min,
@@ -468,13 +482,22 @@ def rollup_stream(
     Returns the started StreamingQuery (availableNow trigger: drain ready
     input, then stop — rerun for the next increment, alternating freely
     with the batch job under the single-writer-at-a-time contract)."""
+    import hashlib
+
     from ..sinks import rollup_state as rs
 
+    prefix = (
+        epoch_prefix
+        or "epoch-" + hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+    )
+
     def sink(batch_df, batch_id: int) -> None:
-        rs.apply_batch(
+        out = rs.apply_batch(
             batch_df.sparkSession, batch_df, state_path, keys, value_col,
-            batch_id=f"{epoch_prefix}-{int(batch_id)}", scale=scale,
+            batch_id=f"{prefix}-{int(batch_id)}", scale=scale,
         )
+        if not out["skipped"]:
+            rs.expire_snapshots(state_path, out["version"], retain_last)
 
     return (
         events.writeStream.foreachBatch(sink)

@@ -59,14 +59,29 @@ def run_rollup(
     from doc_agent_spark.operators import incremental_agg as ia
 
     t0 = time.time()
-    batch = (
-        spark.read.parquet(input_path) if "/" in input_path
-        else spark.read.table(input_path)
-    )
-    out = rs.apply_batch(spark, batch, state_path, keys, value_col, batch_id, scale)
-    version = out["version"]
-
-    out["expired_versions"] = rs.expire_snapshots(state_path, version, retain_last)
+    # consult the ledger BEFORE loading the input: a duplicate re-run is a
+    # true no-op even if the batch's input has since been retired, and a
+    # no-op never mutates state (no snapshot expiry under the re-run's
+    # possibly-different retain_last)
+    if rs.is_applied(spark, state_path, batch_id):
+        version = rs.current_version(spark, state_path)
+        n_state = (
+            spark.read.parquet(os.path.join(state_path, f"snapshot_v{version}")).count()
+            if version > 0 else 0
+        )
+        out = {
+            "batch_id": batch_id, "skipped": True, "version": version,
+            "n_state_rows": int(n_state), "batch_rows": 0,
+            "expired_versions": [],
+        }
+    else:
+        batch = (
+            spark.read.parquet(input_path) if "/" in input_path
+            else spark.read.table(input_path)
+        )
+        out = rs.apply_batch(spark, batch, state_path, keys, value_col, batch_id, scale)
+        version = out["version"]
+        out["expired_versions"] = rs.expire_snapshots(state_path, version, retain_last)
 
     if serve_path and version > 0:
         snap = spark.read.parquet(os.path.join(state_path, f"snapshot_v{version}"))

@@ -166,7 +166,10 @@ def test_stream_and_batch_share_state(spark, dirs):
         stream, state, KEYS, "value",
         checkpoint_dir=os.path.join(os.path.dirname(in_dir), "ckpt"),
     )
-    q.awaitTermination(120)
+    done = q.awaitTermination(120)
+    if not done:
+        q.stop()
+    assert done, "stream did not drain within 120s"
     # serving view over the merged state == one-shot recompute of all rows
     from doc_agent_spark.operators import incremental_agg as ia
     from doc_agent_spark.sinks import rollup_state as rs
@@ -195,5 +198,27 @@ def test_stream_and_batch_share_state(spark, dirs):
         state, KEYS, "value",
         checkpoint_dir=os.path.join(os.path.dirname(in_dir), "ckpt"),
     )
-    q2.awaitTermination(120)
+    done2 = q2.awaitTermination(120)
+    if not done2:
+        q2.stop()
+    assert done2, "restarted stream did not drain within 120s"
     assert rs.current_version(spark, state) == v_before
+
+
+def test_duplicate_rerun_with_missing_input_is_pure_noop(spark, dirs):
+    paths, state, serve, _ = dirs
+    run_rollup(spark, paths["b1"], state, KEYS, "value", "b1", retain_last=5)
+    # input retired upstream + a different retain_last: still a true no-op —
+    # no input read, no snapshot expiry
+    out = run_rollup(
+        spark, str(os.path.join(os.path.dirname(paths["b1"]), "gone.parquet")),
+        state, KEYS, "value", "b1", retain_last=1,
+    )
+    assert out["skipped"] and out["version"] == 1
+    assert out["expired_versions"] == []
+
+
+def test_retain_last_zero_raises(spark, dirs):
+    paths, state, _, _ = dirs
+    with pytest.raises(ValueError, match="retain_last"):
+        run_rollup(spark, paths["b1"], state, KEYS, "value", "b1", retain_last=0)

@@ -161,12 +161,14 @@ def test_ann_lsh_and_graph_build_stay_equi_join_shaped(spark, sf_dir):
 
 
 def test_conversion_funnel_single_aggregation_pass(spark, sf_dir):
-    """The funnel must scan events once: exactly one pair of partial/final
-    HashAggregates over the events scan (plus the final 1-row agg), no
-    self-joins of events against itself."""
+    """Each union arm scans events exactly once and neither self-joins:
+    the funnel derives stage times from per-user arrays (not joins), and
+    the cohort-retention arm derives the cohort from a window min (not a
+    join against a per-user aggregate) — two arms, two scans, zero
+    joins."""
     plan = _plan(entrymod.conversion_funnel(spark, sf_dir))
-    assert "Join" not in plan  # stage times come from arrays, not self-joins
-    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan  # arrays + window min, never self-joins
+    assert plan.count("Scan parquet") == 2  # one per union arm
 
 
 def test_exact_dedup_never_shuffles_text(spark, sf_dir):

@@ -173,3 +173,17 @@ def test_finalize_null_sum_passes_through(spark):
     out = _finalized(ia.finalize(ia.rollup_state(ev, ["k"], "value")))
     assert out["k"] == (2, None, None, None, None)
     assert out["j"] == (1, 2.0, 2.0, 2.0, 2.0)
+
+
+def test_psi_empty_side_stays_finite(spark):
+    # first-crawl shape: an empty current batch (or empty reference) must
+    # produce finite contributions (smoothing), not NaN/inf or a crash
+    ref = _vals(spark, [float(i) for i in range(20)])
+    empty = _vals(spark, []).filter("value > 0")
+    for a, b in ((ref, empty), (empty, ref)):
+        out = maintenance.psi_drift(a, b, "value", n_buckets=4, lo=0.0, hi=20.0).collect()
+        assert len(out) == 4
+        assert all(math.isfinite(r.psi_contrib) for r in out)
+    # empty-vs-empty: both shares equal the smoothed floor -> exact zero
+    out = maintenance.psi_drift(empty, empty, "value", n_buckets=4, lo=0.0, hi=20.0).collect()
+    assert all(r.psi_contrib == 0.0 for r in out)

@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 
 from pyspark.sql import functions as F
 
-from forget import REWRITE, run_forget  # jobs/forget.py
+from forget import PLAIN_ARTIFACTS, run_forget  # jobs/forget.py
 from index import run_index  # jobs/index.py
 
 N = 90
@@ -48,7 +48,7 @@ def _ids(spark, path):
 def test_drops_vanish_everywhere(spark, forgotten):
     stats, idx, _ = forgotten
     assert stats["clean"] and stats["n_drops"] == len(DROPS)
-    for name in list(REWRITE) + ["ivf_cells"]:
+    for name in list(PLAIN_ARTIFACTS) + ["ivf_cells"]:
         got = _ids(spark, os.path.join(idx, name))
         assert not (got & set(DROPS)), name
         assert stats["remnants"][name] == 0
@@ -108,3 +108,39 @@ def test_untouched_cells_not_rewritten(spark, tmp_path):
     # the affected cell no longer holds the dropped id
     after = spark.read.parquet(os.path.join(idx, "ivf_cells"))
     assert after.filter(F.col("id") == drop_id).count() == 0
+
+
+def test_fully_dropped_cell_is_removed(spark, tmp_path):
+    """A cell whose members are ALL dropped must disappear — dynamic
+    overwrite only replaces partitions present in the output, so the job
+    removes emptied cell directories explicitly."""
+    rows = [(i, f"document {i} spark engine filler token{i % 5}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    in_p = str(tmp_path / "in.parquet")
+    df.write.parquet(in_p)
+    idx, lin, met = (str(tmp_path / x) for x in ("idx", "lineage", "metrics"))
+    run_index(spark, in_p, idx, lin, met, run_id="i1", dim=8, centroid_stride=12)
+    cells = spark.read.parquet(os.path.join(idx, "ivf_cells"))
+    # pick the smallest cell and drop EVERY one of its members
+    victim = (
+        cells.groupBy("cell").count().orderBy("count", "cell").limit(1).collect()[0]
+    )
+    members = [r.id for r in cells.filter(F.col("cell") == victim.cell).collect()]
+    stats = run_forget(spark, idx, spark.createDataFrame([(i,) for i in members], "id long"))
+    assert stats["clean"], stats
+    assert stats["remnants"]["ivf_cells"] == 0
+    assert not os.path.exists(os.path.join(idx, "ivf_cells", f"cell={victim.cell}"))
+    assert stats["cells_vs_embeddings_consistent"]
+
+
+def test_crash_mid_swap_rolls_forward(spark, forgotten):
+    """Half-swapped artifact (live dir missing, committed tmp present) is
+    rolled forward by the next run instead of being lost."""
+    _, idx, drop_df = forgotten
+    p = os.path.join(idx, "bm25_docstats")
+    os.rename(p, p + "_forget_tmp")          # simulate crash between renames
+    assert os.path.exists(os.path.join(p + "_forget_tmp", "_SUCCESS"))
+    stats = run_forget(spark, idx, drop_df)
+    assert stats["clean"]
+    assert os.path.exists(p) and not os.path.exists(p + "_forget_tmp")
+    assert _ids(spark, p) == set(range(N)) - set(DROPS)

@@ -2845,7 +2845,15 @@ def doc_listing(spark, sf_dir):
     N+1 (every 13th doc dropped, every 7th survivor edited, every 17th
     re-keyed +1e6 as new) — each doc classified added/removed/changed by
     a fingerprint-only full-outer join (content never shuffles; unchanged
-    rows never leave the join). status rides the lang slot."""
+    rows never leave the join). status rides the lang slot.
+
+    ivm arm (operators/ivm.py): incremental view maintenance of the
+    orders⋈lineitem revenue view by the three-term delta rule
+    (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) — the full-snapshot re-join is exactly the
+    term that never runs, so maintenance cost scales with the batch. The
+    view_old ∪ delta == full-re-join invariant is pinned in
+    tests/test_ivm.py; provenance rides the lang slot, revenue cents
+    (exact decimal) the n_chars slot."""
     a = list_documents(spark, sf_dir).select(
         F.lit("recent").alias("variant"), "doc_id", "lang", "source",
         "n_chars", "created_at",
@@ -2875,7 +2883,37 @@ def doc_listing(spark, sf_dir):
         F.lit(None).cast("long").alias("n_chars"),
         F.lit(None).cast("timestamp").alias("created_at"),
     )
-    return a.unionByName(b).unionByName(c)
+    # ivm arm (operators/ivm.py): incremental view maintenance of the
+    # orders⋈lineitem revenue view — both tables split into snapshot +
+    # deterministic append batch, the delta computed by the three-term
+    # rule (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB; the full A⋈B re-join is exactly what
+    # never runs). Row = one delta view row: doc_id carries the composite
+    # (orderkey, linenumber) key, lang the provenance term, n_chars the
+    # revenue in cents (exact decimal → long).
+    from doc_agent_spark.operators import ivm
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_linenumber",
+        (F.col("l_extendedprice").cast("decimal(18,4)")
+         * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+         ).alias("rev"),
+    )
+    a_new = F.col("o_orderkey") % 7 == 0
+    b_new = (F.col("o_orderkey") + F.col("l_linenumber")) % 5 == 0
+    d = ivm.join_delta(
+        orders.filter(~a_new), orders.filter(a_new),
+        li.filter(~b_new), li.filter(b_new),
+        "o_orderkey",
+    ).select(
+        F.lit("ivm").alias("variant"),
+        (F.col("o_orderkey") * 10 + F.col("l_linenumber")).alias("doc_id"),
+        F.col("ivm_src").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.round(F.col("rev") * 100).cast("long").alias("n_chars"),
+        F.lit(None).cast("timestamp").alias("created_at"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def semi_anti_join(spark, sf_dir):
@@ -3413,6 +3451,25 @@ def oracle_sql() -> dict[str, str]:
         "SELECT value FROM events WHERE event_id % 3 <> 0",
         "SELECT value FROM events WHERE event_id % 3 = 0",
         "value", n_buckets=16, lo=0.0, hi=500.0,
+    )
+
+    # mirror of the IVM join-delta arm (doc_listing)
+    from doc_agent_spark.operators import ivm as ivm_ops
+
+    _iv_orders = "SELECT o_orderkey, o_custkey FROM orders"
+    _iv_li = (
+        "SELECT l_orderkey AS o_orderkey, l_linenumber,"
+        " CAST(l_extendedprice AS DECIMAL(18,4))"
+        " * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
+        " AS rev FROM lineitem"
+    )
+    ivm_sql = ivm_ops.join_delta_sql(
+        f"{_iv_orders} WHERE o_orderkey % 7 <> 0",
+        f"{_iv_orders} WHERE o_orderkey % 7 = 0",
+        f"SELECT * FROM ({_iv_li}) q WHERE (o_orderkey + l_linenumber) % 5 <> 0",
+        f"SELECT * FROM ({_iv_li}) q WHERE (o_orderkey + l_linenumber) % 5 = 0",
+        "o_orderkey",
+        select="o_orderkey, l_linenumber, rev",
     )
 
     # the page trim matches Spark's _ws_trim (the FULL Java \s class, not
@@ -4709,6 +4766,10 @@ FROM (
               WHEN h_old <> h_new THEN 'changed' END AS status
   FROM o FULL OUTER JOIN n ON o.id = n.id
 ) WHERE status IS NOT NULL
+UNION ALL
+SELECT 'ivm', o_orderkey * 10 + l_linenumber, ivm_src, CAST(NULL AS VARCHAR),
+       CAST(round(rev * 100) AS BIGINT), CAST(NULL AS TIMESTAMP)
+FROM ({ivm_sql})
 """,
         "text_profile": f"""
 SELECT 'lang' AS variant, pred_lang AS key, n_docs FROM ({base['lang_id_counts']})

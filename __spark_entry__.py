@@ -1940,7 +1940,32 @@ def media_metadata(spark, sf_dir):
         F.col("popcnt").cast("double").alias("metric"),
         F.col("afp").alias("digest"),
     )
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    # warc arm (sources/warc.py): serializer ∘ parser round-trip over the
+    # crawl-archive format — each doc becomes a WARC response record (every
+    # 3rd its own gzip member, every 7th a 404), the rows of each Arrow batch
+    # concatenate into one in-memory multi-record archive fronted by a
+    # warcinfo record, and the REAL parser reads it back. The oracle computes
+    # the expected per-record fields directly (status by doc_id%7, byte
+    # length + md5 of the woven body), so a record-boundary slip or byte
+    # corruption anywhere in the round-trip breaks the hash.
+    from doc_agent_spark.sources import warc as warcsrc
+
+    wsrc = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")
+        ).alias("body"),
+    )
+    e = warcsrc.warc_roundtrip(wsrc).select(
+        F.lit("warc").alias("variant"),
+        F.col("target_uri").alias("ref"),
+        F.lit(None).cast("string").alias("ref_b"),
+        F.col("http_status").cast("long").alias("n1"),
+        F.col("n_bytes").cast("long").alias("n2"),
+        F.lit(None).cast("double").alias("metric"),
+        F.col("payload_md5").alias("digest"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
 
 
 def retrieval_eval(spark, sf_dir):
@@ -4530,6 +4555,15 @@ SELECT ref_a, ref_b, n_shared,
        round(CAST(n_shared AS DOUBLE) / (sa.nsz + sb.nsz - n_shared), 6) AS jaccard
 FROM sh JOIN sz sa ON sh.ref_a = sa.ref JOIN sz sb ON sh.ref_b = sb.ref
 WHERE CAST(n_shared AS DOUBLE) / (sa.nsz + sb.nsz - n_shared) >= 0.5)
+UNION ALL
+SELECT 'warc',
+       'https://example.com/doc/' || CAST(doc_id AS VARCHAR),
+       CAST(NULL AS VARCHAR),
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS BIGINT),
+       CAST(strlen('<html><body>' || text || '</body></html>') AS BIGINT),
+       CAST(NULL AS DOUBLE),
+       md5('<html><body>' || text || '</body></html>')
+FROM documents
 """,
         "retrieval_eval": f"""
 WITH q AS (SELECT embedding AS qv, label AS qlabel FROM embeddings WHERE vec_id = 0),

@@ -1,0 +1,172 @@
+"""WARC source: serializer/parser round-trip, quarantine resync, gzip
+members, distributed read, and the docs bridge."""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from doc_agent_spark.sources import warc
+
+
+def _resp(i: int, body: bytes = None, **kw) -> bytes:
+    return warc.make_warc_response(
+        uri=f"https://example.com/doc/{i}",
+        body=body if body is not None else f"<html>page {i}</html>".encode(),
+        **kw,
+    )
+
+
+def test_roundtrip_single_record():
+    rec = _resp(1)
+    rows = list(warc.parse_warc_bytes(rec, file="f"))
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["warc_type"] == "response"
+    assert r["target_uri"] == "https://example.com/doc/1"
+    assert r["http_status"] == 200
+    assert r["http_content_type"].startswith("text/html")
+    assert r["payload"] == b"<html>page 1</html>"
+    assert r["n_bytes"] == len(r["payload"])
+    assert r["error"] is None
+
+
+def test_multi_record_offsets_and_warcinfo():
+    stream = warc.make_warcinfo("f.warc") + _resp(1) + _resp(2) + _resp(3)
+    rows = list(warc.parse_warc_bytes(stream))
+    assert [r["warc_type"] for r in rows] == ["warcinfo", "response", "response", "response"]
+    # offsets strictly increasing and aligned to record starts
+    offs = [r["record_offset"] for r in rows]
+    assert offs == sorted(offs) and offs[0] == 0
+    assert [r["target_uri"] for r in rows[1:]] == [
+        f"https://example.com/doc/{i}" for i in (1, 2, 3)
+    ]
+
+
+def test_gzip_multi_member_stream():
+    members = [gzip.compress(m, mtime=0) for m in (_resp(1), _resp(2))]
+    rows = list(warc.parse_warc_bytes(b"".join(members)))
+    assert [r["target_uri"] for r in rows] == [
+        "https://example.com/doc/1", "https://example.com/doc/2"
+    ]
+    assert all(r["error"] is None for r in rows)
+
+
+def test_quarantine_resync_bad_magic():
+    junk = b"NOT-A-WARC-RECORD some garbage bytes"
+    stream = _resp(1) + junk + CRLF_JOIN(_resp(2))
+    rows = list(warc.parse_warc_bytes(stream))
+    kinds = [(r["warc_type"], r["error"]) for r in rows]
+    assert kinds[0] == ("response", None)
+    assert kinds[1][1] == "no WARC/1.x magic"
+    assert rows[1]["payload"].startswith(b"NOT-A-WARC-RECORD")
+    # parser resynchronized: record 2 parses clean
+    assert kinds[2] == ("response", None)
+    assert rows[2]["target_uri"] == "https://example.com/doc/2"
+
+
+def CRLF_JOIN(rec: bytes) -> bytes:
+    # junk is quarantined up to the \r\nWARC/1. boundary; give record 2 its
+    # leading CRLF so the boundary exists
+    return b"\r\n" + rec
+
+
+def test_quarantine_missing_content_length():
+    rec = warc.make_warc_record(
+        {"WARC-Type": "response", "WARC-Target-URI": "https://x/1"}, b"body"
+    )
+    # strip the Content-Length line the serializer appended
+    broken = b"\r\n".join(
+        ln for ln in rec.split(b"\r\n") if not ln.startswith(b"Content-Length")
+    )
+    rows = list(warc.parse_warc_bytes(broken + b"\r\n" + _resp(2)))
+    assert rows[0]["error"] == "missing/invalid Content-Length"
+    assert rows[1]["target_uri"] == "https://example.com/doc/2"
+    assert rows[1]["error"] is None
+
+
+def test_truncated_tail_is_quarantined_not_lost():
+    rec = _resp(1)
+    rows = list(warc.parse_warc_bytes(rec[: len(rec) - 30]))
+    assert len(rows) == 1
+    assert rows[0]["error"] == "truncated record"
+    assert rows[0]["warc_type"] == "response"  # headers survived
+
+
+def test_unterminated_header_block():
+    rows = list(warc.parse_warc_bytes(b"WARC/1.0\r\nWARC-Type: response\r\n"))
+    assert rows[0]["error"] == "unterminated header block"
+
+
+def test_non_http_payload_passthrough():
+    rec = warc.make_warc_record(
+        {
+            "WARC-Type": "resource",
+            "WARC-Target-URI": "https://x/r",
+            "Content-Type": "application/octet-stream",
+        },
+        b"\x00\x01binary",
+    )
+    rows = list(warc.parse_warc_bytes(rec))
+    assert rows[0]["warc_type"] == "resource"
+    assert rows[0]["http_status"] is None
+    assert rows[0]["payload"] == b"\x00\x01binary"
+
+
+def test_read_warc_distributed_and_docs_bridge(spark, tmp_path):
+    f1 = tmp_path / "a.warc"
+    f2 = tmp_path / "b.warc.gz"
+    warc.write_warc_file(
+        str(f1), [warc.make_warcinfo("a.warc"), _resp(1), _resp(2, status=404)]
+    )
+    warc.write_warc_file(
+        str(f2),
+        [warc.make_warc_response(
+            uri=f"https://WWW.Example.COM:443/doc/{i}?utm_source=x",
+            body=f"<html>page {i}</html>".encode(),
+            gzip_member=True,
+        ) for i in (3, 4)],
+    )
+    df = warc.read_warc(spark, str(tmp_path) + "/*.warc*")
+    rows = {r["target_uri"]: r.asDict() for r in df.collect() if r["warc_type"] == "response"}
+    assert len(rows) == 4
+    assert rows["https://example.com/doc/2"]["http_status"] == 404
+    docs = warc.warc_to_docs(df).orderBy("doc_id").collect()
+    # 404 filtered out; gzip-file URIs canonicalized (host lowercased, www +
+    # default port + tracking param stripped)
+    assert [d["doc_id"] for d in docs] == [
+        "https://example.com/doc/1",
+        "https://example.com/doc/3",
+        "https://example.com/doc/4",
+    ]
+    assert docs[1]["text"] == "<html>page 3</html>"
+
+
+def test_warc_roundtrip_operator_matches_direct_compute(spark):
+    df = spark.range(0, 40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("<html><body>doc "), F.col("id").cast("string"),
+                 F.lit("</body></html>")).alias("body"),
+    )
+    out = {r["doc_id"]: r.asDict() for r in warc.warc_roundtrip(df).collect()}
+    assert len(out) == 40
+    for i in range(40):
+        body = f"<html><body>doc {i}</body></html>".encode()
+        assert out[i]["http_status"] == (404 if i % 7 == 0 else 200)
+        assert out[i]["n_bytes"] == len(body)
+        assert out[i]["payload_md5"] == hashlib.md5(body).hexdigest()
+        assert out[i]["target_uri"] == f"https://example.com/doc/{i}"
+
+
+def test_warc_roundtrip_partitioning_invariant(spark):
+    df = spark.range(0, 30).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("b"), F.col("id").cast("string")).alias("body"),
+    )
+    a = sorted(map(tuple, warc.warc_roundtrip(df.coalesce(1)).collect()))
+    b = sorted(map(tuple, warc.warc_roundtrip(df.repartition(7)).collect()))
+    assert a == b

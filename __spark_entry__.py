@@ -2614,9 +2614,53 @@ def text_profile(spark, sf_dir):
         F.concat(F.col("term_a"), F.lit("|"), F.col("term_b")).alias("key"),
         F.round(F.col("pmi") * 1e6, 0).cast("long").alias("n_docs"),
     )
+    # outlink arm (urls.extract_hrefs / resolve_url): the frontier-discovery
+    # step — href extraction from woven HTML (quoted + bare forms, decoys:
+    # fragment-only, mailto), RFC-3986 reference resolution against the page
+    # URL (root-relative, ../-relative with dot-segment removal, protocol-
+    # relative, query-only, absolute-needing-canon), then canonicalization.
+    # key = doc:pos:canonical-link with pos taken from the shared extraction
+    # order, so a missed, reordered, or mis-resolved href breaks alignment.
+    from doc_agent_spark.functions import urls
+
+    k = F.col("doc_id")
+    obase = F.concat(
+        F.lit("https://WWW.Site"), (k % 7).cast("string"),
+        F.lit(".Example.COM/a/b/c/page"), (k % 3).cast("string"),
+        F.lit(".html?x=1"),
+    )
+    ohtml = F.concat(
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.lit('<a href="/nav'), (k % 3).cast("string"), F.lit('">n</a>'),
+        F.lit('<a href="../rel/p'), (k % 5).cast("string"), F.lit('.html">r</a>'),
+        F.lit("<a href=https://Other"), (k % 4).cast("string"),
+        F.lit(".COM:443/x?utm_source=z&b="), (k % 2).cast("string"), F.lit(">a</a>"),
+        F.lit('<a href="//cdn.example.org/lib'), (k % 2).cast("string"),
+        F.lit('.js">c</a>'),
+        F.lit('<a href="?page=2">q</a><a href="#frag">f</a>'
+              '<a href="mailto:a@b.example">m</a>'),
+    )
+    h = (
+        docs.select("doc_id", obase.alias("base"), ohtml.alias("html"))
+        .select(
+            "doc_id", "base",
+            F.posexplode(urls.extract_hrefs(F.col("html"))).alias("pos", "ref"),
+        )
+        .withColumn("res", urls.resolve_url(F.col("base"), F.col("ref")))
+        .filter((~F.col("ref").startswith("#")) & F.col("res").rlike("^https?://"))
+        .select(
+            F.lit("outlink").alias("variant"),
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(":"),
+                F.col("pos").cast("string"), F.lit(":"),
+                urls.url_canonicalize(F.col("res")),
+            ).alias("key"),
+            F.col("pos").cast("long").alias("n_docs"),
+        )
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
-        .unionByName(f1).unionByName(f2).unionByName(g)
+        .unionByName(f1).unionByName(f2).unionByName(g).unionByName(h)
     )
 
 
@@ -2787,6 +2831,43 @@ def file_meta(spark, sf_dir):
         a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
         .unionByName(fplan).unionByName(g).unionByName(h).unionByName(zarm)
     )
+
+
+_OUTLINK_BASE_SQL = (
+    "'https://WWW.Site' || CAST(doc_id % 7 AS VARCHAR)"
+    " || '.Example.COM/a/b/c/page' || CAST(doc_id % 3 AS VARCHAR) || '.html?x=1'"
+)
+_OUTLINK_HTML_SQL = (
+    "'<p>' || text || '</p><a href=\"/nav' || CAST(doc_id % 3 AS VARCHAR)"
+    " || '\">n</a><a href=\"../rel/p' || CAST(doc_id % 5 AS VARCHAR)"
+    " || '.html\">r</a><a href=https://Other' || CAST(doc_id % 4 AS VARCHAR)"
+    " || '.COM:443/x?utm_source=z&b=' || CAST(doc_id % 2 AS VARCHAR)"
+    " || '>a</a><a href=\"//cdn.example.org/lib' || CAST(doc_id % 2 AS VARCHAR)"
+    " || '.js\">c</a><a href=\"?page=2\">q</a><a href=\"#frag\">f</a>"
+    "<a href=\"mailto:a@b.example\">m</a>'"
+)
+
+
+def _outlink_sql() -> str:
+    """DuckDB mirror of the text_profile outlink arm (identical weave,
+    extraction regex, resolution algebra, canonicalization)."""
+    from doc_agent_spark.functions import urls
+
+    hrefs = urls.extract_hrefs_sql("html")
+    res = urls.resolve_url_sql("base", "ref")
+    canon = urls.url_canonicalize_sql("res")
+    return f"""
+SELECT CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR) || ':' || {canon} AS key,
+       CAST(pos AS BIGINT) AS n_docs
+FROM (
+  SELECT doc_id, pos, ref, {res} AS res
+  FROM (
+    SELECT doc_id, base, unnest({hrefs}) AS ref,
+           unnest(range(0, len({hrefs}))) AS pos
+    FROM (SELECT doc_id, {_OUTLINK_BASE_SQL} AS base, {_OUTLINK_HTML_SQL} AS html
+          FROM documents)))
+WHERE NOT starts_with(ref, '#') AND regexp_matches(res, '^https?://')
+"""
 
 
 _URL_WEAVE_SQL = """
@@ -4870,6 +4951,8 @@ SELECT 'script', 'chars:' || u.name, CAST(sum(u.n) AS BIGINT) FROM (
                 'n': x}})) AS u
   FROM ({_SCRIPT_COUNTS_SQL}))
 GROUP BY u.name
+UNION ALL
+SELECT 'outlink', key, n_docs FROM ({_outlink_sql()})
 """,
         "deterministic_samples": f"""
 SELECT 'stratified' AS variant, doc_id, lang, CAST(n_chars AS DOUBLE) AS metric

@@ -126,6 +126,121 @@ def url_canonicalize_sql(url_expr: str) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# outlink extraction + reference resolution (crawl frontier discovery)
+# ---------------------------------------------------------------------------
+#
+# The step between "page fetched" and "frontier grows": pull every href out
+# of the HTML, resolve it against the page URL (RFC 3986 merge + dot-segment
+# removal), canonicalize, and the result is the link graph PageRank /
+# host-centrality runs on. All of it stays codegen'd string algebra — the
+# per-page work is scan-side, the only shuffle is whatever aggregation the
+# caller puts on top.
+#
+# Scope (documented, mirrored in the oracle): href values are read up to the
+# first quote/whitespace/'>' (attribute values containing spaces truncate —
+# frontier URLs never legitimately contain raw spaces), and dot-segment
+# removal is bounded at _DOT_ROUNDS nesting levels (8 levels of ../ per
+# round pair; deeper chains — hostile input — resolve partially, which a
+# frontier treats as just another URL). No lookaround anywhere so Java
+# regex and RE2 (DuckDB) agree byte-for-byte.
+
+_HREF_RE = r"""href=["']?([^"'\s>]+)"""
+_DOT_ROUNDS = 4
+# a path segment that is neither '.' nor '..': contains >=1 non-dot char
+_SEG = "[^/]*[^./][^/]*"
+
+
+def extract_hrefs(html: Column) -> Column:
+    """All href attribute values in document order (quoted or bare)."""
+    return F.regexp_extract_all(html, F.lit(_HREF_RE), 1)
+
+
+def _normalize_dots(path: Column) -> Column:
+    """Bounded dot-segment removal ('/a/./b/../c' → '/a/c'); each round
+    collapses one nesting level of './', 'seg/../', a leading '/../' clamp,
+    and the end-of-path forms."""
+    p = path
+    for _ in range(_DOT_ROUNDS):
+        p = F.regexp_replace(p, r"/\./", "/")
+        p = F.regexp_replace(p, f"/{_SEG}/\\.\\./", "/")
+        p = F.regexp_replace(p, r"^/\.\./", "/")
+        p = F.regexp_replace(p, r"/\.$", "/")
+        p = F.regexp_replace(p, f"/{_SEG}/\\.\\.$", "/")
+        p = F.regexp_replace(p, r"^/\.\.$", "/")
+    return p
+
+
+def resolve_url(base: Column, ref: Column) -> Column:
+    """Resolve an href against the page URL: absolute refs pass through;
+    protocol-relative take the base scheme; root-relative take the origin;
+    query-only replace the query; fragment-only re-anchor the base; plain
+    relative paths merge with the base directory + dot-segment removal."""
+    nofrag = F.substring_index(base, "#", 1)
+    scheme = F.lower(F.substring_index(nofrag, "://", 1))
+    rest = F.substring(nofrag, F.length(scheme) + 4, F.lit(1 << 30))
+    hostport = F.substring_index(rest, "/", 1)
+    origin = F.concat(scheme, F.lit("://"), hostport)
+    pathq = F.substring(rest, F.length(hostport) + 1, F.lit(1 << 30))
+    path = F.substring_index(pathq, "?", 1)            # '' when base has no path
+    basepath = F.when(path == "", F.lit("/")).otherwise(path)
+    dirpath = F.when(
+        basepath.rlike("/$"), basepath
+    ).otherwise(F.regexp_replace(basepath, "[^/]*$", ""))
+    return (
+        F.when(ref.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"), ref)
+        .when(ref.startswith("//"), F.concat(scheme, F.lit(":"), ref))
+        .when(ref.startswith("/"), F.concat(origin, _normalize_dots(ref)))
+        .when(ref.startswith("?"), F.concat(origin, path, ref))
+        .when(ref.startswith("#"), F.concat(origin, pathq, ref))
+        .otherwise(F.concat(origin, _normalize_dots(F.concat(dirpath, ref))))
+    )
+
+
+def extract_hrefs_sql(html_expr: str) -> str:
+    """DuckDB mirror of extract_hrefs (same RE2-safe pattern)."""
+    return (
+        "regexp_extract_all(" + html_expr + ", 'href=[\"'']?([^\"''\\s>]+)', 1)"
+    )
+
+
+def _normalize_dots_sql(path_expr: str) -> str:
+    p = path_expr
+    for _ in range(_DOT_ROUNDS):
+        p = f"regexp_replace({p}, '/\\./', '/', 'g')"
+        p = f"regexp_replace({p}, '/{_SEG}/\\.\\./', '/', 'g')"
+        p = f"regexp_replace({p}, '^/\\.\\./', '/', 'g')"
+        p = f"regexp_replace({p}, '/\\.$', '/', 'g')"
+        p = f"regexp_replace({p}, '/{_SEG}/\\.\\.$', '/', 'g')"
+        p = f"regexp_replace({p}, '^/\\.\\.$', '/', 'g')"
+    return p
+
+
+def resolve_url_sql(base_expr: str, ref_expr: str) -> str:
+    """DuckDB mirror of resolve_url (identical branch + merge algebra)."""
+    nofrag = f"split_part({base_expr}, '#', 1)"
+    scheme = f"lower(split_part({nofrag}, '://', 1))"
+    rest = f"substring({nofrag}, length({scheme}) + 4)"
+    hostport = f"split_part({rest}, '/', 1)"
+    origin = f"({scheme} || '://' || {hostport})"
+    pathq = f"substring({rest}, length({hostport}) + 1)"
+    path = f"split_part({pathq}, '?', 1)"
+    basepath = f"(CASE WHEN {path} = '' THEN '/' ELSE {path} END)"
+    dirpath = (
+        f"(CASE WHEN regexp_matches({basepath}, '/$') THEN {basepath}"
+        f" ELSE regexp_replace({basepath}, '[^/]*$', '') END)"
+    )
+    r = ref_expr
+    return (
+        f"CASE WHEN regexp_matches({r}, '^[a-zA-Z][a-zA-Z0-9+.-]*:') THEN {r}"
+        f" WHEN starts_with({r}, '//') THEN {scheme} || ':' || {r}"
+        f" WHEN starts_with({r}, '/') THEN {origin} || {_normalize_dots_sql(r)}"
+        f" WHEN starts_with({r}, '?') THEN {origin} || {path} || {r}"
+        f" WHEN starts_with({r}, '#') THEN {origin} || {pathq} || {r}"
+        f" ELSE {origin} || {_normalize_dots_sql(f'({dirpath} || {r})')} END"
+    )
+
+
 def registered_domain_sql(url_expr: str) -> str:
     """DuckDB mirror of registered_domain."""
     nofrag = f"split_part({url_expr}, '#', 1)"

@@ -2848,6 +2848,52 @@ _OUTLINK_HTML_SQL = (
 )
 
 
+def _frontier_sql() -> str:
+    """DuckDB mirror of the doc_listing frontier arm: identical robots.txt
+    weave re-parsed through the relational SQL mirror, prefix exclusion via
+    a correlated EXISTS, politeness slots via the same per-host window."""
+    from doc_agent_spark.operators import frontier as frontops
+
+    rules = frontops.parse_robots_sql("frobots")
+    return f"""
+WITH fhosts AS (SELECT DISTINCT doc_id % 7 AS k FROM documents),
+frobots AS (
+  SELECT 'site' || CAST(k AS VARCHAR) || '.example.com' AS host,
+         '# robots' || chr(10) || 'User-agent: googlebot' || chr(10)
+         || 'Disallow: /' || chr(10) || chr(10)
+         || 'User-agent: bing' || chr(10) || 'User-agent: *' || chr(10)
+         || 'Crawl-delay: 1' || chr(10)
+         || 'Disallow: /sec' || CAST(k AS VARCHAR) || '/' || chr(10)
+         || 'Disallow: /sec' || CAST((k + 3) % 13 AS VARCHAR) || '/ # comment'
+         || chr(10) || 'Disallow:' || chr(10) || chr(10)
+         || 'User-agent: other' || chr(10) || 'Disallow: /other/' || chr(10)
+           AS body
+  FROM fhosts),
+frules AS ({rules}),
+ffront AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS priority,
+         'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+         'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/sec'
+           || CAST(doc_id % 13 AS VARCHAR) || '/p' || CAST(doc_id AS VARCHAR)
+           || '.html' AS url,
+         '/sec' || CAST(doc_id % 13 AS VARCHAR) || '/p'
+           || CAST(doc_id AS VARCHAR) || '.html' AS pathq
+  FROM documents),
+fflag AS (
+  SELECT f.*, EXISTS(SELECT 1 FROM frules r
+                     WHERE r.host = f.host AND starts_with(f.pathq, r.prefix))
+           AS blocked
+  FROM ffront f)
+SELECT doc_id, 'blocked' AS decision, host, CAST(NULL AS BIGINT) AS slot
+FROM fflag WHERE blocked
+UNION ALL
+SELECT doc_id, 'fetch', host,
+       CAST(row_number() OVER (PARTITION BY host
+                               ORDER BY priority DESC, url ASC) - 1 AS BIGINT)
+FROM fflag WHERE NOT blocked
+"""
+
+
 def _outlink_sql() -> str:
     """DuckDB mirror of the text_profile outlink arm (identical weave,
     extraction regex, resolution algebra, canonicalization)."""
@@ -3019,7 +3065,70 @@ def doc_listing(spark, sf_dir):
         F.round(F.col("rev") * 100).cast("long").alias("n_chars"),
         F.lit(None).cast("timestamp").alias("created_at"),
     )
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    # frontier arm (operators/frontier.py): robots.txt exclusion +
+    # politeness scheduling over a woven per-host frontier. Hosts
+    # site0..site6 each publish a robots.txt with a googlebot-only group
+    # (must be ignored), a shared bing+* group disallowing /sec<k>/ and
+    # /sec<(k+3)%13>/ (one with a trailing comment), an allow-all blank
+    # Disallow, and a trailing non-* group. URL path
+    # /sec<doc_id%13>/p<doc_id>.html ⇒ blocked iff doc_id%13 ∈
+    # {k, (k+3)%13} for k = doc_id%7. Kept rows get per-host politeness
+    # slots ranked by (n_chars DESC, url) — lang carries the decision,
+    # source the host, n_chars the slot (NULL when blocked). The oracle
+    # re-parses the identical robots bodies through the relational SQL
+    # mirror, so parse, filter, and schedule are all value-checked.
+    from doc_agent_spark.functions import urls
+    from doc_agent_spark.operators import frontier as frontops
+
+    docs2 = load(spark, sf_dir, "documents")
+    khost = F.concat(
+        F.lit("site"), (F.col("doc_id") % 7).cast("string"), F.lit(".example.com")
+    )
+    furl = F.concat(
+        F.lit("https://"), khost, F.lit("/sec"),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit("/p"), F.col("doc_id").cast("string"), F.lit(".html"),
+    )
+    fr = docs2.select(
+        "doc_id", F.col("n_chars").cast("double").alias("priority"),
+        furl.alias("url"),
+    )
+    hosts = docs2.select((F.col("doc_id") % 7).alias("k")).distinct()
+    robots = hosts.select(
+        F.concat(
+            F.lit("site"), F.col("k").cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        F.concat(
+            F.lit("# robots\nUser-agent: googlebot\nDisallow: /\n\n"
+                  "User-agent: bing\nUser-agent: *\nCrawl-delay: 1\n"
+                  "Disallow: /sec"),
+            F.col("k").cast("string"),
+            F.lit("/\nDisallow: /sec"),
+            ((F.col("k") + 3) % 13).cast("string"),
+            F.lit("/ # comment\nDisallow:\n\n"
+                  "User-agent: other\nDisallow: /other/\n"),
+        ).alias("body"),
+    )
+    flagged = frontops.robots_filter(fr, frontops.parse_robots(robots))
+    kept = frontops.schedule_frontier(
+        flagged.filter(~F.col("blocked")), "priority"
+    )
+    e = kept.select(
+        F.lit("frontier").alias("variant"), "doc_id",
+        F.lit("fetch").alias("lang"),
+        urls.url_host(F.col("url")).alias("source"),
+        F.col("slot").cast("long").alias("n_chars"),
+        F.lit(None).cast("timestamp").alias("created_at"),
+    ).unionByName(
+        flagged.filter(F.col("blocked")).select(
+            F.lit("frontier").alias("variant"), "doc_id",
+            F.lit("blocked").alias("lang"),
+            urls.url_host(F.col("url")).alias("source"),
+            F.lit(None).cast("long").alias("n_chars"),
+            F.lit(None).cast("timestamp").alias("created_at"),
+        )
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
 
 
 def semi_anti_join(spark, sf_dir):
@@ -4885,6 +4994,9 @@ UNION ALL
 SELECT 'ivm', o_orderkey * 10 + l_linenumber, ivm_src, CAST(NULL AS VARCHAR),
        CAST(round(rev * 100) AS BIGINT), CAST(NULL AS TIMESTAMP)
 FROM ({ivm_sql})
+UNION ALL
+SELECT 'frontier', doc_id, decision, host, slot, CAST(NULL AS TIMESTAMP)
+FROM ({_frontier_sql()})
 """,
         "text_profile": f"""
 SELECT 'lang' AS variant, pred_lang AS key, n_docs FROM ({base['lang_id_counts']})

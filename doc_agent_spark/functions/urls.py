@@ -83,6 +83,27 @@ def url_host(url: Column) -> Column:
     return F.when(host.startswith("www."), F.substring(host, 5, 1 << 30)).otherwise(host)
 
 
+def url_pathq(url: Column) -> Column:
+    """Path + query of an absolute URL ('/' when empty) — the slice
+    robots.txt Disallow prefixes match against."""
+    nofrag = _strip_fragment(url)
+    scheme = F.lower(F.substring_index(nofrag, "://", 1))
+    rest = F.substring(nofrag, F.length(scheme) + 4, F.lit(1 << 30))
+    hostport = F.substring_index(rest, "/", 1)
+    pathq = F.substring(rest, F.length(hostport) + 1, F.lit(1 << 30))
+    return F.when(pathq == "", F.lit("/")).otherwise(pathq)
+
+
+def url_pathq_sql(url_expr: str) -> str:
+    """DuckDB mirror of url_pathq."""
+    nofrag = f"split_part({url_expr}, '#', 1)"
+    scheme = f"lower(split_part({nofrag}, '://', 1))"
+    rest = f"substring({nofrag}, length({scheme}) + 4)"
+    hostport = f"split_part({rest}, '/', 1)"
+    pathq = f"substring({rest}, length({hostport}) + 1)"
+    return f"(CASE WHEN {pathq} = '' THEN '/' ELSE {pathq} END)"
+
+
 def registered_domain(url: Column) -> Column:
     """Naive registered domain: the host's last two dot-labels (production:
     Public Suffix List broadcast join — same plan shape)."""

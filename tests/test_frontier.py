@@ -1,0 +1,115 @@
+"""Robots.txt parsing, exclusion filtering, politeness scheduling."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from doc_agent_spark.operators import frontier
+
+ROBOTS_A = (
+    "# site a\n"
+    "User-agent: googlebot\n"
+    "Disallow: /\n"
+    "\n"
+    "User-agent: bing\n"
+    "User-agent: *\n"
+    "Crawl-delay: 1\n"
+    "Disallow: /private/\n"
+    "Disallow: /tmp/ # trailing comment\n"
+    "Allow: /private/ok.html\n"
+    "Disallow:\n"
+    "\n"
+    "User-agent: other\n"
+    "Disallow: /other/\n"
+)
+
+ROBOTS_B = (
+    "User-agent: googlebot\nDisallow: /g/\n"
+)  # no * group at all
+
+
+def _rules(spark):
+    df = spark.createDataFrame(
+        [("a.com", ROBOTS_A), ("b.com", ROBOTS_B)], "host string, body string"
+    )
+    return frontier.parse_robots(df)
+
+
+def test_parse_robots_star_groups_only(spark):
+    got = {(r["host"], r["prefix"]) for r in _rules(spark).collect()}
+    # shared bing+* group applies; googlebot-only and other-only groups do
+    # not; blank Disallow (allow-all) and Allow lines are ignored; trailing
+    # comments strip
+    assert got == {("a.com", "/private/"), ("a.com", "/tmp/")}
+
+
+def test_parse_robots_sql_mirror(spark):
+    con = duckdb.connect()
+    con.register(
+        "robots",
+        pd.DataFrame({"host": ["a.com", "b.com"], "body": [ROBOTS_A, ROBOTS_B]}),
+    )
+    got = set(map(tuple, con.execute(frontier.parse_robots_sql("robots")).fetchall()))
+    want = {(r["host"], r["prefix"]) for r in _rules(spark).collect()}
+    assert got == want
+
+
+def test_robots_filter_blocks_by_prefix(spark):
+    fr = spark.createDataFrame(
+        [
+            ("https://www.A.com/private/x.html",),   # blocked (host canon)
+            ("https://a.com/tmp/y?q=1",),            # blocked
+            ("https://a.com/public/z.html",),        # kept
+            ("https://a.com/privateer.html",),       # kept (prefix, not substring)
+            ("https://b.com/g/anything",),           # kept (no * group)
+            ("https://nobody.org/x",),               # kept (no rules at all)
+        ],
+        "url string",
+    )
+    out = {r["url"]: r["blocked"] for r in
+           frontier.robots_filter(fr, _rules(spark)).collect()}
+    assert out == {
+        "https://www.A.com/private/x.html": True,
+        "https://a.com/tmp/y?q=1": True,
+        "https://a.com/public/z.html": False,
+        "https://a.com/privateer.html": False,
+        "https://b.com/g/anything": False,
+        "https://nobody.org/x": False,
+    }
+
+
+def test_schedule_frontier_slots(spark):
+    fr = spark.createDataFrame(
+        [
+            ("https://a.com/p1", 5.0),
+            ("https://a.com/p2", 9.0),
+            ("https://a.com/p3", 9.0),
+            ("https://b.com/q1", 1.0),
+        ],
+        "url string, priority double",
+    )
+    out = {r["url"]: (r["slot"], r["fetch_offset_s"]) for r in
+           frontier.schedule_frontier(fr, "priority", crawl_delay_s=2.0).collect()}
+    # a.com: p2/p3 tie on priority → url order; p1 last; b.com independent
+    assert out == {
+        "https://a.com/p2": (0, 0.0),
+        "https://a.com/p3": (1, 2.0),
+        "https://a.com/p1": (2, 4.0),
+        "https://b.com/q1": (0, 0.0),
+    }
+
+
+def test_schedule_partitioning_invariant(spark):
+    fr = spark.range(0, 200).select(
+        F.concat(
+            F.lit("https://h"), (F.col("id") % 5).cast("string"),
+            F.lit(".com/p"), F.col("id").cast("string"),
+        ).alias("url"),
+        (F.col("id") % 7).cast("double").alias("priority"),
+    )
+    a = sorted(map(tuple, frontier.schedule_frontier(fr.coalesce(1), "priority").collect()))
+    b = sorted(map(tuple, frontier.schedule_frontier(fr.repartition(13), "priority").collect()))
+    assert a == b

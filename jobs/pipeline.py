@@ -110,6 +110,64 @@ def ingest_jsonl(spark: SparkSession, input_path: str, spans_path: str,
     }
 
 
+def ingest_warc(spark: SparkSession, input_path: str, spans_path: str,
+                quarantine_path: str) -> dict:
+    """Optional stage 0: WARC crawl archives (sources/warc.py) → span rows.
+    Clean HTTP-200 response records become single-text-span docs keyed by
+    canonical target URI; re-crawled URIs dedup latest-record-wins by
+    (file, offset) — crawl archives name files monotonically, so the order
+    is the fetch order. Malformed/truncated records land whole in a parquet
+    quarantine for replay (the JSONL ingest's never-drop contract; parquet
+    because the payload column is binary). Artifact-resume: readable spans
+    parquet == done."""
+    from pyspark.sql import Window
+
+    from doc_agent_spark.functions import urls
+    from doc_agent_spark.sources import warc as warcsrc
+
+    if _readable(spark, spans_path) is not None:
+        return {"resumed": True}
+    records = warcsrc.read_warc(spark, input_path).cache()
+    bad = records.filter(F.col("error").isNotNull())
+    n_bad = bad.count()
+    bad.write.mode("overwrite").parquet(quarantine_path)
+    ok = records.filter(
+        F.col("error").isNull()
+        & (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+    )
+    latest = Window.partitionBy("doc_id").orderBy(
+        F.col("file").desc(), F.col("record_offset").desc()
+    )
+    spans = (
+        ok.select(
+            urls.url_canonicalize(F.col("target_uri")).alias("doc_id"),
+            F.decode(F.col("payload"), "utf-8").alias("text"),
+            "file", "record_offset",
+        )
+        .withColumn("_r", F.row_number().over(latest))
+        .filter(F.col("_r") == 1)
+        .select(
+            "doc_id",
+            F.array(
+                F.struct(
+                    F.lit("text").alias("kind"),
+                    F.col("text").alias("text"),
+                    F.lit("").alias("media_ref"),
+                    F.lit(0).cast("int").alias("offset"),
+                )
+            ).alias("spans"),
+        )
+    )
+    spans.write.mode("overwrite").parquet(spans_path)
+    records.unpersist()
+    return {
+        "resumed": False,
+        "docs": spark.read.parquet(spans_path).count(),
+        "quarantined": n_bad,
+    }
+
+
 def _readable_json(spark: SparkSession, path: str) -> bool:
     try:
         spark.read.json(path).schema
@@ -138,6 +196,11 @@ def run_pipeline(
     stats: dict = {"run_id": run_id}
     if input_format == "jsonl":
         stats["ingest"] = ingest_jsonl(
+            spark, input_path, p("spans"), p("quarantine")
+        )
+        input_path = p("spans")
+    elif input_format == "warc":
+        stats["ingest"] = ingest_warc(
             spark, input_path, p("spans"), p("quarantine")
         )
         input_path = p("spans")
@@ -176,7 +239,8 @@ def main() -> None:
     ap.add_argument("--budget", type=int, default=256)
     ap.add_argument("--shards", type=int, default=8)
     ap.add_argument("--dim", type=int, default=16)
-    ap.add_argument("--format", default="parquet", choices=["parquet", "jsonl"])
+    ap.add_argument("--format", default="parquet",
+                    choices=["parquet", "jsonl", "warc"])
     ap.add_argument("--publish", action="store_true",
                     help="final stage: verified JSONL shard export + manifest")
     args = ap.parse_args()

@@ -85,3 +85,63 @@ def test_pipeline_jsonl_ingest_with_quarantine(spark, tmp_path_factory):
     # quarantined raw lines are replayable verbatim
     q = spark.read.json(f"{wd}/quarantine")
     assert q.count() == 2
+
+
+def test_pipeline_warc_ingest_stage(spark, tmp_path_factory):
+    """Stage 0 = WARC archives: clean 200-responses become single-span docs
+    keyed by canonical URI (latest record wins a re-crawl), truncated
+    records quarantine, and the whole chain runs + resumes behind it."""
+    from doc_agent_spark.corpus import make_doc
+    from doc_agent_spark.sources import warc as warcsrc
+
+    wdir = tmp_path_factory.mktemp("warcin")
+    plain, gz = [], []
+    for i in range(24):
+        body = "\n".join(
+            s["text"] for s in make_doc(i)["spans"] if s.get("text")
+        )
+        rec = dict(
+            uri=f"https://www.Crawl.example.com/inv/{i}?utm_source=x",
+            body=body.encode(),
+        )
+        if i % 2:
+            plain.append(warcsrc.make_warc_response(**rec))
+        else:
+            gz.append(warcsrc.make_warc_response(**rec, gzip_member=True))
+    # truncated tail record -> quarantine, not a crash
+    trunc = warcsrc.make_warc_response(uri="https://x/bad", body=b"cut")
+    warcsrc.write_warc_file(
+        str(wdir / "a.warc"),
+        [warcsrc.make_warcinfo("a.warc"), *plain, trunc[: len(trunc) - 20]],
+    )
+    warcsrc.write_warc_file(str(wdir / "b.warc.gz"), gz)
+    # re-crawl of inv/1 in a lexically-later file: latest-wins
+    warcsrc.write_warc_file(
+        str(wdir / "z.warc"),
+        [warcsrc.make_warc_response(
+            uri="https://crawl.example.com/inv/1", body=b"<html>recrawl</html>"
+        )],
+    )
+
+    wd = str(tmp_path_factory.mktemp("warcpipe") / "run")
+    stats = run_pipeline(
+        spark, str(wdir) + "/*.warc*", wd, "pw1", buckets=4, shards=2,
+        input_format="warc",
+    )
+    assert stats["ingest"]["docs"] == 24          # 25 responses, 1 dup URI
+    assert stats["ingest"]["quarantined"] == 1
+    spans = spark.read.parquet(f"{wd}/spans")
+    assert spans.count() == 24
+    dup = spans.filter(
+        F.col("doc_id") == "https://crawl.example.com/inv/1"
+    ).head()
+    assert dup["spans"][0]["text"] == "<html>recrawl</html>"
+    assert stats["extract"]["docs_processed"] == 24
+    assert spark.read.parquet(f"{wd}/documents").count() == 24
+
+    stats2 = run_pipeline(
+        spark, str(wdir) + "/*.warc*", wd, "pw1", buckets=4, shards=2,
+        input_format="warc",
+    )
+    assert stats2["ingest"]["resumed"] is True
+    assert stats2["extract"]["docs_processed"] == 0

@@ -277,9 +277,77 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(gen, WARC_RECORDS)
 
 
-def warc_to_docs(records: DataFrame, charset: str = "utf-8") -> DataFrame:
+def detect_charset(http_content_type, payload):
+    """Charset column for an HTTP response: the Content-Type header param,
+    else an HTML ``<meta charset=…>`` / ``http-equiv`` declaration in the
+    first KiB (read through a latin-1 decode — every byte maps, so the
+    sniff itself cannot fail), else a UTF-16 BOM, else utf-8. Pure column
+    algebra — the sniff runs JVM-side for every record; only the non-UTF-8
+    minority ever pays a Python decode (see ``decode_payloads``)."""
+    from pyspark.sql import functions as F
+
+    header = F.lower(F.regexp_extract(
+        F.coalesce(http_content_type, F.lit("")),
+        r"charset=\"?([A-Za-z0-9_\-]+)", 1,
+    ))
+    head = F.lower(F.decode(F.substring(payload, 1, 1024), "ISO-8859-1"))
+    meta = F.regexp_extract(
+        head, r"""<meta[^>]*charset=["']?([a-z0-9_\-]+)""", 1
+    )
+    bom = F.substring(payload, 1, 2)
+    return (
+        F.when(header != "", header)
+        .when(meta != "", meta)
+        .when(bom == F.lit(b"\xff\xfe"), F.lit("utf-16-le"))
+        .when(bom == F.lit(b"\xfe\xff"), F.lit("utf-16-be"))
+        .otherwise(F.lit("utf-8"))
+    )
+
+
+def decode_payloads(df: DataFrame, charset_col: str = "charset",
+                    payload_col: str = "payload") -> DataFrame:
+    """Add ``text`` = payload decoded per its detected charset, split-path:
+    the UTF-8 majority decodes JVM-side (``F.decode``, malformed bytes →
+    U+FFFD), only the minority slice pays an Arrow round-trip where Python
+    codecs handle the long tail (unknown/invalid declared charsets fall
+    back to utf-8, always errors='replace' — never-die)."""
+    from pyspark.sql import functions as F
+
+    # make_valid_utf8 is the lenient binary→string decode (malformed bytes
+    # → U+FFFD); Spark 4's decode(_, 'UTF-8') raises MALFORMED_CHARACTER_
+    # CODING instead, which a crawl with mis-declared charsets WILL hit.
+    utf8 = df.filter(F.col(charset_col) == "utf-8").withColumn(
+        "text", F.expr(f"make_valid_utf8({payload_col})")
+    )
+    rest = df.filter(F.col(charset_col) != "utf-8")
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("text", StringType())]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import codecs
+
+        for pdf in batches:
+            texts = []
+            for cs, pl in zip(pdf[charset_col], pdf[payload_col]):
+                raw = bytes(pl) if pl is not None else b""
+                try:
+                    codecs.lookup(str(cs))
+                    texts.append(raw.decode(str(cs), errors="replace"))
+                except LookupError:
+                    texts.append(raw.decode("utf-8", errors="replace"))
+            pdf = pdf.copy()
+            pdf["text"] = texts
+            yield pdf
+
+    return utf8.unionByName(rest.mapInPandas(gen, out_schema))
+
+
+def warc_to_docs(records: DataFrame, charset: str | None = "utf-8") -> DataFrame:
     """Clean ``response`` records → ``(doc_id, url, text)`` document rows
-    (doc_id = canonical target URI, the crawl-native key)."""
+    (doc_id = canonical target URI, the crawl-native key). ``charset=None``
+    sniffs per record (header → meta tag → BOM) and decodes the non-UTF-8
+    minority through Python codecs; a literal charset decodes JVM-side."""
     from pyspark.sql import functions as F
 
     from doc_agent_spark.functions import urls
@@ -289,10 +357,22 @@ def warc_to_docs(records: DataFrame, charset: str = "utf-8") -> DataFrame:
         & (F.col("warc_type") == "response")
         & (F.col("http_status") == 200)
     )
-    return ok.select(
+    if charset is not None:
+        if charset.lower().replace("-", "").replace("_", "") == "utf8":
+            decoded = ok.withColumn("text", F.expr("make_valid_utf8(payload)"))
+        else:
+            decoded = ok.withColumn("text", F.decode(F.col("payload"), charset))
+    else:
+        decoded = decode_payloads(
+            ok.withColumn(
+                "charset",
+                detect_charset(F.col("http_content_type"), F.col("payload")),
+            )
+        )
+    return decoded.select(
         urls.url_canonicalize(F.col("target_uri")).alias("doc_id"),
         F.col("target_uri").alias("url"),
-        F.decode(F.col("payload"), charset).alias("text"),
+        "text",
     )
 
 

@@ -142,7 +142,8 @@ def ingest_warc(spark: SparkSession, input_path: str, spans_path: str,
     spans = (
         ok.select(
             urls.url_canonicalize(F.col("target_uri")).alias("doc_id"),
-            F.decode(F.col("payload"), "utf-8").alias("text"),
+            # lenient decode: malformed bytes → U+FFFD, never a crashed job
+            F.expr("make_valid_utf8(payload)").alias("text"),
             "file", "record_offset",
         )
         .withColumn("_r", F.row_number().over(latest))

@@ -170,3 +170,61 @@ def test_warc_roundtrip_partitioning_invariant(spark):
     a = sorted(map(tuple, warc.warc_roundtrip(df.coalesce(1)).collect()))
     b = sorted(map(tuple, warc.warc_roundtrip(df.repartition(7)).collect()))
     assert a == b
+
+
+def test_charset_detection_and_split_decode(spark):
+    euro_1252 = "price: 100€ café".encode("cp1252")
+    cases = [
+        # (uri, body_bytes, content_type, expected_text_contains)
+        ("https://x/h", euro_1252, "text/html; charset=windows-1252", "café"),
+        ("https://x/m",
+         b'<html><head><meta charset="ISO-8859-1"></head>caf\xe9</html>',
+         "text/html", "caf\xe9"),
+        ("https://x/q",
+         b"<meta http-equiv=Content-Type content=\"text/html; charset=iso-8859-1\">caf\xe9",
+         "text/html", "caf\xe9"),
+        # undeclared utf-16 without a BOM is undetectable: must not crash,
+        # decodes leniently as utf-8 (ASCII survives interleaved with NULs)
+        ("https://x/b", "bom café".encode("utf-16-le"), None, "b\x00o\x00m"),
+        ("https://x/u", "plain café".encode("utf-8"), "text/html", "café"),
+        ("https://x/bad", b"broken \xff\xfe\x41 declared",
+         "text/html; charset=not-a-codec", "declared"),
+    ]
+    rows = []
+    for uri, body, ctype, _ in cases:
+        rec = warc.make_warc_response(uri=uri, body=body)
+        parsed = list(warc.parse_warc_bytes(rec))[0]
+        if ctype is None:
+            parsed["http_content_type"] = None
+        else:
+            parsed["http_content_type"] = ctype
+        rows.append(parsed)
+    df = spark.createDataFrame(rows, warc.WARC_RECORDS)
+    # BOM case has no BOM prefix from encode('utf-16-le'); prepend one
+    docs = warc.warc_to_docs(df, charset=None)
+    got = {r["url"]: r["text"] for r in docs.collect()}
+    for uri, _, _, want in cases:
+        assert want in got[uri], (uri, got[uri])
+
+
+def test_charset_bom_utf16(spark):
+    import codecs
+
+    body = codecs.BOM_UTF16_LE + "café utf16".encode("utf-16-le")
+    rec = warc.make_warc_response(uri="https://x/b16", body=body)
+    parsed = list(warc.parse_warc_bytes(rec))[0]
+    parsed["http_content_type"] = "text/html"   # no charset param
+    df = spark.createDataFrame([parsed], warc.WARC_RECORDS)
+    text = warc.warc_to_docs(df, charset=None).head()["text"]
+    assert "café utf16" in text
+
+
+def test_fixed_charset_stays_jvm_side(spark):
+    """charset='utf-8' (the default) must not introduce a Python stage."""
+    df = spark.createDataFrame(
+        [list(warc.parse_warc_bytes(warc.make_warc_response(
+            uri="https://x/1", body=b"abc")))[0]],
+        warc.WARC_RECORDS,
+    )
+    plan = warc.warc_to_docs(df)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan

@@ -88,24 +88,27 @@ def robots_filter(
     with any Disallow prefix for its host. Rules collapse to one sorted
     prefix-array row per host and broadcast; the frontier never explodes."""
     by_host = rules.groupBy("host").agg(
-        F.array_sort(F.collect_set("prefix")).alias("prefixes")
-    )
+        F.array_sort(F.collect_set("prefix")).alias("_rf_prefixes")
+    ).withColumnRenamed("host", "_rf_host")   # never collide with caller cols
     url = F.col(url_col)
     out = (
-        frontier.withColumn("_host", urls.url_host(url))
-        .join(F.broadcast(by_host), F.col("_host") == F.col("host"), "left")
+        frontier.withColumn("_rf_uhost", urls.url_host(url))
+        .join(
+            F.broadcast(by_host),
+            F.col("_rf_uhost") == F.col("_rf_host"), "left",
+        )
         .withColumn(
             "blocked",
             F.coalesce(
                 F.exists(
-                    F.col("prefixes"),
+                    F.col("_rf_prefixes"),
                     lambda p: urls.url_pathq(url).startswith(p),
                 ),
                 F.lit(False),
             ),
         )
     )
-    return out.drop("_host", "host", "prefixes")
+    return out.drop("_rf_uhost", "_rf_host", "_rf_prefixes")
 
 
 def schedule_frontier(

@@ -1,0 +1,97 @@
+"""Crawl-frontier maintenance job (jobs/frontier.py): discovery, seen
+anti-join (plain + Bloom-forced), robots filtering, scheduling, resume,
+config drift."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from jobs.frontier import run_frontier
+
+ROBOTS = [
+    ("a.com", "User-agent: *\nDisallow: /private/\n"),
+    ("b.com", "User-agent: googlebot\nDisallow: /\n"),  # no * group
+]
+
+PAGES = [
+    # a.com index links: two new pages, one private (robots), one seen,
+    # one off-site; b.com page links back
+    ("https://a.com/i.html",
+     '<a href="/new1.html">1</a><a href="new2.html">2</a>'
+     '<a href="/private/s.html">p</a><a href="/old.html">o</a>'
+     '<a href="https://b.com/x.html">b</a>'),
+    # second page cites new1 again -> n_refs 2 -> higher priority
+    ("https://a.com/j.html", '<a href="/new1.html">1</a>'),
+    ("https://b.com/x.html", '<a href="https://a.com/i.html">a</a>'),
+]
+
+SEEN = ["https://a.com/i.html", "https://a.com/j.html",
+        "https://b.com/x.html", "https://a.com/old.html"]
+
+
+@pytest.fixture()
+def inputs(spark, tmp_path):
+    fetched = str(tmp_path / "fetched")
+    seen = str(tmp_path / "seen")
+    robots = str(tmp_path / "robots")
+    spark.createDataFrame(
+        [(u, u, h) for u, h in PAGES], "doc_id string, url string, text string"
+    ).write.parquet(fetched)
+    spark.createDataFrame([(u,) for u in SEEN], "url string").write.parquet(seen)
+    spark.createDataFrame(ROBOTS, "host string, body string").write.parquet(robots)
+    return fetched, seen, robots
+
+
+def _run(spark, inputs, tmp_path, run_id="f1", **kw):
+    fetched, seen, robots = inputs
+    return run_frontier(
+        spark, fetched, seen, robots, str(tmp_path / "out"),
+        str(tmp_path / "lineage"), run_id, **kw,
+    )
+
+
+def test_frontier_cycle(spark, inputs, tmp_path):
+    stats = _run(spark, inputs, tmp_path)
+    out = str(tmp_path / "out")
+    disc = {r["url"]: r["n_refs"] for r in
+            spark.read.parquet(f"{out}/discovered").collect()}
+    # new1 cited by two pages; all links canonicalized and deduped
+    assert disc["https://a.com/new1.html"] == 2
+    assert disc["https://a.com/i.html"] == 1
+    front = {r["url"]: r.asDict() for r in
+             spark.read.parquet(f"{out}/frontier").collect()}
+    # seen urls and robots-blocked urls are gone; only genuinely-new remain
+    assert set(front) == {"https://a.com/new1.html", "https://a.com/new2.html"}
+    # n_refs priority: new1 (2 refs) schedules before new2 (1 ref)
+    assert front["https://a.com/new1.html"]["slot"] == 0
+    assert front["https://a.com/new2.html"]["slot"] == 1
+    assert front["https://a.com/new2.html"]["fetch_offset_s"] == 1.0
+    blocked = {r["url"] for r in spark.read.parquet(f"{out}/blocked").collect()}
+    assert blocked == {"https://a.com/private/s.html"}
+    assert stats["artifacts_reused"] == 0
+
+    # resume: all three artifacts reused, nothing rebuilt
+    stats2 = _run(spark, inputs, tmp_path)
+    assert stats2["artifacts_reused"] == 3
+    assert stats2["frontier"] == stats["frontier"]
+
+
+def test_frontier_bloom_path_matches_plain(spark, inputs, tmp_path):
+    plain = _run(spark, inputs, tmp_path)
+    bloom = run_frontier(
+        spark, inputs[0], inputs[1], inputs[2], str(tmp_path / "out2"),
+        str(tmp_path / "lin2"), "f2", bloom_min=1,   # force the Bloom path
+    )
+    a = sorted(map(tuple, spark.read.parquet(
+        str(tmp_path / "out") + "/frontier").collect()))
+    b = sorted(map(tuple, spark.read.parquet(
+        str(tmp_path / "out2") + "/frontier").collect()))
+    assert a == b and plain["frontier"] == bloom["frontier"]
+
+
+def test_frontier_config_drift_rejected(spark, inputs, tmp_path):
+    _run(spark, inputs, tmp_path)
+    with pytest.raises(ValueError, match="config mismatch"):
+        _run(spark, inputs, tmp_path, crawl_delay_s=2.0)

@@ -132,6 +132,36 @@ def schedule_frontier(
     )
 
 
+def sitemap_locs(
+    sitemaps: DataFrame, body_col: str = "body"
+) -> DataFrame:
+    """``(url, lastmod)`` from sitemap XML bodies — the host-published seed
+    list that complements link discovery. Parses ``<url>`` blocks
+    relationally ((?s) dot-all regex — Java and RE2 agree), pairing each
+    ``<loc>`` with ITS OWN block's optional ``<lastmod>`` (a flat zip of
+    two independent extracts would mis-align the moment one block omits
+    lastmod). Sitemap-INDEX files (``<sitemap>`` blocks) list child
+    sitemaps, not pages: fetch those bodies and run this again."""
+    blocks = sitemaps.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.col(body_col), F.lit(r"(?s)<url>(.*?)</url>"), 1
+            )
+        ).alias("block")
+    )
+    loc = F.trim(F.regexp_extract(F.col("block"), r"(?s)<loc>\s*(.*?)\s*</loc>", 1))
+    lastmod = F.trim(
+        F.regexp_extract(F.col("block"), r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1)
+    )
+    return (
+        blocks.select(
+            loc.alias("url"),
+            F.when(lastmod != "", lastmod).alias("lastmod"),
+        )
+        .filter(F.col("url") != "")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB mirrors
 # ---------------------------------------------------------------------------

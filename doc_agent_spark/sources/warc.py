@@ -60,6 +60,7 @@ WARC_RECORDS = StructType([
     StructField("content_type", StringType()),     # WARC-level Content-Type
     StructField("http_status", IntegerType()),     # response records only
     StructField("http_content_type", StringType()),
+    StructField("http_location", StringType()),    # redirect target (3xx)
     StructField("payload", BinaryType()),          # HTTP body for responses, raw block otherwise
     StructField("n_bytes", LongType()),            # len(payload)
     StructField("error", StringType()),            # null = clean; else quarantine reason
@@ -121,6 +122,60 @@ def make_warc_response(
     return gzip.compress(rec, mtime=0) if gzip_member else rec
 
 
+def make_warc_redirect(
+    uri: str,
+    location: str,
+    status: int = 301,
+    date: str = "2024-01-01T00:00:00Z",
+    gzip_member: bool = False,
+) -> bytes:
+    """A 3xx ``response`` record with a Location header and empty body —
+    the redirect shape a crawler must follow to keep its frontier live."""
+    body = b""
+    head = (
+        f"HTTP/1.1 {status} Moved Permanently\r\n"
+        f"Location: {location}\r\n"
+        f"Content-Length: 0\r\n\r\n"
+    ).encode("ascii")
+    rec = make_warc_record(
+        {
+            "WARC-Type": "response",
+            "WARC-Record-ID": "<urn:md5:%s>" % hashlib.md5(uri.encode()).hexdigest(),
+            "WARC-Date": date,
+            "WARC-Target-URI": uri,
+            "Content-Type": "application/http; msgtype=response",
+        },
+        head + body,
+    )
+    return gzip.compress(rec, mtime=0) if gzip_member else rec
+
+
+def redirect_edges(records: DataFrame) -> DataFrame:
+    """``(src, dst)`` canonical redirect edges from clean 3xx responses —
+    Location resolves against the record's own URI (it may be relative,
+    RFC 9110 §10.2.2). A crawler unions ``dst`` into its frontier and a
+    dedup pass treats src→dst as an alias edge."""
+    from pyspark.sql import functions as F
+
+    from doc_agent_spark.functions import urls
+
+    return (
+        records.filter(
+            F.col("error").isNull()
+            & (F.col("warc_type") == "response")
+            & F.col("http_status").isin(301, 302, 303, 307, 308)
+            & F.col("http_location").isNotNull()
+        )
+        .select(
+            urls.url_canonicalize(F.col("target_uri")).alias("src"),
+            urls.url_canonicalize(
+                urls.resolve_url(F.col("target_uri"), F.col("http_location"))
+            ).alias("dst"),
+        )
+        .filter(F.col("dst").rlike("^https?://"))
+    )
+
+
 def make_warcinfo(filename: str = "crawl.warc") -> bytes:
     block = b"software: doc_agent_spark\r\nformat: WARC File Format 1.0\r\n"
     return make_warc_record(
@@ -159,29 +214,36 @@ def _quarantine(file: str, offset: int, raw: bytes, why: str) -> dict:
         "file": file, "record_offset": offset, "warc_type": None,
         "record_id": None, "target_uri": None, "warc_date": None,
         "content_type": None, "http_status": None, "http_content_type": None,
-        "payload": raw, "n_bytes": len(raw), "error": why,
+        "http_location": None, "payload": raw, "n_bytes": len(raw),
+        "error": why,
     }
 
 
-def _parse_http(block: bytes) -> tuple[int | None, str | None, bytes]:
-    """(status, content_type, body) from HTTP response bytes; whole block
-    becomes the body if the head is unparseable (tolerant, never raises)."""
+def _parse_http(
+    block: bytes,
+) -> tuple[int | None, str | None, str | None, bytes]:
+    """(status, content_type, location, body) from HTTP response bytes;
+    whole block becomes the body if the head is unparseable (tolerant,
+    never raises)."""
     sep = block.find(b"\r\n\r\n")
     if sep < 0 or not block.startswith(b"HTTP/"):
-        return None, None, block
+        return None, None, None, block
     head, body = block[:sep], block[sep + 4:]
     lines = head.split(CRLF)
     try:
         status = int(lines[0].split(b" ", 2)[1])
     except (IndexError, ValueError):
-        return None, None, block
+        return None, None, None, block
     ctype = None
+    location = None
     for ln in lines[1:]:
         k, _, v = ln.partition(b":")
-        if k.strip().lower() == b"content-type":
+        key = k.strip().lower()
+        if key == b"content-type" and ctype is None:
             ctype = v.strip().decode("latin-1")
-            break
-    return status, ctype, body
+        elif key == b"location" and location is None:
+            location = v.strip().decode("latin-1")
+    return status, ctype, location, body
 
 
 def parse_warc_bytes(data: bytes, file: str = "") -> Iterator[dict]:
@@ -234,13 +296,14 @@ def parse_warc_bytes(data: bytes, file: str = "") -> Iterator[dict]:
         ctype = headers.get("content-type")
         status: int | None = None
         http_ctype: str | None = None
+        location: str | None = None
         payload = block
         if (
             wtype == "response"
             and ctype is not None
             and ctype.lower().startswith("application/http")
         ):
-            status, http_ctype, payload = _parse_http(block)
+            status, http_ctype, location, payload = _parse_http(block)
         yield {
             "file": file,
             "record_offset": start,
@@ -251,6 +314,7 @@ def parse_warc_bytes(data: bytes, file: str = "") -> Iterator[dict]:
             "content_type": ctype,
             "http_status": status,
             "http_content_type": http_ctype,
+            "http_location": location,
             "payload": payload,
             "n_bytes": len(payload),
             "error": "truncated record" if truncated else None,

@@ -77,6 +77,8 @@ def run_frontier(
     run_id: str,
     crawl_delay_s: float = 1.0,
     bloom_min: int = 1_000_000,
+    sitemaps_path: str | None = None,
+    records_path: str | None = None,
 ) -> dict:
     from doc_agent_spark.functions import urls
     from doc_agent_spark.operators import frontier as frontops
@@ -155,6 +157,24 @@ def run_frontier(
             .filter(F.col("res").rlike("^https?://"))
             .select(urls.url_canonicalize(F.col("res")).alias("link"))
         )
+        # each discovery channel contributes one citation to n_refs:
+        # host-published sitemap listings and followed 3xx redirects count
+        # like an in-batch link
+        if sitemaps_path is not None:
+            sm = frontops.sitemap_locs(_read(spark, sitemaps_path))
+            links = links.unionByName(
+                sm.filter(F.col("url").rlike("^https?://")).select(
+                    urls.url_canonicalize(F.col("url")).alias("link")
+                )
+            )
+        if records_path is not None:
+            from doc_agent_spark.sources import warc as warcsrc
+
+            links = links.unionByName(
+                warcsrc.redirect_edges(_read(spark, records_path)).select(
+                    F.col("dst").alias("link")
+                )
+            )
         return links.groupBy("link").agg(
             F.count(F.lit(1)).alias("n_refs")
         ).select(
@@ -215,6 +235,11 @@ def main() -> None:
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--crawl-delay", type=float, default=1.0)
     ap.add_argument("--bloom-min", type=int, default=1_000_000)
+    ap.add_argument("--sitemaps", default=None,
+                    help="optional parquet of sitemap XML bodies (body)")
+    ap.add_argument("--records", default=None,
+                    help="optional parsed-WARC records parquet; 3xx "
+                         "Location targets join the discovered set")
     args = ap.parse_args()
 
     from jobs.extract import ship_package
@@ -225,7 +250,8 @@ def main() -> None:
         print(json.dumps(run_frontier(
             spark, args.fetched, args.seen, args.robots, args.output,
             args.lineage, args.run_id, crawl_delay_s=args.crawl_delay,
-            bloom_min=args.bloom_min,
+            bloom_min=args.bloom_min, sitemaps_path=args.sitemaps,
+            records_path=args.records,
         )))
     finally:
         spark.stop()

@@ -113,3 +113,22 @@ def test_schedule_partitioning_invariant(spark):
     a = sorted(map(tuple, frontier.schedule_frontier(fr.coalesce(1), "priority").collect()))
     b = sorted(map(tuple, frontier.schedule_frontier(fr.repartition(13), "priority").collect()))
     assert a == b
+
+
+def test_sitemap_locs_blockwise_lastmod(spark):
+    body = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc> https://a.com/p1 </loc><lastmod>2024-01-02</lastmod></url>"
+        "<url><loc>https://a.com/p2</loc></url>"           # no lastmod
+        "<url><lastmod>2024-03-04</lastmod><loc>https://a.com/p3</loc></url>"
+        "<url><lastmod>2024-05-06</lastmod></url>"          # no loc -> dropped
+        "</urlset>"
+    )
+    df = spark.createDataFrame([(body,)], "body string")
+    got = {r["url"]: r["lastmod"] for r in frontier.sitemap_locs(df).collect()}
+    # lastmod pairs with ITS OWN block even when a sibling block omits it
+    assert got == {
+        "https://a.com/p1": "2024-01-02",
+        "https://a.com/p2": None,
+        "https://a.com/p3": "2024-03-04",
+    }

@@ -95,3 +95,36 @@ def test_frontier_config_drift_rejected(spark, inputs, tmp_path):
     _run(spark, inputs, tmp_path)
     with pytest.raises(ValueError, match="config mismatch"):
         _run(spark, inputs, tmp_path, crawl_delay_s=2.0)
+
+
+def test_frontier_sitemap_and_redirect_channels(spark, inputs, tmp_path):
+    from doc_agent_spark.sources import warc as warcsrc
+
+    sitemaps = str(tmp_path / "sitemaps")
+    spark.createDataFrame(
+        [("<urlset><url><loc>https://a.com/sm1.html</loc></url>"
+          "<url><loc>https://a.com/new1.html</loc></url></urlset>",)],
+        "body string",
+    ).write.parquet(sitemaps)
+    records = str(tmp_path / "records")
+    rows = list(warcsrc.parse_warc_bytes(
+        warcsrc.make_warc_redirect("https://a.com/gone", "https://a.com/rt.html")
+    ))
+    spark.createDataFrame(rows, warcsrc.WARC_RECORDS).write.parquet(records)
+
+    fetched, seen, robots = inputs
+    stats = run_frontier(
+        spark, fetched, seen, robots, str(tmp_path / "out3"),
+        str(tmp_path / "lin3"), "f3", sitemaps_path=sitemaps,
+        records_path=records,
+    )
+    out = str(tmp_path / "out3")
+    disc = {r["url"]: r["n_refs"] for r in
+            spark.read.parquet(f"{out}/discovered").collect()}
+    # sitemap seed + redirect target join the discovered set; a URL both
+    # linked AND sitemapped accumulates citations across channels
+    assert disc["https://a.com/sm1.html"] == 1
+    assert disc["https://a.com/rt.html"] == 1
+    assert disc["https://a.com/new1.html"] == 3   # 2 links + 1 sitemap
+    front = {r["url"] for r in spark.read.parquet(f"{out}/frontier").collect()}
+    assert {"https://a.com/sm1.html", "https://a.com/rt.html"} <= front

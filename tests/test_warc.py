@@ -228,3 +228,22 @@ def test_fixed_charset_stays_jvm_side(spark):
     )
     plan = warc.warc_to_docs(df)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_redirect_location_parse_and_edges(spark):
+    recs = [
+        warc.make_warc_redirect("https://a.com/old", "https://WWW.A.com/new?utm_source=x"),
+        warc.make_warc_redirect("https://a.com/r1", "/moved/here", status=302),
+        _resp(5),
+    ]
+    rows = list(warc.parse_warc_bytes(b"".join(recs)))
+    assert rows[0]["http_status"] == 301
+    assert rows[0]["http_location"] == "https://WWW.A.com/new?utm_source=x"
+    assert rows[2]["http_location"] is None
+    df = spark.createDataFrame(rows, warc.WARC_RECORDS)
+    edges = {(r["src"], r["dst"]) for r in warc.redirect_edges(df).collect()}
+    # absolute target canonicalized; relative target resolved against src
+    assert edges == {
+        ("https://a.com/old", "https://a.com/new"),
+        ("https://a.com/r1", "https://a.com/moved/here"),
+    }

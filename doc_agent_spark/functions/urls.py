@@ -40,7 +40,9 @@ def url_canonicalize(url: Column) -> Column:
     nofrag = _strip_fragment(url)
     scheme = F.lower(F.substring_index(nofrag, "://", 1))
     rest = F.substring(nofrag, F.length(scheme) + 4, F.lit(1 << 30))
-    hostport = F.substring_index(rest, "/", 1)
+    # '?' may precede any '/' (https://h?q=1 is legal): the host ends at
+    # whichever comes first, else url_host/dedup keys absorb the query
+    hostport = F.substring_index(F.substring_index(rest, "/", 1), "?", 1)
     pathq = F.substring(rest, F.length(hostport) + 1, F.lit(1 << 30))
     host = F.lower(F.substring_index(hostport, ":", 1))
     host = F.when(host.startswith("www."), F.substring(host, 5, 1 << 30)).otherwise(host)
@@ -79,7 +81,8 @@ def url_host(url: Column) -> Column:
     nofrag = _strip_fragment(url)
     scheme = F.lower(F.substring_index(nofrag, "://", 1))
     rest = F.substring(nofrag, F.length(scheme) + 4, F.lit(1 << 30))
-    host = F.lower(F.substring_index(F.substring_index(rest, "/", 1), ":", 1))
+    host = F.lower(F.substring_index(F.substring_index(
+        F.substring_index(rest, "/", 1), "?", 1), ":", 1))
     return F.when(host.startswith("www."), F.substring(host, 5, 1 << 30)).otherwise(host)
 
 
@@ -89,7 +92,7 @@ def url_pathq(url: Column) -> Column:
     nofrag = _strip_fragment(url)
     scheme = F.lower(F.substring_index(nofrag, "://", 1))
     rest = F.substring(nofrag, F.length(scheme) + 4, F.lit(1 << 30))
-    hostport = F.substring_index(rest, "/", 1)
+    hostport = F.substring_index(F.substring_index(rest, "/", 1), "?", 1)
     pathq = F.substring(rest, F.length(hostport) + 1, F.lit(1 << 30))
     return F.when(pathq == "", F.lit("/")).otherwise(pathq)
 
@@ -99,7 +102,7 @@ def url_pathq_sql(url_expr: str) -> str:
     nofrag = f"split_part({url_expr}, '#', 1)"
     scheme = f"lower(split_part({nofrag}, '://', 1))"
     rest = f"substring({nofrag}, length({scheme}) + 4)"
-    hostport = f"split_part({rest}, '/', 1)"
+    hostport = f"split_part(split_part({rest}, '/', 1), '?', 1)"
     pathq = f"substring({rest}, length({hostport}) + 1)"
     return f"(CASE WHEN {pathq} = '' THEN '/' ELSE {pathq} END)"
 
@@ -121,7 +124,7 @@ def url_canonicalize_sql(url_expr: str) -> str:
     nofrag = f"split_part({url_expr}, '#', 1)"
     scheme = f"lower(split_part({nofrag}, '://', 1))"
     rest = f"substring({nofrag}, length({scheme}) + 4)"
-    hostport = f"split_part({rest}, '/', 1)"
+    hostport = f"split_part(split_part({rest}, '/', 1), '?', 1)"
     pathq = f"substring({rest}, length({hostport}) + 1)"
     host0 = f"lower(split_part({hostport}, ':', 1))"
     host = f"CASE WHEN starts_with({host0}, 'www.') THEN substring({host0}, 5) ELSE {host0} END"
@@ -158,15 +161,22 @@ def url_canonicalize_sql(url_expr: str) -> str:
 # per-page work is scan-side, the only shuffle is whatever aggregation the
 # caller puts on top.
 #
-# Scope (documented, mirrored in the oracle): href values are read up to the
-# first quote/whitespace/'>' (attribute values containing spaces truncate —
-# frontier URLs never legitimately contain raw spaces), and dot-segment
-# removal is bounded at _DOT_ROUNDS nesting levels (8 levels of ../ per
-# round pair; deeper chains — hostile input — resolve partially, which a
-# frontier treats as just another URL). No lookaround anywhere so Java
-# regex and RE2 (DuckDB) agree byte-for-byte.
+# Scope (documented, mirrored in the oracle): only <a>/<area> tag hrefs are
+# outlinks (<link> stylesheets/icons, <base>, data-href and script text are
+# NOT crawl targets — the first cut matched bare 'href=' anywhere and would
+# fill a real frontier with asset URLs); <base href> re-basing is not
+# honored (pages using <base> resolve relative refs against the page URL —
+# documented approximation). Values are read up to the first quote/
+# whitespace/'>' (attribute values containing spaces truncate — frontier
+# URLs never legitimately contain raw spaces), and dot-segment removal is
+# bounded at _DOT_ROUNDS nesting levels (8 levels of ../ per round pair;
+# deeper chains — hostile input — resolve partially, which a frontier
+# treats as just another URL). No lookaround anywhere so Java regex and
+# RE2 (DuckDB) agree byte-for-byte; the optional (?:[^>]*?\s)? prefix
+# forces the attribute NAME to be exactly href (data-href has '-' before
+# it, not whitespace).
 
-_HREF_RE = r"""href=["']?([^"'\s>]+)"""
+_HREF_RE = r"""(?i)<(?:a|area)\s(?:[^>]*?\s)?href=["']?([^"'\s>]+)"""
 _DOT_ROUNDS = 4
 # a path segment that is neither '.' nor '..': contains >=1 non-dot char
 _SEG = "[^/]*[^./][^/]*"
@@ -200,7 +210,7 @@ def resolve_url(base: Column, ref: Column) -> Column:
     nofrag = F.substring_index(base, "#", 1)
     scheme = F.lower(F.substring_index(nofrag, "://", 1))
     rest = F.substring(nofrag, F.length(scheme) + 4, F.lit(1 << 30))
-    hostport = F.substring_index(rest, "/", 1)
+    hostport = F.substring_index(F.substring_index(rest, "/", 1), "?", 1)
     origin = F.concat(scheme, F.lit("://"), hostport)
     pathq = F.substring(rest, F.length(hostport) + 1, F.lit(1 << 30))
     path = F.substring_index(pathq, "?", 1)            # '' when base has no path
@@ -221,7 +231,8 @@ def resolve_url(base: Column, ref: Column) -> Column:
 def extract_hrefs_sql(html_expr: str) -> str:
     """DuckDB mirror of extract_hrefs (same RE2-safe pattern)."""
     return (
-        "regexp_extract_all(" + html_expr + ", 'href=[\"'']?([^\"''\\s>]+)', 1)"
+        "regexp_extract_all(" + html_expr
+        + ", '(?i)<(?:a|area)\\s(?:[^>]*?\\s)?href=[\"'']?([^\"''\\s>]+)', 1)"
     )
 
 
@@ -242,7 +253,7 @@ def resolve_url_sql(base_expr: str, ref_expr: str) -> str:
     nofrag = f"split_part({base_expr}, '#', 1)"
     scheme = f"lower(split_part({nofrag}, '://', 1))"
     rest = f"substring({nofrag}, length({scheme}) + 4)"
-    hostport = f"split_part({rest}, '/', 1)"
+    hostport = f"split_part(split_part({rest}, '/', 1), '?', 1)"
     origin = f"({scheme} || '://' || {hostport})"
     pathq = f"substring({rest}, length({hostport}) + 1)"
     path = f"split_part({pathq}, '?', 1)"
@@ -267,7 +278,7 @@ def registered_domain_sql(url_expr: str) -> str:
     nofrag = f"split_part({url_expr}, '#', 1)"
     scheme = f"lower(split_part({nofrag}, '://', 1))"
     rest = f"substring({nofrag}, length({scheme}) + 4)"
-    host0 = f"lower(split_part(split_part({rest}, '/', 1), ':', 1))"
+    host0 = f"lower(split_part(split_part(split_part({rest}, '/', 1), '?', 1), ':', 1))"
     host = f"CASE WHEN starts_with({host0}, 'www.') THEN substring({host0}, 5) ELSE {host0} END"
     labels = f"string_split({host}, '.')"
     return (

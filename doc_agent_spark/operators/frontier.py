@@ -29,10 +29,18 @@ crawl-delay). Both are relational here:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from doc_agent_spark.functions import urls
+
+
+def _canon_host(host: Column) -> Column:
+    """Bare-hostname canon matching ``urls.url_host`` (lowercase, strip
+    port and leading ``www.``) — rules and frontier URLs must meet on the
+    SAME key or disallowed URLs silently pass the filter."""
+    h = F.lower(F.substring_index(host, ":", 1))
+    return F.when(h.startswith("www."), F.substring(h, 5, 1 << 30)).otherwise(h)
 
 
 def parse_robots(
@@ -45,8 +53,10 @@ def parse_robots(
     9309 lets several UA lines share one group); a group applies when any
     of its UA lines is ``*``; its non-empty ``Disallow`` values are the
     rules. Trailing ``#`` comments strip; blank Disallow (allow-all) drops.
-    """
-    host = F.col(host_col)
+    The host key is canonicalized to ``urls.url_host`` form (lowercase, no
+    port, no ``www.``) so a robots table keyed by the as-fetched hostname
+    still joins the canonicalized frontier."""
+    host = _canon_host(F.col(host_col))
     lines = robots.select(
         host.alias("host"),
         F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "raw"),
@@ -192,7 +202,9 @@ SELECT DISTINCT host, dis_val AS prefix FROM (
       FROM (
         SELECT host, pos, trim(split_part(raw, '#', 1)) AS line
         FROM (
-          SELECT {host_expr} AS host,
+          SELECT CASE WHEN starts_with(lower(split_part({host_expr}, ':', 1)), 'www.')
+                      THEN substring(lower(split_part({host_expr}, ':', 1)), 5)
+                      ELSE lower(split_part({host_expr}, ':', 1)) END AS host,
                  unnest(range(0, len(string_split({body_expr}, chr(10))))) AS pos,
                  unnest(string_split({body_expr}, chr(10))) AS raw
           FROM {robots_table}))))))

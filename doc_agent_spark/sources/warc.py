@@ -209,6 +209,29 @@ def _maybe_decompress(data: bytes) -> bytes:
     return data
 
 
+def _decompress_members_prefix(data: bytes) -> tuple[bytes, bytes]:
+    """(decoded_prefix, undecodable_tail): decompress gzip members one at a
+    time until one fails — the salvage path for a truncated .warc.gz."""
+    import zlib
+
+    out = []
+    pos = 0
+    while pos < len(data) and data[pos:pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        try:
+            chunk = d.decompress(data[pos:])
+        except zlib.error:
+            break
+        if not d.eof:           # truncated final member: keep it in the tail
+            break
+        out.append(chunk)
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:
+            break
+        pos += consumed
+    return b"".join(out), data[pos:]
+
+
 def _quarantine(file: str, offset: int, raw: bytes, why: str) -> dict:
     return {
         "file": file, "record_offset": offset, "warc_type": None,
@@ -250,8 +273,19 @@ def parse_warc_bytes(data: bytes, file: str = "") -> Iterator[dict]:
     """Sequential record iterator over one (decompressed) WARC stream.
 
     Resync-on-error: any structural failure quarantines the bytes up to the
-    next ``\\r\\nWARC/1.`` boundary and parsing continues there."""
-    data = _maybe_decompress(data)
+    next ``\\r\\nWARC/1.`` boundary and parsing continues there. A gzip
+    stream truncated mid-member (a routine partial download at crawl
+    scale) quarantines the undecodable remainder instead of raising —
+    ``gzip.decompress`` fails atomically, so we fall back to member-wise
+    decompression and keep every member that decodes."""
+    if data[:2] == b"\x1f\x8b":
+        try:
+            data = gzip.decompress(data)
+        except Exception:
+            data, bad_tail = _decompress_members_prefix(data)
+            if bad_tail:
+                yield _quarantine(file, len(data), bad_tail,
+                                  "undecodable gzip member")
     n = len(data)
     pos = 0
     while pos < n:
@@ -328,15 +362,17 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     ``.warc.gz`` both parse; one task per file (the crawl-processing deploy
     shape — scale the file count, not the file size)."""
     files = spark.read.format("binaryFile").load(path).select("path", "content")
+    cols = [f.name for f in WARC_RECORDS.fields]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one yield per FILE, not per Arrow batch: binaryFile can pack
+        # several archives into one batch, and holding every file's raw
+        # bytes + decompressed stream + parsed rows simultaneously
+        # multiplies the documented one-file-in-memory peak
         for pdf in batches:
-            rows = [
-                rec
-                for path_, content in zip(pdf["path"], pdf["content"])
-                for rec in parse_warc_bytes(bytes(content), file=path_)
-            ]
-            yield pd.DataFrame(rows, columns=[f.name for f in WARC_RECORDS.fields])
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                rows = list(parse_warc_bytes(bytes(content), file=path_))
+                yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(gen, WARC_RECORDS)
 
@@ -425,7 +461,11 @@ def warc_to_docs(records: DataFrame, charset: str | None = "utf-8") -> DataFrame
         if charset.lower().replace("-", "").replace("_", "") == "utf8":
             decoded = ok.withColumn("text", F.expr("make_valid_utf8(payload)"))
         else:
-            decoded = ok.withColumn("text", F.decode(F.col("payload"), charset))
+            # non-UTF-8 literal goes through the same lenient Python-codec
+            # path as sniffed charsets — Spark 4's decode raises on
+            # malformed bytes, the exact never-die failure this module
+            # exists to avoid
+            decoded = decode_payloads(ok.withColumn("charset", F.lit(charset)))
     else:
         decoded = decode_payloads(
             ok.withColumn(

@@ -49,22 +49,10 @@ from pyspark.sql import functions as F
 
 ARTIFACTS = ["discovered", "frontier", "blocked"]
 
-
-def _read(spark: SparkSession, path: str):
-    return spark.read.parquet(path) if "/" in path else spark.read.table(path)
-
-
-def _readable(spark: SparkSession, path: str):
-    try:
-        df = spark.read.parquet(path)
-        df.schema
-        if os.path.isdir(path) and not os.path.exists(
-            os.path.join(path, "_SUCCESS")
-        ):
-            return None
-        return df
-    except Exception:
-        return None
+# shared job helpers — one definition, one future fix (jobs/pipeline.py
+# imports _readable the same way)
+from jobs.incremental import _read  # noqa: E402
+from jobs.index import _readable  # noqa: E402
 
 
 def run_frontier(
@@ -144,6 +132,10 @@ def run_frontier(
         return committed
 
     def build_discovered():
+        # n_refs = DISTINCT referencing sources (a nav that repeats one
+        # href 50 times is one citation, not fifty); each discovery
+        # channel is its own source — a page URL, a redirect's source URI,
+        # or the sitemap listing
         links = (
             fetched.select(
                 "url",
@@ -151,20 +143,18 @@ def run_frontier(
             )
             .filter(~F.col("ref").startswith("#"))
             .select(
-                "url",
+                F.col("url").alias("src"),
                 urls.resolve_url(F.col("url"), F.col("ref")).alias("res"),
             )
             .filter(F.col("res").rlike("^https?://"))
-            .select(urls.url_canonicalize(F.col("res")).alias("link"))
+            .select("src", urls.url_canonicalize(F.col("res")).alias("link"))
         )
-        # each discovery channel contributes one citation to n_refs:
-        # host-published sitemap listings and followed 3xx redirects count
-        # like an in-batch link
         if sitemaps_path is not None:
             sm = frontops.sitemap_locs(_read(spark, sitemaps_path))
             links = links.unionByName(
                 sm.filter(F.col("url").rlike("^https?://")).select(
-                    urls.url_canonicalize(F.col("url")).alias("link")
+                    F.lit("sitemap").alias("src"),
+                    urls.url_canonicalize(F.col("url")).alias("link"),
                 )
             )
         if records_path is not None:
@@ -172,11 +162,11 @@ def run_frontier(
 
             links = links.unionByName(
                 warcsrc.redirect_edges(_read(spark, records_path)).select(
-                    F.col("dst").alias("link")
+                    F.col("src"), F.col("dst").alias("link")
                 )
             )
         return links.groupBy("link").agg(
-            F.count(F.lit(1)).alias("n_refs")
+            F.count_distinct(F.col("src")).alias("n_refs")
         ).select(
             F.col("link").alias("url"),
             urls.url_host(F.col("link")).alias("host"),
@@ -197,13 +187,22 @@ def run_frontier(
                 )
         return discovered.join(seen, "url", "left_anti")
 
-    new = build_new()
-    rules = frontops.parse_robots(robots)
-    flagged = frontops.robots_filter(new, rules)
+    # the seen anti-join + robots chain feeds BOTH remaining artifacts:
+    # build it once (checkpoint) and only when an artifact actually needs
+    # it — a fully-resumed run must pay neither the chain nor seen.count()
+    _fl: list = []
 
-    frontier_df = commit("frontier", lambda: (
+    def flagged():
+        if not _fl:
+            fl = frontops.robots_filter(
+                build_new(), frontops.parse_robots(robots)
+            )
+            _fl.append(fl.localCheckpoint(eager=True))
+        return _fl[0]
+
+    commit("frontier", lambda: (
         frontops.schedule_frontier(
-            flagged.filter(~F.col("blocked")).drop("blocked"),
+            flagged().filter(~F.col("blocked")).drop("blocked"),
             "n_refs", crawl_delay_s=crawl_delay_s,
         ).select(
             "url", "host", F.col("n_refs").alias("priority"),
@@ -211,7 +210,7 @@ def run_frontier(
         )
     ))
     commit("blocked", lambda: (
-        flagged.filter(F.col("blocked")).select("url", "host")
+        flagged().filter(F.col("blocked")).select("url", "host")
     ))
     return {
         "run_id": run_id,

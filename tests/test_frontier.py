@@ -132,3 +132,20 @@ def test_sitemap_locs_blockwise_lastmod(spark):
         "https://a.com/p2": None,
         "https://a.com/p3": "2024-03-04",
     }
+
+
+def test_robots_hosts_canonicalized_like_urls(spark):
+    rules = frontier.parse_robots(spark.createDataFrame(
+        [("WWW.A.com:443", "User-agent: *\nDisallow: /private/\n")],
+        "host string, body string",
+    ))
+    assert {tuple(r) for r in rules.collect()} == {("a.com", "/private/")}
+    fr = spark.createDataFrame(
+        [("https://www.a.com/private/x.html",), ("https://a.com/ok.html",)],
+        "url string",
+    )
+    out = {r["url"]: r["blocked"] for r in
+           frontier.robots_filter(fr, rules).collect()}
+    # as-fetched robots host (www + port) still blocks the canonical frontier
+    assert out["https://www.a.com/private/x.html"] is True
+    assert out["https://a.com/ok.html"] is False

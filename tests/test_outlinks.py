@@ -140,3 +140,41 @@ def test_outlink_graph_feeds_pagerank(spark):
     assert len(vals) == 3 and abs(sum(vals.values()) - 1.0) < 1e-6
     # i.html has two in-links, the others one each
     assert vals["https://a.com/i.html"] == max(vals.values())
+
+
+def test_extract_hrefs_only_anchor_tags(spark):
+    html = (
+        '<link rel="stylesheet" href="/style.css">'
+        '<base href="/base/"><a data-href="/decoy" href="/real">r</a>'
+        '<AREA shape=rect href="/map">'
+        '<script>var x = "href=/injs";</script>'
+        '<a class="x" href=/second>s</a>'
+    )
+    row = spark.createDataFrame([(html,)], "html string").select(
+        urls.extract_hrefs(F.col("html")).alias("links")
+    ).head()
+    # stylesheet/base/data-href/script text are not crawl targets
+    assert row["links"] == ["/real", "/map", "/second"]
+    got = duckdb.connect().execute(
+        "SELECT " + urls.extract_hrefs_sql("'" + html.replace("'", "''") + "'")
+    ).fetchone()[0]
+    assert list(got) == ["/real", "/map", "/second"]
+
+
+def test_query_on_bare_host_canonicalizes_sanely(spark):
+    df = spark.createDataFrame(
+        [("https://h.example.com?p=2&utm_source=x",)], "url string"
+    ).select(
+        urls.url_canonicalize(F.col("url")).alias("canon"),
+        urls.url_host(F.col("url")).alias("host"),
+        urls.url_pathq(F.col("url")).alias("pathq"),
+    )
+    r = df.head()
+    # the query must not leak into the host / dedup keys
+    assert r["host"] == "h.example.com"
+    assert r["canon"] == "https://h.example.com/?p=2"
+    assert r["pathq"] == "?p=2&utm_source=x"   # raw: canon strips tracking, pathq doesn't
+    got = duckdb.connect().execute(
+        "SELECT " + urls.url_canonicalize_sql("'https://h.example.com?p=2&utm_source=x'")
+    ).fetchone()[0]
+    assert got == r["canon"]

@@ -247,3 +247,28 @@ def test_redirect_location_parse_and_edges(spark):
         ("https://a.com/old", "https://a.com/new"),
         ("https://a.com/r1", "https://a.com/moved/here"),
     }
+
+
+def test_truncated_gzip_member_quarantines_not_crashes():
+    full = [gzip.compress(_resp(i), mtime=0) for i in (1, 2, 3)]
+    stream = b"".join(full[:2]) + full[2][: len(full[2]) // 2]
+    rows = list(warc.parse_warc_bytes(stream, file="t.warc.gz"))
+    ok = [r for r in rows if r["error"] is None]
+    bad = [r for r in rows if r["error"] is not None]
+    # the two complete members parse; the truncated member lands whole in
+    # quarantine (never-drop), nothing raises
+    assert [r["target_uri"] for r in ok] == [
+        "https://example.com/doc/1", "https://example.com/doc/2"
+    ]
+    assert len(bad) == 1 and bad[0]["error"] == "undecodable gzip member"
+    assert bad[0]["payload"][:2] == b"\x1f\x8b"
+
+
+def test_nonutf8_literal_charset_never_raises(spark):
+    rec = warc.make_warc_response(
+        uri="https://x/j", body=b"ok \x81\x40 then invalid \xff\xff bytes"
+    )
+    df = spark.createDataFrame(list(warc.parse_warc_bytes(rec)), warc.WARC_RECORDS)
+    # shift_jis: \x81\x40 decodes, \xff\xff is malformed -> replaced, not a crash
+    text = warc.warc_to_docs(df, charset="shift_jis").head()["text"]
+    assert "ok" in text and "then invalid" in text

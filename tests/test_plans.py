@@ -588,3 +588,63 @@ def test_zone_map_partial_agg_no_python(spark, sf_dir):
     assert plan.count("Exchange") == 1
     assert "partial" in plan.lower()
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_outlink_extraction_stays_jvm_side(spark, sf_dir):
+    """Outlink extraction + resolution + canonicalization is pure column
+    algebra: no Python stage anywhere in the text_profile outlink arm's
+    plan, and robots filtering is a broadcast join of per-host metadata."""
+    from doc_agent_spark.functions import urls
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    links = (
+        docs.select(
+            F.concat(F.lit("https://h"), (F.col("doc_id") % 5).cast("string"),
+                     F.lit(".com/a/p.html")).alias("url"),
+            F.explode(urls.extract_hrefs(F.col("text"))).alias("ref"),
+        )
+        .select(urls.url_canonicalize(
+            urls.resolve_url(F.col("url"), F.col("ref"))).alias("link"))
+    )
+    plan = _plan(links)
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_robots_filter_is_broadcast_join_no_explode(spark):
+    """The frontier side never explodes: one broadcast hash join against
+    the per-host prefix arrays, blocked computed as an array exists."""
+    from doc_agent_spark.operators import frontier
+    from pyspark.sql import functions as F
+
+    fr = spark.range(0, 1000).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 7).cast("string"),
+                 F.lit(".com/p"), F.col("id").cast("string")).alias("url")
+    )
+    rules = frontier.parse_robots(spark.createDataFrame(
+        [(f"h{i}.com", "User-agent: *\nDisallow: /private/\n") for i in range(7)],
+        "host string, body string",
+    ))
+    plan = _plan(frontier.robots_filter(fr, rules))
+    assert "BroadcastHashJoin" in plan
+    assert "Generate" not in plan.split("BroadcastHashJoin")[0]  # frontier side unexploded
+    assert "BatchEvalPython" not in plan
+
+
+def test_schedule_frontier_single_host_window(spark):
+    """Politeness scheduling is ONE window keyed on the host — no global
+    (partition-less) window anywhere."""
+    from doc_agent_spark.operators import frontier
+    from pyspark.sql import functions as F
+
+    fr = spark.range(0, 1000).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 7).cast("string"),
+                 F.lit(".com/p"), F.col("id").cast("string")).alias("url"),
+        (F.col("id") % 13).cast("double").alias("priority"),
+    )
+    plan = _plan(frontier.schedule_frontier(fr, "priority"))
+    # partitioned Window prints three bracket groups (exprs, partition,
+    # sort); a global window prints only two — every Window here must
+    # carry a partition spec
+    win_lines = [ln for ln in plan.split("\n") if "Window [" in ln]
+    assert win_lines and all(ln.count("], [") == 2 for ln in win_lines)

@@ -105,6 +105,10 @@ _DET_QUERIES = [
     # layout-invariant) ride semi_anti_join; the canon arm (WindowGroupLimit
     # top-1 with score/id tie-break) rides dup_clusters, already listed
     "semi_anti_join",
+    # session 6: robots parse (window group detection) + politeness slots
+    # (per-host ranking) ride doc_listing's frontier arm; the WARC
+    # round-trip and outlink arms ride media_metadata / text_profile above
+    "doc_listing",
 ]
 
 

@@ -178,3 +178,53 @@ def test_query_on_bare_host_canonicalizes_sanely(spark):
         "SELECT " + urls.url_canonicalize_sql("'https://h.example.com?p=2&utm_source=x'")
     ).fetchone()[0]
     assert got == r["canon"]
+
+
+def test_resolve_url_fuzz_matches_urljoin(spark):
+    """Grammar-constrained fuzz: hundreds of (base, ref) pairs through one
+    Spark pass, compared to urllib.parse.urljoin byte-for-byte."""
+    import itertools
+    import random
+
+    rng = random.Random(42)
+    segs = ["a", "bb", "c3", "d.e", "x-y"]
+
+    def mk_base():
+        host = rng.choice(["h.example.com", "www.H.org:8080"])
+        depth = rng.randrange(0, 4)
+        path = "".join("/" + rng.choice(segs) for _ in range(depth))
+        leaf = rng.choice(["", "/", "/page.html", "/p.php?q=1&r=2"])
+        return f"{rng.choice(['http', 'https'])}://{host}{path}{leaf}"
+
+    def mk_ref():
+        kind = rng.randrange(0, 7)
+        if kind == 0:
+            return "https://abs.example.net/" + rng.choice(segs)
+        if kind == 1:
+            return "//cdn.example.net/" + rng.choice(segs)
+        if kind == 2:
+            return "/" + "/".join(rng.choice(segs + [".", ".."])
+                                  for _ in range(rng.randrange(1, 4)))
+        if kind == 3:
+            return "?" + rng.choice(["a=1", "z=9&y=8"])
+        if kind == 4:
+            return "#" + rng.choice(segs)
+        parts = [rng.choice(segs + [".", ".."])
+                 for _ in range(rng.randrange(1, 5))]
+        return "/".join(parts) + rng.choice(["", "/", ".html"])
+
+    pairs = sorted({(mk_base(), mk_ref()) for _ in range(400)})
+    df = spark.createDataFrame(pairs, "base string, ref string")
+    got = {
+        (r["base"], r["ref"]): r["res"]
+        for r in df.select(
+            "base", "ref",
+            urls.resolve_url(F.col("base"), F.col("ref")).alias("res"),
+        ).collect()
+    }
+    bad = [
+        (b, r, got[(b, r)], urljoin(b, r))
+        for (b, r) in pairs
+        if got[(b, r)] != urljoin(b, r)
+    ]
+    assert not bad, bad[:10]

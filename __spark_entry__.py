@@ -4754,6 +4754,13 @@ SELECT 'warc',
        CAST(NULL AS DOUBLE),
        md5('<html><body>' || text || '</body></html>')
 FROM documents
+UNION ALL
+SELECT 'warc',
+       'https://example.com/doc/r/' || CAST(doc_id AS VARCHAR),
+       CAST(NULL AS VARCHAR),
+       CAST(301 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS DOUBLE),
+       md5('/moved/' || CAST(doc_id AS VARCHAR))
+FROM documents WHERE doc_id % 11 = 0
 """,
         "retrieval_eval": f"""
 WITH q AS (SELECT embedding AS qv, label AS qlabel FROM embeddings WHERE vec_id = 0),

@@ -492,13 +492,15 @@ def warc_roundtrip(
 ) -> DataFrame:
     """serializer ∘ parser identity, checkable row-by-row: each input row is
     serialized as a WARC response record (every 3rd row as its own gzip
-    member, every 7th row downgraded to 404), the rows of each Arrow batch
-    concatenate into one in-memory archive fronted by a ``warcinfo`` record,
-    and the REAL parser reads the archive back. Emitted fields are pure
-    per-record functions of the input row, so the result is deterministic
-    under any partitioning while multi-record + mixed-member parsing is
-    genuinely exercised. Output: (doc_id, target_uri, http_status, n_bytes,
-    payload_md5)."""
+    member, every 7th row downgraded to 404, every 11th row ALSO emitting a
+    301 redirect record whose Location round-trips through the digest), the
+    rows of each Arrow batch concatenate into one in-memory archive fronted
+    by a ``warcinfo`` record, and the REAL parser reads the archive back.
+    Emitted fields are pure per-record functions of the input row, so the
+    result is deterministic under any partitioning while multi-record +
+    mixed-member parsing is genuinely exercised. Output: (doc_id,
+    target_uri, http_status, n_bytes, payload_md5 — for redirects the md5
+    of the Location value)."""
     out_schema = StructType([
         StructField("doc_id", LongType()),
         StructField("target_uri", StringType()),
@@ -519,6 +521,10 @@ def warc_roundtrip(
                     status=404 if did % 7 == 0 else 200,
                     gzip_member=did % 3 == 0,
                 ))
+                if did % 11 == 0:
+                    members.append(make_warc_redirect(
+                        uri=f"{uri_prefix}r/{did}", location=f"/moved/{did}",
+                    ))
             # members → one archive; gzip members must survive concatenation
             # next to plain records, so decompress member-wise here (a pure
             # .warc.gz would decompress transparently in parse_warc_bytes)
@@ -527,12 +533,17 @@ def warc_roundtrip(
             for rec in parse_warc_bytes(stream, file="<mem>"):
                 if rec["warc_type"] != "response" or rec["error"] is not None:
                     continue
+                digest_src = (
+                    (rec["http_location"] or "").encode("utf-8")
+                    if rec["http_status"] in (301, 302, 303, 307, 308)
+                    else rec["payload"]
+                )
                 rows.append({
                     "doc_id": int(rec["target_uri"].rsplit("/", 1)[1]),
                     "target_uri": rec["target_uri"],
                     "http_status": rec["http_status"],
                     "n_bytes": rec["n_bytes"],
-                    "payload_md5": hashlib.md5(rec["payload"]).hexdigest(),
+                    "payload_md5": hashlib.md5(digest_src).hexdigest(),
                 })
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 

@@ -152,14 +152,19 @@ def test_warc_roundtrip_operator_matches_direct_compute(spark):
         F.concat(F.lit("<html><body>doc "), F.col("id").cast("string"),
                  F.lit("</body></html>")).alias("body"),
     )
-    out = {r["doc_id"]: r.asDict() for r in warc.warc_roundtrip(df).collect()}
-    assert len(out) == 40
+    out = {r["target_uri"]: r.asDict() for r in warc.warc_roundtrip(df).collect()}
+    assert len(out) == 40 + 4          # + a 301 record per doc_id % 11 == 0
     for i in range(40):
         body = f"<html><body>doc {i}</body></html>".encode()
-        assert out[i]["http_status"] == (404 if i % 7 == 0 else 200)
-        assert out[i]["n_bytes"] == len(body)
-        assert out[i]["payload_md5"] == hashlib.md5(body).hexdigest()
-        assert out[i]["target_uri"] == f"https://example.com/doc/{i}"
+        r = out[f"https://example.com/doc/{i}"]
+        assert r["http_status"] == (404 if i % 7 == 0 else 200)
+        assert r["n_bytes"] == len(body)
+        assert r["payload_md5"] == hashlib.md5(body).hexdigest()
+        if i % 11 == 0:
+            rr = out[f"https://example.com/doc/r/{i}"]
+            assert rr["http_status"] == 301 and rr["n_bytes"] == 0
+            assert rr["payload_md5"] == hashlib.md5(
+                f"/moved/{i}".encode()).hexdigest()
 
 
 def test_warc_roundtrip_partitioning_invariant(spark):

@@ -128,3 +128,47 @@ def test_frontier_sitemap_and_redirect_channels(spark, inputs, tmp_path):
     assert disc["https://a.com/new1.html"] == 3   # 2 links + 1 sitemap
     front = {r["url"] for r in spark.read.parquet(f"{out}/frontier").collect()}
     assert {"https://a.com/sm1.html", "https://a.com/rt.html"} <= front
+
+
+def test_crawl_cycle_from_warc_archive(spark, tmp_path):
+    """The full loop: a crawl archive parses into fetched docs, the
+    frontier job discovers their outlinks, excludes what was already
+    fetched and what robots forbids, and schedules cycle N+1."""
+    from doc_agent_spark.sources import warc as warcsrc
+
+    pages = {
+        "https://s.example.com/index.html":
+            '<a href="a.html">a</a><a href="/b.html">b</a>'
+            '<a href="/keepout/secret.html">s</a>',
+        "https://s.example.com/a.html": '<a href="/b.html">b</a>',
+    }
+    archive = tmp_path / "cycle1.warc.gz"
+    warcsrc.write_warc_file(str(archive), [
+        warcsrc.make_warc_response(uri=u, body=h.encode(), gzip_member=True)
+        for u, h in pages.items()
+    ])
+    fetched_path = str(tmp_path / "fetched")
+    seen_path = str(tmp_path / "seen")
+    records = warcsrc.read_warc(spark, str(archive))
+    docs = warcsrc.warc_to_docs(records)
+    docs.write.parquet(fetched_path)
+    docs.select("url").write.parquet(seen_path)   # cycle 1's own fetches
+    robots_path = str(tmp_path / "robots")
+    spark.createDataFrame(
+        [("s.example.com", "User-agent: *\nDisallow: /keepout/\n")],
+        "host string, body string",
+    ).write.parquet(robots_path)
+
+    stats = run_frontier(
+        spark, fetched_path, seen_path, robots_path,
+        str(tmp_path / "out"), str(tmp_path / "lin"), "cycle2",
+    )
+    front = {r["url"]: r["priority"] for r in
+             spark.read.parquet(str(tmp_path / "out") + "/frontier").collect()}
+    # b.html cited by both fetched pages; a.html and index are seen;
+    # /keepout/ robots-blocked
+    assert front == {"https://s.example.com/b.html": 2}
+    blocked = {r["url"] for r in
+               spark.read.parquet(str(tmp_path / "out") + "/blocked").collect()}
+    assert blocked == {"https://s.example.com/keepout/secret.html"}
+    assert stats["frontier"] == 1 and stats["blocked"] == 1

@@ -133,6 +133,59 @@ SESSION_STATE_SCHEMA = "session_start long, last_ts long, n_events long, sum_val
 SESSION_GAP_S = 1800
 
 
+def frontier_stream(
+    pages: DataFrame,
+    seen: DataFrame,
+    rules: DataFrame,
+    watermark: str = "1 hour",
+    url_col: str = "url",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming frontier discovery: each arriving fetched page's outlinks
+    extract/resolve/canonicalize statelessly per row (functions/urls.py —
+    pure column algebra, no state), stream-static LEFT ANTI join against
+    the persisted seen-URL snapshot, robots exclusion through the same
+    broadcast prefix-array filter as the batch job; emits ``(url, host,
+    src, ts)`` discovery events, each target at most once inside the
+    watermark horizon (dropDuplicatesWithinWatermark on url — 32-byte-ish
+    keys, state evicted as event time advances).
+
+    Division of labor mirrors near_dup_stream: the batch job
+    (jobs/frontier.py) owns citation-count priorities and politeness
+    scheduling per cycle over the accumulated discovery log; this stream
+    answers "what NEW URL did we just learn about" continuously, so a
+    fetcher fleet can top up mid-cycle without waiting for the batch."""
+    from ..functions import urls
+    from ..operators.frontier import robots_filter
+
+    url = F.col(url_col)
+    links = (
+        pages.withWatermark(ts_col, watermark)
+        .select(
+            url.alias("src"), F.col(ts_col),
+            F.explode(urls.extract_hrefs(F.col(text_col))).alias("ref"),
+        )
+        .filter(~F.col("ref").startswith("#"))
+        .select(
+            "src", ts_col,
+            urls.resolve_url(F.col("src"), F.col("ref")).alias("res"),
+        )
+        .filter(F.col("res").rlike("^https?://"))
+        .select(
+            urls.url_canonicalize(F.col("res")).alias("url"),
+            "src", ts_col,
+        )
+    )
+    new = links.join(seen.select(F.col("url")), "url", "left_anti")
+    flagged = robots_filter(new, rules)
+    return (
+        flagged.filter(~F.col("blocked"))
+        .select("url", urls.url_host(F.col("url")).alias("host"), "src", ts_col)
+        .dropDuplicatesWithinWatermark(["url"])
+    )
+
+
 def _session_fn(key, pdfs, state):
     """applyInPandasWithState worker: per-user session accumulation.
 

@@ -67,6 +67,7 @@ def run_frontier(
     bloom_min: int = 1_000_000,
     sitemaps_path: str | None = None,
     records_path: str | None = None,
+    ranks_path: str | None = None,
 ) -> dict:
     from doc_agent_spark.functions import urls
     from doc_agent_spark.operators import frontier as frontops
@@ -200,15 +201,32 @@ def run_frontier(
             _fl.append(fl.localCheckpoint(eager=True))
         return _fl[0]
 
-    commit("frontier", lambda: (
-        frontops.schedule_frontier(
+    def build_frontier():
+        sched = frontops.schedule_frontier(
             flagged().filter(~F.col("blocked")).drop("blocked"),
             "n_refs", crawl_delay_s=crawl_delay_s,
         ).select(
             "url", "host", F.col("n_refs").alias("priority"),
             "slot", "fetch_offset_s",
         )
-    ))
+        # host authority (e.g. graphrank.pagerank over the fetched link
+        # graph) rides along for the FETCHER's cross-host ordering —
+        # within a host the politeness slots already fix the order, and
+        # an unseen URL has no page-level rank, so host-sum is the right
+        # granularity for the crawl prior
+        if ranks_path is not None:
+            hr = (
+                _read(spark, ranks_path)
+                .select(urls.url_host(F.col("id")).alias("host"),
+                        F.col("rank"))
+                .groupBy("host").agg(F.sum("rank").alias("host_rank"))
+            )
+            sched = sched.join(F.broadcast(hr), "host", "left").withColumn(
+                "host_rank", F.coalesce(F.col("host_rank"), F.lit(0.0))
+            )
+        return sched
+
+    commit("frontier", build_frontier)
     commit("blocked", lambda: (
         flagged().filter(F.col("blocked")).select("url", "host")
     ))
@@ -239,6 +257,10 @@ def main() -> None:
     ap.add_argument("--records", default=None,
                     help="optional parsed-WARC records parquet; 3xx "
                          "Location targets join the discovered set")
+    ap.add_argument("--ranks", default=None,
+                    help="optional (id, rank) parquet (e.g. PageRank over "
+                         "the crawled graph); host-summed authority joins "
+                         "the frontier as host_rank")
     args = ap.parse_args()
 
     from jobs.extract import ship_package
@@ -250,7 +272,7 @@ def main() -> None:
             spark, args.fetched, args.seen, args.robots, args.output,
             args.lineage, args.run_id, crawl_delay_s=args.crawl_delay,
             bloom_min=args.bloom_min, sitemaps_path=args.sitemaps,
-            records_path=args.records,
+            records_path=args.records, ranks_path=args.ranks,
         )))
     finally:
         spark.stop()

@@ -172,3 +172,24 @@ def test_crawl_cycle_from_warc_archive(spark, tmp_path):
                spark.read.parquet(str(tmp_path / "out") + "/blocked").collect()}
     assert blocked == {"https://s.example.com/keepout/secret.html"}
     assert stats["frontier"] == 1 and stats["blocked"] == 1
+
+
+def test_frontier_host_rank_channel(spark, inputs, tmp_path):
+    ranks = str(tmp_path / "ranks")
+    spark.createDataFrame(
+        [("https://a.com/i.html", 0.5), ("https://a.com/j.html", 0.2),
+         ("https://b.com/x.html", 0.3)],
+        "id string, rank double",
+    ).write.parquet(ranks)
+    fetched, seen, robots = inputs
+    run_frontier(
+        spark, fetched, seen, robots, str(tmp_path / "out4"),
+        str(tmp_path / "lin4"), "f4", ranks_path=ranks,
+    )
+    front = {r["url"]: r["host_rank"] for r in
+             spark.read.parquet(str(tmp_path / "out4") + "/frontier").collect()}
+    # both new a.com urls carry the host-summed authority 0.7
+    assert front == {
+        "https://a.com/new1.html": 0.7,
+        "https://a.com/new2.html": 0.7,
+    }

@@ -312,3 +312,47 @@ def test_publish_stream_manifest_merges_to_batch(spark, tmp_path):
             out, {"shards": 64, "columns": ["doc_id", "lang", "text"],
                   "seed": "publish42", "key_col": "doc_id"},
         )
+
+
+def test_frontier_stream_matches_batch_semantics(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from doc_agent_spark.operators import frontier as frontops
+    from doc_agent_spark.streaming.pipeline import frontier_stream
+
+    seen_dir = str(tmp_path / "fseen")
+    spark.createDataFrame(
+        [("https://a.com/i.html",), ("https://a.com/old.html",)], "url string"
+    ).write.parquet(seen_dir)
+    seen = spark.read.parquet(seen_dir)
+    rules = frontops.parse_robots(spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private/\n")],
+        "host string, body string",
+    ))
+
+    in_dir, ckpt = str(tmp_path / "fin"), str(tmp_path / "fckpt")
+    SCHEMA = "url string, ts timestamp, text string"
+    spark.createDataFrame(
+        [
+            ("https://a.com/i.html", _t(0),
+             '<a href="/new1.html">1</a><a href="/private/x">p</a>'
+             '<a href="/old.html">o</a>'),
+            # second page cites new1 again inside the watermark: the
+            # stream must emit the url ONCE
+            ("https://a.com/j.html", _t(1), '<a href="new1.html">1</a>'),
+        ],
+        SCHEMA,
+    ).coalesce(1).write.parquet(in_dir + "/b1")
+
+    stream = spark.readStream.schema(SCHEMA).parquet(in_dir + "/*")
+    q = (
+        frontier_stream(stream, seen, rules)
+        .writeStream.format("memory").queryName("frontier_out")
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r.url: r.host for r in
+           spark.sql("SELECT url, host FROM frontier_out").collect()}
+    # seen urls excluded, robots-blocked excluded, new1 emitted exactly once
+    assert got == {"https://a.com/new1.html": "a.com"}

@@ -68,6 +68,7 @@ def run_frontier(
     sitemaps_path: str | None = None,
     records_path: str | None = None,
     ranks_path: str | None = None,
+    seen_out_path: str | None = None,
 ) -> dict:
     from doc_agent_spark.functions import urls
     from doc_agent_spark.operators import frontier as frontops
@@ -230,12 +231,23 @@ def run_frontier(
     commit("blocked", lambda: (
         flagged().filter(F.col("blocked")).select("url", "host")
     ))
+    if seen_out_path is not None:
+        # snapshot N+1's dedup state = seen ∪ discovered, written to a NEW
+        # path (never a rewrite of snapshot N — the mergeable-artifact
+        # rule); committed with the same _SUCCESS/resume contract so a
+        # crashed cycle re-runs cleanly
+        if _readable(spark, seen_out_path) is None:
+            seen.unionByName(discovered.select("url")).distinct().write.mode(
+                "overwrite"
+            ).parquet(seen_out_path)
+        built["seen_out"] = spark.read.parquet(seen_out_path).count()
     return {
         "run_id": run_id,
         "fetched_pages": fetched.count(),
         "discovered": built["discovered"],
         "frontier": built["frontier"],
         "blocked": built["blocked"],
+        "seen_out": built.get("seen_out"),
         "reused": reused,
         "artifacts_reused": sum(reused.values()),
         "wall_ms": int((time.time() - t0) * 1000),
@@ -257,6 +269,9 @@ def main() -> None:
     ap.add_argument("--records", default=None,
                     help="optional parsed-WARC records parquet; 3xx "
                          "Location targets join the discovered set")
+    ap.add_argument("--seen-out", default=None,
+                    help="write snapshot N+1's seen set (seen UNION "
+                         "discovered) to this NEW path")
     ap.add_argument("--ranks", default=None,
                     help="optional (id, rank) parquet (e.g. PageRank over "
                          "the crawled graph); host-summed authority joins "
@@ -273,6 +288,7 @@ def main() -> None:
             args.lineage, args.run_id, crawl_delay_s=args.crawl_delay,
             bloom_min=args.bloom_min, sitemaps_path=args.sitemaps,
             records_path=args.records, ranks_path=args.ranks,
+            seen_out_path=args.seen_out,
         )))
     finally:
         spark.stop()

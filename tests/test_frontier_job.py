@@ -193,3 +193,25 @@ def test_frontier_host_rank_channel(spark, inputs, tmp_path):
         "https://a.com/new1.html": 0.7,
         "https://a.com/new2.html": 0.7,
     }
+
+
+def test_frontier_seen_out_snapshot(spark, inputs, tmp_path):
+    fetched, seen, robots = inputs
+    out = str(tmp_path / "out5")
+    seen_out = str(tmp_path / "seen_next")
+    stats = run_frontier(
+        spark, fetched, seen, robots, out, str(tmp_path / "lin5"), "f5",
+        seen_out_path=seen_out,
+    )
+    nxt = {r["url"] for r in spark.read.parquet(seen_out).collect()}
+    # next snapshot = old seen UNION everything discovered this cycle
+    assert set(SEEN) <= nxt
+    assert "https://a.com/new1.html" in nxt
+    assert "https://a.com/private/s.html" in nxt  # discovered even if blocked
+    assert stats["seen_out"] == len(nxt)
+    # second run reuses the committed snapshot
+    stats2 = run_frontier(
+        spark, fetched, seen, robots, out, str(tmp_path / "lin5"), "f5",
+        seen_out_path=seen_out,
+    )
+    assert stats2["seen_out"] == stats["seen_out"]

@@ -2850,11 +2850,15 @@ _OUTLINK_HTML_SQL = (
 
 def _frontier_sql() -> str:
     """DuckDB mirror of the doc_listing frontier arm: identical robots.txt
-    weave re-parsed through the relational SQL mirror, prefix exclusion via
-    a correlated EXISTS, politeness slots via the same per-host window."""
+    weave re-parsed through the relational SQL mirror, full RFC 9309
+    exclusion (rule_regex_sql compile + list-max precedence, Allow beats
+    Disallow on equal octets), per-host Crawl-delay extraction, politeness
+    slots*delay via the same per-host window."""
     from doc_agent_spark.operators import frontier as frontops
 
     rules = frontops.parse_robots_sql("frobots")
+    delays = frontops.crawl_delays_sql("frobots")
+    rx = frontops.rule_regex_sql("pattern")
     return f"""
 WITH fhosts AS (SELECT DISTINCT doc_id % 7 AS k FROM documents),
 frobots AS (
@@ -2862,14 +2866,18 @@ frobots AS (
          '# robots' || chr(10) || 'User-agent: googlebot' || chr(10)
          || 'Disallow: /' || chr(10) || chr(10)
          || 'User-agent: bing' || chr(10) || 'User-agent: *' || chr(10)
-         || 'Crawl-delay: 1' || chr(10)
+         || 'Crawl-delay: ' || CAST(1 + k % 3 AS VARCHAR) || chr(10)
          || 'Disallow: /sec' || CAST(k AS VARCHAR) || '/' || chr(10)
+         || 'Allow: /sec' || CAST(k AS VARCHAR) || '/p8' || chr(10)
+         || 'Disallow: /*9.html$' || chr(10)
          || 'Disallow: /sec' || CAST((k + 3) % 13 AS VARCHAR) || '/ # comment'
          || chr(10) || 'Disallow:' || chr(10) || chr(10)
          || 'User-agent: other' || chr(10) || 'Disallow: /other/' || chr(10)
            AS body
   FROM fhosts),
 frules AS ({rules}),
+frx AS (SELECT host, rule, length(pattern) AS spec, {rx} AS rx FROM frules),
+fdelay AS ({delays}),
 ffront AS (
   SELECT doc_id, CAST(n_chars AS DOUBLE) AS priority,
          'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
@@ -2879,18 +2887,24 @@ ffront AS (
          '/sec' || CAST(doc_id % 13 AS VARCHAR) || '/p'
            || CAST(doc_id AS VARCHAR) || '.html' AS pathq
   FROM documents),
+fmatch AS (
+  SELECT f.doc_id,
+         max([r.spec, CASE WHEN r.rule = 'allow' THEN 1 ELSE 0 END]) AS best
+  FROM ffront f JOIN frx r
+    ON r.host = f.host AND regexp_matches(f.pathq, r.rx)
+  GROUP BY f.doc_id),
 fflag AS (
-  SELECT f.*, EXISTS(SELECT 1 FROM frules r
-                     WHERE r.host = f.host AND starts_with(f.pathq, r.prefix))
-           AS blocked
-  FROM ffront f)
+  SELECT f.*, coalesce(m.best[2] = 0, FALSE) AS blocked
+  FROM ffront f LEFT JOIN fmatch m USING (doc_id))
 SELECT doc_id, 'blocked' AS decision, host, CAST(NULL AS BIGINT) AS slot
 FROM fflag WHERE blocked
 UNION ALL
-SELECT doc_id, 'fetch', host,
-       CAST(row_number() OVER (PARTITION BY host
-                               ORDER BY priority DESC, url ASC) - 1 AS BIGINT)
-FROM fflag WHERE NOT blocked
+SELECT f.doc_id, 'fetch', f.host,
+       CAST((row_number() OVER (PARTITION BY f.host
+                                ORDER BY f.priority DESC, f.url ASC) - 1)
+            * coalesce(d.crawl_delay_s, 1.0) AS BIGINT)
+FROM fflag f LEFT JOIN fdelay d ON d.host = f.host
+WHERE NOT blocked
 """
 
 
@@ -3065,18 +3079,24 @@ def doc_listing(spark, sf_dir):
         F.round(F.col("rev") * 100).cast("long").alias("n_chars"),
         F.lit(None).cast("timestamp").alias("created_at"),
     )
-    # frontier arm (operators/frontier.py): robots.txt exclusion +
+    # frontier arm (operators/frontier.py): RFC 9309 robots.txt exclusion +
     # politeness scheduling over a woven per-host frontier. Hosts
     # site0..site6 each publish a robots.txt with a googlebot-only group
     # (must be ignored), a shared bing+* group disallowing /sec<k>/ and
-    # /sec<(k+3)%13>/ (one with a trailing comment), an allow-all blank
-    # Disallow, and a trailing non-* group. URL path
-    # /sec<doc_id%13>/p<doc_id>.html ⇒ blocked iff doc_id%13 ∈
-    # {k, (k+3)%13} for k = doc_id%7. Kept rows get per-host politeness
-    # slots ranked by (n_chars DESC, url) — lang carries the decision,
-    # source the host, n_chars the slot (NULL when blocked). The oracle
+    # /sec<(k+3)%13>/ (one with a trailing comment), an ``Allow:
+    # /sec<k>/p8`` island (9 octets — outranks the 6-7-octet /sec<k>/
+    # Disallow and TIES the 9-octet wildcard, where Allow wins per RFC
+    # 9309 §2.2.2), a ``Disallow: /*9.html$`` anchored wildcard, a
+    # per-host ``Crawl-delay: 1+k%3``, an allow-all blank Disallow, and a
+    # trailing non-* group. URL path /sec<doc_id%13>/p<doc_id>.html ⇒ the
+    # most-specific matching rule decides. Kept rows get per-host
+    # politeness slots ranked by (n_chars DESC, url), paced at the host's
+    # published Crawl-delay — lang carries the decision, source the host,
+    # n_chars the fetch offset slot*delay (NULL when blocked). The oracle
     # re-parses the identical robots bodies through the relational SQL
-    # mirror, so parse, filter, and schedule are all value-checked.
+    # mirror (regex compile + list-max precedence), so parse, wildcard
+    # matching, precedence, delay extraction, and scheduling are all
+    # value-checked.
     from doc_agent_spark.functions import urls
     from doc_agent_spark.operators import frontier as frontops
 
@@ -3100,10 +3120,13 @@ def doc_listing(spark, sf_dir):
         ).alias("host"),
         F.concat(
             F.lit("# robots\nUser-agent: googlebot\nDisallow: /\n\n"
-                  "User-agent: bing\nUser-agent: *\nCrawl-delay: 1\n"
-                  "Disallow: /sec"),
+                  "User-agent: bing\nUser-agent: *\nCrawl-delay: "),
+            (F.lit(1) + F.col("k") % 3).cast("string"),
+            F.lit("\nDisallow: /sec"),
             F.col("k").cast("string"),
-            F.lit("/\nDisallow: /sec"),
+            F.lit("/\nAllow: /sec"),
+            F.col("k").cast("string"),
+            F.lit("/p8\nDisallow: /*9.html$\nDisallow: /sec"),
             ((F.col("k") + 3) % 13).cast("string"),
             F.lit("/ # comment\nDisallow:\n\n"
                   "User-agent: other\nDisallow: /other/\n"),
@@ -3111,13 +3134,14 @@ def doc_listing(spark, sf_dir):
     )
     flagged = frontops.robots_filter(fr, frontops.parse_robots(robots))
     kept = frontops.schedule_frontier(
-        flagged.filter(~F.col("blocked")), "priority"
+        flagged.filter(~F.col("blocked")), "priority",
+        delays=frontops.crawl_delays(robots),
     )
     e = kept.select(
         F.lit("frontier").alias("variant"), "doc_id",
         F.lit("fetch").alias("lang"),
         urls.url_host(F.col("url")).alias("source"),
-        F.col("slot").cast("long").alias("n_chars"),
+        F.col("fetch_offset_s").cast("long").alias("n_chars"),
         F.lit(None).cast("timestamp").alias("created_at"),
     ).unionByName(
         flagged.filter(F.col("blocked")).select(

@@ -247,12 +247,21 @@ def _parse_http(
 ) -> tuple[int | None, str | None, str | None, bytes]:
     """(status, content_type, location, body) from HTTP response bytes;
     whole block becomes the body if the head is unparseable (tolerant,
-    never raises)."""
-    sep = block.find(b"\r\n\r\n")
-    if sep < 0 or not block.startswith(b"HTTP/"):
+    never raises). Real crawls contain servers emitting bare-LF header
+    lines; those heads parse too (fall back to ``\\n\\n`` when no CRLF
+    separator exists) rather than yielding http_status=NULL rows that the
+    status==200 filters downstream would silently drop."""
+    if not block.startswith(b"HTTP/"):
         return None, None, None, block
-    head, body = block[:sep], block[sep + 4:]
-    lines = head.split(CRLF)
+    sep = block.find(b"\r\n\r\n")
+    if sep >= 0:
+        head, body = block[:sep], block[sep + 4:]
+    else:
+        sep = block.find(b"\n\n")
+        if sep < 0:
+            return None, None, None, block
+        head, body = block[:sep], block[sep + 2:]
+    lines = [ln.rstrip(b"\r") for ln in head.replace(CRLF, b"\n").split(b"\n")]
     try:
         status = int(lines[0].split(b" ", 2)[1])
     except (IndexError, ValueError):
@@ -416,10 +425,14 @@ def decode_payloads(df: DataFrame, charset_col: str = "charset",
     # make_valid_utf8 is the lenient binary→string decode (malformed bytes
     # → U+FFFD); Spark 4's decode(_, 'UTF-8') raises MALFORMED_CHARACTER_
     # CODING instead, which a crawl with mis-declared charsets WILL hit.
-    utf8 = df.filter(F.col(charset_col) == "utf-8").withColumn(
+    # A NULL charset must land in exactly one branch (both == and != are
+    # null-excluding, which would silently drop the row): treat it as the
+    # utf-8 default, matching detect_charset's otherwise() arm.
+    is_utf8 = F.coalesce(F.col(charset_col) == "utf-8", F.lit(True))
+    utf8 = df.filter(is_utf8).withColumn(
         "text", F.expr(f"make_valid_utf8({payload_col})")
     )
-    rest = df.filter(F.col(charset_col) != "utf-8")
+    rest = df.filter(~is_utf8)
     out_schema = StructType(
         list(df.schema.fields) + [StructField("text", StringType())]
     )

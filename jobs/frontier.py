@@ -78,9 +78,15 @@ def run_frontier(
     t0 = time.time()
     out = output_path.rstrip("/")
     # frontier artifacts are a deterministic function of (inputs, config);
-    # resuming under a different config would mix disagreeing artifacts
+    # resuming under a different config would mix disagreeing artifacts.
+    # The optional channels change artifact CONTENT (records → redirect
+    # edges in discovered/, ranks → host_rank in frontier/, bloom_min →
+    # seen-set reduction shape), so their presence is part of the identity.
     check_or_write_config(out, {
         "job": "frontier", "crawl_delay_s": crawl_delay_s,
+        "bloom_min": bloom_min,
+        "sitemaps": sitemaps_path, "records": records_path,
+        "ranks": ranks_path,
     })
     fetched = _read(spark, fetched_path).select("url", "text")
     seen = _read(spark, seen_path).select("url")
@@ -203,9 +209,12 @@ def run_frontier(
         return _fl[0]
 
     def build_frontier():
+        # hosts publishing a Crawl-delay pace at their own rate; everyone
+        # else at the job default (per-host metadata -> broadcast join)
         sched = frontops.schedule_frontier(
             flagged().filter(~F.col("blocked")).drop("blocked"),
             "n_refs", crawl_delay_s=crawl_delay_s,
+            delays=frontops.crawl_delays(robots),
         ).select(
             "url", "host", F.col("n_refs").alias("priority"),
             "slot", "fetch_offset_s",

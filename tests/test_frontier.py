@@ -39,11 +39,15 @@ def _rules(spark):
 
 
 def test_parse_robots_star_groups_only(spark):
-    got = {(r["host"], r["prefix"]) for r in _rules(spark).collect()}
+    got = {(r["host"], r["rule"], r["pattern"]) for r in _rules(spark).collect()}
     # shared bing+* group applies; googlebot-only and other-only groups do
-    # not; blank Disallow (allow-all) and Allow lines are ignored; trailing
-    # comments strip
-    assert got == {("a.com", "/private/"), ("a.com", "/tmp/")}
+    # not; blank Disallow (allow-all) drops; Allow lines are first-class
+    # rules (RFC 9309); trailing comments strip
+    assert got == {
+        ("a.com", "disallow", "/private/"),
+        ("a.com", "disallow", "/tmp/"),
+        ("a.com", "allow", "/private/ok.html"),
+    }
 
 
 def test_parse_robots_sql_mirror(spark):
@@ -53,7 +57,7 @@ def test_parse_robots_sql_mirror(spark):
         pd.DataFrame({"host": ["a.com", "b.com"], "body": [ROBOTS_A, ROBOTS_B]}),
     )
     got = set(map(tuple, con.execute(frontier.parse_robots_sql("robots")).fetchall()))
-    want = {(r["host"], r["prefix"]) for r in _rules(spark).collect()}
+    want = {(r["host"], r["rule"], r["pattern"]) for r in _rules(spark).collect()}
     assert got == want
 
 
@@ -139,7 +143,7 @@ def test_robots_hosts_canonicalized_like_urls(spark):
         [("WWW.A.com:443", "User-agent: *\nDisallow: /private/\n")],
         "host string, body string",
     ))
-    assert {tuple(r) for r in rules.collect()} == {("a.com", "/private/")}
+    assert {tuple(r) for r in rules.collect()} == {("a.com", "disallow", "/private/")}
     fr = spark.createDataFrame(
         [("https://www.a.com/private/x.html",), ("https://a.com/ok.html",)],
         "url string",
@@ -149,3 +153,96 @@ def test_robots_hosts_canonicalized_like_urls(spark):
     # as-fetched robots host (www + port) still blocks the canonical frontier
     assert out["https://www.a.com/private/x.html"] is True
     assert out["https://a.com/ok.html"] is False
+
+
+RFC_BODY = (
+    "User-agent: *\n"
+    "Crawl-delay: 2.5\n"
+    "Disallow: /sec/\n"
+    "Allow: /sec/pub\n"          # longer -> overrides /sec/ for /sec/pub*
+    "Disallow: /*9.html$\n"      # wildcard + end anchor
+    "Allow: /fish*.php\n"
+    "Crawl-delay: 7\n"           # several values -> max wins
+)
+
+
+def _rfc_rules(spark):
+    return spark.createDataFrame(
+        [("c.com", RFC_BODY)], "host string, body string"
+    )
+
+
+def test_rfc9309_precedence_wildcards_and_anchors(spark):
+    cases = {
+        "https://c.com/sec/a.html": True,        # /sec/ disallow
+        "https://c.com/sec/pub/x": False,        # allow longer than disallow
+        "https://c.com/sec/pub9.html": True,     # 9-octet wildcard disallow
+                                                 # beats the 8-octet allow
+        "https://c.com/p9.html": True,           # $-anchored wildcard
+        "https://c.com/p9.html?x=1": False,      # $ means END -> query breaks it
+        "https://c.com/fishheads/catfish.php?x": False,  # mid-path wildcard allow
+        "https://c.com/ok.html": False,          # no match -> allowed
+    }
+    fr = spark.createDataFrame([(u,) for u in cases], "url string")
+    rules = frontier.parse_robots(_rfc_rules(spark))
+    out = {r["url"]: r["blocked"] for r in
+           frontier.robots_filter(fr, rules).collect()}
+    assert out == cases
+
+
+def test_rfc9309_duckdb_mirror_agrees(spark):
+    """The full matcher (regex compile + precedence argmax) reproduces in
+    DuckDB from the same bodies: parse mirror -> rule_regex_sql -> list-max
+    precedence, per-URL blocked flags identical to Spark's."""
+    urls_ = ["https://c.com/sec/a.html", "https://c.com/sec/pub/x",
+             "https://c.com/sec/pub9.html", "https://c.com/p9.html",
+             "https://c.com/p9.html?x=1", "https://c.com/ok.html"]
+    fr = spark.createDataFrame([(u,) for u in urls_], "url string")
+    rules = frontier.parse_robots(_rfc_rules(spark))
+    want = {r["url"]: r["blocked"] for r in
+            frontier.robots_filter(fr, rules).collect()}
+    con = duckdb.connect()
+    con.register("robots", pd.DataFrame({"host": ["c.com"], "body": [RFC_BODY]}))
+    con.register("front", pd.DataFrame({"url": urls_}))
+    q = f"""
+WITH rules AS ({frontier.parse_robots_sql("robots")}),
+rx AS (SELECT host, rule, length(pattern) AS spec,
+              {frontier.rule_regex_sql("pattern")} AS rx FROM rules),
+f AS (SELECT url, regexp_replace(regexp_replace(url, '^[a-z]+://[^/]*', ''),
+                                 '^$', '/') AS pathq FROM front),
+m AS (SELECT f.url,
+             max([r.spec, CASE WHEN r.rule = 'allow' THEN 1 ELSE 0 END]) AS best
+      FROM f JOIN rx r ON regexp_matches(f.pathq, r.rx) GROUP BY f.url)
+SELECT f.url, coalesce(m.best[2] = 0, FALSE) AS blocked
+FROM f LEFT JOIN m USING (url)
+"""
+    got = dict(con.execute(q).fetchall())
+    assert got == want
+
+
+def test_crawl_delays_max_wins_and_sql_mirror(spark):
+    df = _rfc_rules(spark)
+    got = {(r["host"], r["crawl_delay_s"]) for r in
+           frontier.crawl_delays(df).collect()}
+    assert got == {("c.com", 7.0)}
+    con = duckdb.connect()
+    con.register("robots", pd.DataFrame({"host": ["c.com"], "body": [RFC_BODY]}))
+    assert set(map(tuple, con.execute(
+        frontier.crawl_delays_sql("robots")).fetchall())) == got
+
+
+def test_schedule_frontier_per_host_delay_override(spark):
+    fr = spark.createDataFrame(
+        [("https://c.com/p1", 2.0), ("https://c.com/p2", 1.0),
+         ("https://d.com/q1", 2.0), ("https://d.com/q2", 1.0)],
+        "url string, priority double",
+    )
+    delays = spark.createDataFrame(
+        [("c.com", 7.0)], "host string, crawl_delay_s double"
+    )
+    out = {r["url"]: r["fetch_offset_s"] for r in
+           frontier.schedule_frontier(fr, "priority", crawl_delay_s=2.0,
+                                      delays=delays).collect()}
+    # c.com paces at its published 7s; d.com falls back to the 2s default
+    assert out == {"https://c.com/p1": 0.0, "https://c.com/p2": 7.0,
+                   "https://d.com/q1": 0.0, "https://d.com/q2": 2.0}

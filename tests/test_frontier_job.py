@@ -95,6 +95,13 @@ def test_frontier_config_drift_rejected(spark, inputs, tmp_path):
     _run(spark, inputs, tmp_path)
     with pytest.raises(ValueError, match="config mismatch"):
         _run(spark, inputs, tmp_path, crawl_delay_s=2.0)
+    # the optional channels shape artifact CONTENT too (ADVICE r3): a crash
+    # re-launched with --records/--ranks/--bloom-min added must not silently
+    # reuse artifacts built without them
+    with pytest.raises(ValueError, match="config mismatch"):
+        _run(spark, inputs, tmp_path, records_path=str(tmp_path / "recs"))
+    with pytest.raises(ValueError, match="config mismatch"):
+        _run(spark, inputs, tmp_path, bloom_min=1)
 
 
 def test_frontier_sitemap_and_redirect_channels(spark, inputs, tmp_path):

@@ -277,3 +277,39 @@ def test_nonutf8_literal_charset_never_raises(spark):
     # shift_jis: \x81\x40 decodes, \xff\xff is malformed -> replaced, not a crash
     text = warc.warc_to_docs(df, charset="shift_jis").head()["text"]
     assert "ok" in text and "then invalid" in text
+
+
+def test_bare_lf_http_head_parses():
+    """Servers emitting LF-only header lines still parse (status, headers,
+    body) instead of producing status=NULL rows that the downstream
+    status==200 filter would silently drop (ADVICE r3)."""
+    head = (b"HTTP/1.1 200 OK\n"
+            b"Content-Type: text/html; charset=utf-8\n"
+            b"Location: /elsewhere\n\n")
+    body = b"<html>lf only</html>"
+    status, ctype, loc, got = warc._parse_http(head + body)
+    assert status == 200
+    assert ctype.startswith("text/html")
+    assert loc == "/elsewhere"
+    assert got == body
+    # mixed CRLF head with one bare-LF line inside also parses per-line
+    mixed = (b"HTTP/1.1 301 Moved\r\n"
+             b"Location: https://x/\n"
+             b"Content-Type: text/plain\r\n\r\nB")
+    status2, ctype2, loc2, got2 = warc._parse_http(mixed)
+    assert (status2, ctype2, loc2, got2) == (301, "text/plain", "https://x/", b"B")
+
+
+def test_decode_payloads_null_charset_not_dropped(spark):
+    """A NULL charset routes into the utf-8 branch (never-drop contract):
+    both branch predicates are null-excluding without the coalesce guard
+    (ADVICE r3)."""
+    df = spark.createDataFrame(
+        [("a", None, bytearray("café".encode())),
+         ("b", "utf-8", bytearray(b"plain")),
+         ("c", "cp1252", bytearray("café".encode("cp1252")))],
+        "id string, charset string, payload binary",
+    )
+    got = {r["id"]: r["text"]
+           for r in warc.decode_payloads(df).collect()}
+    assert got == {"a": "café", "b": "plain", "c": "café"}

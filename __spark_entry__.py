@@ -3231,29 +3231,69 @@ def semi_anti_join(spark, sf_dir):
 
 
 def graph_ann_topk(spark, sf_dir):
-    """HNSW-analog graph ANN (operators/graph_ann.py), both serve paths
-    union-tagged: `broadcast` (whole index rides the node, beam search
-    distributed over the query batch) and `sharded` (IVF-cell cogroup —
-    no global broadcast, the 10^12-row shape). The beam search is
-    iterative with data-dependent control flow — genuinely
-    non-SQL-expressible, so this entry registers WITHOUT an oracle mirror
-    (the gate records rows-only); correctness is pinned by
-    tests/test_graph_ann.py (recall@10 vs brute force, sharded recall vs
-    exact-IVF at the same probes, determinism across parallelism, graph
-    shape invariants)."""
-    from doc_agent_spark.operators import graph_ann
+    """HNSW-analog graph ANN (operators/graph_ann.py), every deterministic
+    stage value-checked against the DuckDB oracle (closes the r3 verdict's
+    one `no_oracle` row):
+
+    - `graph`: the kNN-graph edge list (build_knn_graph — md5-LSH banded
+      candidates → exact cosine → per-node top-M, symmetrized). The
+      oracle rebuilds it relationally (same md5 buckets, same window).
+    - `route`: the sharded path's IVF cell routing — each query's nprobe
+      best cells against the stride-50 codebook, ties to the lower
+      centroid id (similarity.ivf_codebook semantics).
+    - `beam`: the broadcast serve path run EXHAUSTIVELY (beam = corpus
+      size, so the floor never prunes): the result is exactly top-k
+      cosine over the set reachable from the strided entry points, which
+      the oracle reproduces with a recursive-CTE closure over the same
+      edge list. This value-checks entry selection, traversal,
+      scoring, and tie-breaks end-to-end.
+
+    Realistic-beam pruning (beam=48) and the cell-cogrouped sharded serve
+    are data-dependent iterative control flow — those stay pytest-pinned
+    (tests/test_graph_ann.py: recall@10 floors vs brute force, sharded
+    recall vs exact-IVF at the same probes, determinism across
+    parallelism)."""
+    from doc_agent_spark.operators import graph_ann, similarity
+    from doc_agent_spark.functions import vectors
 
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    a = graph_ann.graph_ann_topk(emb, q, k=10, dim=64).select(
-        F.lit("broadcast").alias("variant"), "query_id", "id", "score"
+    graph = graph_ann.build_knn_graph(emb, m=12, dim=64).localCheckpoint(
+        eager=False
+    )   # one build feeds the graph arm AND the exhaustive serve
+    a = graph.select(
+        F.lit("graph").alias("variant"),
+        F.col("src").alias("query_id"), F.col("dst").alias("id"),
+        F.col("cosine").alias("score"),
     )
-    b = graph_ann.graph_ann_topk_sharded(
-        emb, q, k=10, dim=64, centroid_stride=50, nprobe=2
-    ).select(F.lit("sharded").alias("variant"), "query_id", "id", "score")
-    return a.unionByName(b)
+    cents, _ = similarity.ivf_codebook(emb, centroid_stride=50)
+    routed = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id", F.col("cid"),
+            vectors.cosine(F.col("qv"), F.col("cv")).alias("s"),
+        )
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("s"), F.asc("cid")
+                )
+            ),
+        )
+        .filter(F.col("pr") <= 2)
+    )
+    b = routed.select(
+        F.lit("route").alias("variant"), "query_id",
+        F.col("cid").alias("id"), F.round("s", 6).alias("score"),
+    )
+    n = emb.count()
+    c = graph_ann.graph_ann_topk(emb, q, k=10, beam=n, dim=64, graph=graph).select(
+        F.lit("beam").alias("variant"), "query_id", "id", "score"
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def snippet_search(spark, sf_dir):
@@ -3652,6 +3692,76 @@ SELECT 'reading', id, seq, line_no, col_start, run_text FROM (__READING_SQL__)
 """.strip().replace("__TABLE_SQL__", layout.table_regions_sql("runs")).replace(
     "__CELLS_SQL__", layout.table_cells_sql("runs", "regions")).replace(
     "__READING_SQL__", layout.reading_order_sql("runs", "regions"))
+
+
+def _graph_ann_sql() -> str:
+    """DuckDB mirror of the graph_ann_topk entry (operators/graph_ann.py):
+    the kNN-graph edge list rebuilt relationally (identical md5-LSH
+    buckets per table, exact cosine on candidates, per-node top-12
+    window, symmetrized), IVF query routing against the stride-50
+    codebook, and the exhaustive-beam serve as a recursive-CTE closure
+    from the strided entry points followed by top-k cosine over the
+    reachable set."""
+    buckets = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id AS id, {t} AS tbl, "
+        f"CAST({_lsh_bucket_sql('embedding', n_planes=5, seed=42 + t)} "
+        "AS INTEGER) AS bucket FROM embeddings"
+        for t in range(8)
+    )
+    return f"""
+WITH RECURSIVE buckets AS (
+{buckets}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id),
+pairs AS (
+  SELECT c.id_a, c.id_b, {_cos_sql('ea.embedding', 'eb.embedding')} AS c
+  FROM cand c JOIN embeddings ea ON ea.vec_id = c.id_a
+              JOIN embeddings eb ON eb.vec_id = c.id_b),
+sym AS (SELECT id_a AS src, id_b AS dst, c FROM pairs
+        UNION ALL SELECT id_b, id_a, c FROM pairs),
+edges AS (
+  SELECT src, dst, c FROM (
+    SELECT src, dst, c,
+           row_number() OVER (PARTITION BY src ORDER BY c DESC, dst ASC) AS rk
+    FROM sym) WHERE rk <= 12),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),
+routed AS (
+  SELECT query_id, cid, s FROM (
+    SELECT q.query_id, c.cid, {_cos_sql('q.qv', 'c.cv')} AS s,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_cos_sql('q.qv', 'c.cv')} DESC,
+                                       c.cid ASC) AS pr
+    FROM q CROSS JOIN cents c) WHERE pr <= 2),
+nn AS (SELECT count(*) AS n FROM embeddings),
+ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rn
+        FROM embeddings),
+entries AS (
+  SELECT vec_id AS id FROM ids CROSS JOIN nn
+  WHERE rn % greatest(n // 8, 1) = 0 AND rn // greatest(n // 8, 1) < 8),
+reach AS (
+  SELECT id FROM entries
+  UNION
+  SELECT e.dst FROM reach r JOIN edges e ON e.src = r.id),
+beam AS (
+  SELECT query_id, id, score FROM (
+    SELECT q.query_id, r.id,
+           round({_cos_sql('e.embedding', 'q.qv')}, 6) AS score,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_cos_sql('e.embedding', 'q.qv')} DESC,
+                                       r.id ASC) AS rk
+    FROM q CROSS JOIN reach r JOIN embeddings e ON e.vec_id = r.id)
+  WHERE rk <= 10)
+SELECT 'graph' AS variant, src AS query_id, dst AS id, round(c, 6) AS score
+FROM edges
+UNION ALL
+SELECT 'route', query_id, cid, round(s, 6) FROM routed
+UNION ALL
+SELECT 'beam', query_id, id, score FROM beam
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4936,6 +5046,7 @@ FROM events GROUP BY ROLLUP (event_type, hour(ts))
     }
 
     merged = {
+        "graph_ann_topk": _graph_ann_sql(),
         "vector_topk_methods": " UNION ALL ".join(
             f"SELECT '{m}' AS method, id, score FROM ({base[q]})"
             for m, q in [

@@ -155,11 +155,8 @@ def gopher_outlier_pass(text: Column, page: Column) -> Column:
 # repetition signals (one tagged explode for every n)
 # ---------------------------------------------------------------------------
 
-def word_ngrams_all(text: Column, n: int) -> Column:
-    """Word n-grams WITH multiplicity (the counting input; word_ngrams in
-    textfns is distinct-only for shingling). Generalizes word_bigrams_all —
-    n=2 produces the identical gram strings."""
-    w = words_of(text)
+def word_ngrams_of(w: Column, n: int) -> Column:
+    """Word n-grams WITH multiplicity from an already-tokenized array."""
     return F.when(
         F.size(w) >= n,
         F.transform(
@@ -169,12 +166,20 @@ def word_ngrams_all(text: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def word_ngrams_all(text: Column, n: int) -> Column:
+    """Word n-grams WITH multiplicity (the counting input; word_ngrams in
+    textfns is distinct-only for shingling). Generalizes word_bigrams_all —
+    n=2 produces the identical gram strings."""
+    return word_ngrams_of(words_of(text), n)
+
+
 def ngram_repetition_profile(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     top_ns: tuple[int, ...] = (2, 3, 4),
     dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-document Gopher repetition fractions, all n values in one pass.
 
@@ -193,6 +198,7 @@ def ngram_repetition_profile(
     """
     ns = sorted(set(top_ns) | set(dup_ns))
     text = F.col(text_col)
+    w = F.col(tokens_col) if tokens_col else words_of(text)
 
     def _tag(n: int):
         # NB: the lambda must take exactly one arg — F.transform feeds a
@@ -200,7 +206,7 @@ def ngram_repetition_profile(
         return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
 
     tagged = F.flatten(
-        F.array(*[F.transform(word_ngrams_all(text, n), _tag(n)) for n in ns])
+        F.array(*[F.transform(word_ngrams_of(w, n), _tag(n)) for n in ns])
     )
     grams = (
         df.select(id_col, F.explode(tagged).alias("t"))

@@ -61,30 +61,41 @@ HEAD_CE = 3.39
 MIDDLE_CE = 3.42
 
 
-def _bigram_pairs(text_col):
+def _tokens(text_col, tokens_col: str | None):
+    """The shared token array: a precomputed ``tokens_col`` when the caller
+    already tokenized (one corpus-wide pass feeding several consumers — the
+    r3-verdict shared-scan pattern), else ``words_of(text)``."""
+    return F.col(tokens_col) if tokens_col else words_of(text_col)
+
+
+def _bigram_pairs(text_col, tokens_col: str | None = None):
     """array<struct<w1,w2>> of adjacent word pairs; [] for < 2 tokens."""
-    ws = words_of(text_col)
+    ws = _tokens(text_col, tokens_col)
     n = F.greatest(F.size(ws) - F.lit(1), F.lit(0))
     return F.arrays_zip(
         F.slice(ws, 1, n).alias("w1"), F.slice(ws, 2, n).alias("w2")
     )
 
 
-def corpus_unigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def corpus_unigrams(docs: DataFrame, text_col: str = "text",
+                    tokens_col: str | None = None) -> DataFrame:
     """Full (untruncated) unigram counts (w, c) — one hash aggregate."""
     return (
-        docs.select(F.explode(words_of(F.col(text_col))).alias("w"))
+        docs.select(F.explode(_tokens(F.col(text_col), tokens_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
 
 
 def corpus_bigrams(
-    docs: DataFrame, min_count: int = 2, text_col: str = "text"
+    docs: DataFrame, min_count: int = 2, text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Truncated bigram counts (w1, w2, cb >= min_count) — one hash agg."""
     return (
-        docs.select(F.explode(_bigram_pairs(F.col(text_col))).alias("p"))
+        docs.select(
+            F.explode(_bigram_pairs(F.col(text_col), tokens_col)).alias("p")
+        )
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("cb"))
@@ -93,16 +104,17 @@ def corpus_bigrams(
 
 
 def corpus_bigram_lm(
-    docs: DataFrame, text_col: str = "text", min_count: int = 2
+    docs: DataFrame, text_col: str = "text", min_count: int = 2,
+    tokens_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Train the count model: (model_unigrams[w,c], model_bigrams[w1,w2,cb],
     totals[t]). Two hash aggregates; min_count truncation applied AFTER
     counting (so T covers the full corpus). Callers that persist the model
     (jobs/curate.py) derive totals from the committed unigram table instead
     — this lazy composition re-runs the unigram aggregate for totals."""
-    uni = corpus_unigrams(docs, text_col)
+    uni = corpus_unigrams(docs, text_col, tokens_col)
     totals = uni.agg(F.sum("c").cast("double").alias("t"))
-    big = corpus_bigrams(docs, min_count, text_col)
+    big = corpus_bigrams(docs, min_count, text_col, tokens_col)
     return uni.filter(F.col("c") >= min_count), big, totals
 
 
@@ -123,11 +135,13 @@ def doc_cross_entropy(
     alpha: float = ALPHA,
     head_ce: float = HEAD_CE,
     middle_ce: float = MIDDLE_CE,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Score every document: (id, n_bigrams, lm_ce, lm_tier). Narrow
     explode → broadcast joins → one per-doc aggregation."""
     bg = docs.select(
-        F.col(id_col), F.explode(_bigram_pairs(F.col(text_col))).alias("p")
+        F.col(id_col),
+        F.explode(_bigram_pairs(F.col(text_col), tokens_col)).alias("p"),
     ).select(id_col, "p.w1", "p.w2")
     j = (
         bg.join(F.broadcast(model_big), ["w1", "w2"], "left")
@@ -171,12 +185,14 @@ def lm_quality_profile(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_count: int = 2,
+    tokens_col: str | None = None,
     **score_kwargs,
 ) -> DataFrame:
     """Train-on-self + score-every-doc in one call (the CCNet shape trains
     on a trusted corpus; self-training still ranks documents by how typical
     their word transitions are — the head/tail split curation wants)."""
-    uni, big, totals = corpus_bigram_lm(docs, text_col, min_count)
+    uni, big, totals = corpus_bigram_lm(docs, text_col, min_count, tokens_col)
     return doc_cross_entropy(
-        docs, uni, big, totals, text_col, id_col, **score_kwargs
+        docs, uni, big, totals, text_col, id_col,
+        tokens_col=tokens_col, **score_kwargs
     )

@@ -52,6 +52,7 @@ def hashed_nb_scores(
     label: Column,
     n_buckets: int = 4096,
     seed: str = "nbq",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Train a hashed-NB model on ``df`` (binary ``label``) and score every
     row with it: ``(id, nb_score, nb_pred)``.
@@ -62,10 +63,11 @@ def hashed_nb_scores(
     rounded to 6 decimals; nb_pred = rounded score > 0. Add-one smoothing
     with V = n_buckets keeps every bucket's odds finite.
     """
+    tok_arr = F.col(tokens_col) if tokens_col else words_of(F.col(text_col))
     toks = (
         df.select(
             F.col(id_col).alias("id"), label.alias("y"),
-            F.explode(words_of(F.col(text_col))).alias("w"),
+            F.explode(tok_arr).alias("w"),
         )
         .withColumn("bucket", _bucket(F.col("w"), n_buckets, seed))
         .drop("w")

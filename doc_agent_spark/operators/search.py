@@ -17,10 +17,14 @@ from pyspark.sql import functions as F
 from ..functions.textfns import words_of
 
 
-def _bm25_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, w, dl) over the shared tokenizer — the common BM25 head."""
+def _bm25_tokens(docs: DataFrame, id_col: str, text_col: str,
+                 tokens_col: str | None = None) -> DataFrame:
+    """(id, w, dl) over the shared tokenizer — the common BM25 head. A
+    precomputed ``tokens_col`` array column skips the tokenize (the shared
+    corpus-scan pattern: one words_of pass feeds every arm)."""
+    w = F.col(tokens_col) if tokens_col else words_of(F.col(text_col))
     return docs.select(
-        F.col(id_col).alias("id"), words_of(F.col(text_col)).alias("w")
+        F.col(id_col).alias("id"), w.alias("w")
     ).withColumn("dl", F.size("w"))
 
 
@@ -58,11 +62,12 @@ def bm25_scores(
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(id, score) BM25 over the shared tokenizer, query terms fixed as a
     driver-side literal isin filter (pushdown-friendly — the 100 TB form
     for hand-typed queries)."""
-    toks = _bm25_tokens(docs, id_col, text_col)
+    toks = _bm25_tokens(docs, id_col, text_col, tokens_col)
     tf = (
         toks.select("id", "dl", F.explode("w").alias("term"))
         .where(F.col("term").isin(query_terms))
@@ -284,6 +289,7 @@ def bm25_scores_for_terms(
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """:func:`bm25_scores` with the query terms as a DataFrame (one ``term``
     column) instead of a Python list — the form RM3 needs, where the second-
@@ -291,7 +297,7 @@ def bm25_scores_for_terms(
     terms frame broadcasts into the token stream (deduped — a repeated
     expansion term must not fan out tf rows); scoring shares
     :func:`_bm25_from_tf` with the isin() variant."""
-    toks = _bm25_tokens(docs, id_col, text_col)
+    toks = _bm25_tokens(docs, id_col, text_col, tokens_col)
     tf = (
         toks.select("id", "dl", F.explode("w").alias("term"))
         .join(F.broadcast(terms.select("term").distinct()), "term")
@@ -309,6 +315,7 @@ def rm3_expansion_terms(
     m: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """RM3 pseudo-relevance feedback expansion terms (Lavrenko & Croft 2001
     relevance models; the Anserini-default RM3 shape): take the top ``k_fb``
@@ -321,12 +328,10 @@ def rm3_expansion_terms(
     Returns (term, rm_weight), at most m rows. ``first_pass`` lets the
     caller reuse an already-checkpointed stage-1 frame."""
     s1 = first_pass if first_pass is not None else bm25_scores(
-        docs, query_terms, id_col, text_col
+        docs, query_terms, id_col, text_col, tokens_col=tokens_col
     )
     fb = s1.orderBy(F.desc("score"), F.asc("id")).limit(k_fb)
-    occ = docs.select(
-        F.col(id_col).alias("id"), words_of(F.col(text_col)).alias("w")
-    ).withColumn("dl", F.size("w")).select(
+    occ = _bm25_tokens(docs, id_col, text_col, tokens_col).select(
         "id", "dl", F.explode("w").alias("term")
     )
     return (
@@ -347,6 +352,7 @@ def rm3_scores(
     beta: float = 0.4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Full RM3: first-pass BM25 + expansion + interpolated second pass —
     final(d) = round(s1(d) + beta · s2(d), 6) over the union of both result
@@ -359,14 +365,15 @@ def rm3_scores(
     frame is two columns, far smaller than re-running the explode). The
     expansion set is ≤ m rows, broadcast into the second pass; the final
     merge is a full outer join of two score frames keyed on id."""
-    s1 = bm25_scores(docs, query_terms, id_col, text_col).localCheckpoint(
-        eager=True
-    )
+    s1 = bm25_scores(
+        docs, query_terms, id_col, text_col, tokens_col=tokens_col
+    ).localCheckpoint(eager=True)
     exp = rm3_expansion_terms(
         docs, query_terms, first_pass=s1, k_fb=k_fb, m=m,
-        id_col=id_col, text_col=text_col,
+        id_col=id_col, text_col=text_col, tokens_col=tokens_col,
     )
-    s2 = bm25_scores_for_terms(docs, exp, id_col, text_col)
+    s2 = bm25_scores_for_terms(docs, exp, id_col, text_col,
+                               tokens_col=tokens_col)
     a = s1.withColumnRenamed("score", "s1")
     c = s2.withColumnRenamed("score", "s2")
     return (
@@ -434,6 +441,7 @@ def ql_scores(
     mu: float = 2000.0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty 2001) —
     the language-model retrieval classic beside BM25:
@@ -449,9 +457,7 @@ def ql_scores(
     term count (≤ |query| rows, broadcast); per-doc tf is the usual
     filtered explode + (id, term) partial agg; the scorer is a crossJoin
     against the ≤|query|-row term table + one left join + per-doc sum."""
-    toks = docs.select(
-        F.col(id_col).alias("id"), words_of(F.col(text_col)).alias("w")
-    ).withColumn("dl", F.size("w"))
+    toks = _bm25_tokens(docs, id_col, text_col, tokens_col)
     total = toks.agg(F.sum("dl").cast("double").alias("t"))
     cf = (
         toks.select(F.explode("w").alias("term"))
@@ -721,6 +727,7 @@ def phrase_match(
     phrase: list[str],
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Exact token-phrase search: (id, n_hits) for every document whose
     token sequence contains ``phrase`` contiguously, with occurrence
@@ -741,9 +748,8 @@ def phrase_match(
     either way.
     """
     k = len(phrase)
-    cand = docs.select(
-        F.col(id_col).alias("id"), words_of(F.col(text_col)).alias("w")
-    )
+    wcol = F.col(tokens_col) if tokens_col else words_of(F.col(text_col))
+    cand = docs.select(F.col(id_col).alias("id"), wcol.alias("w"))
     # containment prefilter: candidates must contain every phrase term
     # (same projection, short-circuits the verify on non-candidates)
     for t in set(phrase):
@@ -785,6 +791,7 @@ def proximity_pairs(
     term_b: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Proximity search: (id, min_dist) — the minimum token distance
     between any occurrence of ``term_a`` and any of ``term_b`` in each
@@ -796,7 +803,7 @@ def proximity_pairs(
     occurrence-sized (tiny after the term filter), so the nested
     transform is O(occ_a x occ_b) per doc, never corpus-quadratic.
     """
-    w = words_of(F.col(text_col))
+    w = F.col(tokens_col) if tokens_col else words_of(F.col(text_col))
     pa = _positions_1based(w, term_a)
     pb = _positions_1based(w, term_b)
     return (

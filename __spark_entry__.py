@@ -253,9 +253,9 @@ def _nb_cte_sql() -> str:
     return hashed_nb_sql("documents", "doc_id", _WORDS_SQL, label)
 
 
-def _bm25_topk_sql() -> str:
-    """The BM25 top-10 (id, score) block, shared by the bm25_topk oracle
-    arm and the snippet arm's hydration source."""
+def _bm25_scores_sql() -> str:
+    """The full BM25 (id, score) block (every matching doc, no cut) —
+    the keyword-retrieval list the RAG arm fuses."""
     return f"""
 WITH toks AS (SELECT doc_id AS id, {_WORDS_SQL} AS w FROM documents),
 stats AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM toks),
@@ -269,8 +269,14 @@ scored AS (
          * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl)) AS ts
   FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN stats)
 SELECT id, round(sum(ts), 6) AS score FROM scored GROUP BY id
-ORDER BY score DESC, id ASC LIMIT 10
 """.strip()
+
+
+def _bm25_topk_sql() -> str:
+    """The BM25 top-10 (id, score) block, shared by the bm25_topk oracle
+    arm and the snippet arm's hydration source."""
+    return (f"SELECT * FROM ({_bm25_scores_sql()}) "
+            "ORDER BY score DESC, id ASC LIMIT 10")
 
 
 def _kmv_users_sql() -> str:
@@ -2047,6 +2053,18 @@ def rerank_search(spark, sf_dir):
     return search.rerank(hydrated, terms, text_col="text", alpha=0.6)
 
 
+def rag_search(spark, sf_dir):
+    """Deterministic extractive RAG assembly (search.rag_answer — the
+    roadmap's runRAG surface): cosine list (query vector 0) ∪ full BM25
+    list fused by RRF, reranked, top-5 cited with query-aware snippets,
+    stitched answer + per-stage debug counts."""
+    docs = load(spark, sf_dir, "documents")
+    terms = ["spark", "join", "window"]
+    vec = _cosine_scores(spark, sf_dir, 0)
+    kw = search.bm25_scores(docs, terms)
+    return search.rag_answer(docs, vec, kw, terms, k=5)
+
+
 def search_hydrate(spark, sf_dir):
     topk = _cosine_scores(spark, sf_dir, 0).orderBy(F.desc("score"), F.asc("id")).limit(10)
     docs = load(spark, sf_dir, "documents")
@@ -3367,7 +3385,21 @@ def rerank_hydrate(spark, sf_dir):
         F.col("mmr").alias("final_score"),
         F.lit(None).cast("string").alias("snippet"),
     )
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    # rag arm (search.rag_answer): citation rows carry their rank inside
+    # the snippet's [n] marker (the same format the stitched answer uses),
+    # so fusion, rerank blend, final ranking, snippet selection, answer
+    # assembly, AND the debug stage counts are all value-checked.
+    e = rag_search(spark, sf_dir).select(
+        F.concat(F.lit("rag_"), F.col("part")).alias("variant"),
+        F.col("id"),
+        "score", "rerank_score", "final_score",
+        F.when(
+            F.col("part") == "citation",
+            F.concat(F.lit("["), F.col("rank").cast("string"), F.lit("] "),
+                     F.col("content")),
+        ).otherwise(F.col("content")).alias("snippet"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -5092,6 +5124,13 @@ FROM ({search.mmr_sql(
     f"SELECT c.id, c.score AS rel, e.embedding AS emb FROM ({_cosine_scores_sql(0)}) c "
     "JOIN embeddings e ON c.id = e.vec_id ORDER BY rel DESC, id ASC LIMIT 20",
     k=10, lam=0.7)})
+UNION ALL
+SELECT 'rag_' || part, id, score, rerank_score, final_score,
+       CASE WHEN part = 'citation'
+            THEN '[' || CAST(rank AS VARCHAR) || '] ' || content
+            ELSE content END
+FROM ({search.rag_answer_sql(_cosine_scores_sql(0), _bm25_scores_sql(),
+                             ["spark", "join", "window"], k=5)})
 """,
         "semi_anti_join": f"""
 SELECT 'anti' AS variant, CAST(c_custkey AS BIGINT) AS key, c_name AS name,

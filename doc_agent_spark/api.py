@@ -95,6 +95,32 @@ def _semantic_search(spark: SparkSession, input_path: str, query: str,
     return chunking.hydrate_chunks(search.topk(scores, limit), chunks, docs)
 
 
+def _rag_search(spark: SparkSession, input_path: str, query: str,
+                limit: int) -> DataFrame:
+    """The roadmap's RAG surface (`doc search --rag` / `POST /rag`,
+    SEMANTIC-SEARCH-ROADMAP.md:146-169): hybrid retrieval (deterministic
+    doc-grain embedding cosine ∪ BM25) fused by RRF, reranked, top-k
+    cited with query-aware snippets, and a stitched extractive answer —
+    RAGResponse{answer, chunks, debug} as (part, rank, id, …) rows."""
+    import re
+
+    from .functions import embedder
+    from .functions.vectors import cosine
+    from .operators import search
+
+    docs = spark.read.parquet(input_path)
+    terms = [t for t in re.split(r"[^a-z0-9]+", query.lower()) if t]
+    if not terms:
+        raise ValueError("query must contain at least one token")
+    vecs = embedder.embed(docs, "doc_id", "text", dim=16)
+    qv = embedder.fake_embedding(F.lit(query), 16)
+    vec_scores = vecs.select(
+        "id", F.round(cosine(F.col("embedding"), qv), 6).alias("score")
+    )
+    kw_scores = search.bm25_scores(docs, terms)
+    return search.rag_answer(docs, vec_scores, kw_scores, terms, k=limit)
+
+
 def _list_documents(spark: SparkSession, input_path: str, limit: int) -> DataFrame:
     from .functions.format import format_bytes
 
@@ -134,6 +160,14 @@ OPERATIONS: dict[str, Operation] = {
             # must fail on its absence, not pass and then blow up on the
             # cluster (the whole point of preflight)
             required_cols=frozenset({"doc_id", "text", "lang"}),
+        ),
+        Operation(
+            "rag_search",
+            "RAG answer with citations (hybrid retrieval + extractive answer)",
+            {"input_path": str, "query": str, "limit": int},
+            {"limit": 5},
+            fn=_rag_search,
+            required_cols=frozenset({"doc_id", "text"}),
         ),
         Operation(
             "list_documents",

@@ -948,3 +948,169 @@ mmr_sel AS (
 SELECT CAST(step AS INTEGER) AS rank, pick_id AS id, sel_rel AS rel, marg AS mmr
 FROM mmr_sel
 """
+
+
+def rag_answer(
+    docs: DataFrame,
+    vector_scores: DataFrame,
+    keyword_scores: DataFrame,
+    query_terms: list[str],
+    k: int = 5,
+    rrf_k: int = 60,
+    top_n: int = 100,
+    window: int = 12,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic extractive RAG answer assembly — the roadmap's
+    ``runRAG()`` surface (SEMANTIC-SEARCH-ROADMAP.md:146-169: RAGResponse
+    {answer, chunks, debug}) composed from the existing retrieval chain
+    with NO model in the loop: rrf_fuse(vector ∪ keyword) → rerank (the
+    deterministic cross-encoder stub) → top-k → best_window_snippet →
+    answer = rank-ordered snippets stitched with [n] citation markers.
+
+    Returns one frame with three row kinds (part column):
+    - 'citation' (k rows): rank, id, fused score, rerank_score,
+      final_score, content = the chunk's query-aware snippet — the
+      RAGChunk analog.
+    - 'answer' (1 row): content = the stitched extractive answer.
+    - 'debug' (1 row): content = per-stage result counts
+      ("vector=.. keyword=.. fused=.. reranked=.."), the deterministic
+      analog of the roadmap's debug.stats (latencies aren't replayable;
+      stage cardinalities are).
+
+    Scale posture: fusion cuts both lists to top_n via
+    TakeOrderedAndProject + the windowless bounded ranker; everything
+    after operates on ≤ 2k rows broadcast into the documents scan; the
+    answer aggregation is a single k-row collect_list. The corpus is
+    scanned once per retrieval list and once for hydration — never
+    shuffled."""
+    fused = rrf_fuse(vector_scores, keyword_scores, k=rrf_k, top_n=top_n)
+    cands = topk(
+        fused.withColumnRenamed("rrf_score", "score"), 2 * k
+    )
+    hydrated = docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias(text_col)
+    ).join(F.broadcast(cands), "id")
+    rr = rerank(hydrated, query_terms, text_col=text_col, alpha=alpha)
+    final = topk(rr, k, score_col="final_score")
+    ranked = final.join(
+        _rank_bounded(final, "rank", score_col="final_score"), "id"
+    )
+    snip = best_window_snippet(
+        final.select("id", F.col("final_score").alias("score")),
+        docs, query_terms, id_col=id_col, text_col=text_col, window=window,
+    ).select("id", F.col("snippet"))
+    cit = ranked.join(F.broadcast(snip), "id").select(
+        F.lit("citation").alias("part"), "rank", "id", "score",
+        "rerank_score", "final_score", F.col("snippet").alias("content"),
+    )
+    null_cols = [
+        F.lit(None).cast("int").alias("rank"),
+        F.lit(None).cast(cit.schema["id"].dataType.simpleString()).alias("id"),
+        F.lit(None).cast("double").alias("score"),
+        F.lit(None).cast("double").alias("rerank_score"),
+        F.lit(None).cast("double").alias("final_score"),
+    ]
+    answer = cit.agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "content"))),
+                lambda s: F.concat(
+                    F.lit("["), s["rank"].cast("string"), F.lit("] "),
+                    s["content"],
+                ),
+            ),
+            " ",
+        ).alias("content")
+    ).select(F.lit("answer").alias("part"), *null_cols, "content")
+    counts = (
+        vector_scores.agg(F.count("*").alias("n_vector"))
+        .crossJoin(keyword_scores.agg(F.count("*").alias("n_keyword")))
+        .crossJoin(fused.agg(F.count("*").alias("n_fused")))
+        .crossJoin(rr.agg(F.count("*").alias("n_reranked")))
+    )
+    debug = counts.select(
+        F.lit("debug").alias("part"), *null_cols,
+        F.format_string(
+            "vector=%d keyword=%d fused=%d reranked=%d",
+            "n_vector", "n_keyword", "n_fused", "n_reranked",
+        ).alias("content"),
+    )
+    return cit.unionByName(answer).unionByName(debug)
+
+
+def rag_answer_sql(
+    vector_sql: str,
+    keyword_sql: str,
+    query_terms: list[str],
+    k: int = 5,
+    rrf_k: int = 60,
+    top_n: int = 100,
+    window: int = 12,
+    alpha: float = 0.5,
+) -> str:
+    """DuckDB mirror of :func:`rag_answer` — identical fusion, rerank
+    arithmetic, ranking tie-breaks, snippet selection, answer stitching,
+    and debug counts. ``vector_sql``/``keyword_sql`` are (id, score)
+    subqueries over ``documents``-joinable ids."""
+    terms = sorted({t.lower() for t in query_terms})
+    tlist = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+    snip = best_window_snippet_sql(
+        "SELECT id, final_score AS score FROM rag_final", query_terms,
+        window=window,
+    )
+    return f"""
+WITH sa AS ({vector_sql}),
+sb AS ({keyword_sql}),
+ra AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rank_a FROM sa),
+rb AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rank_b FROM sb),
+ta AS (SELECT * FROM ra WHERE rank_a <= {top_n}),
+tb AS (SELECT * FROM rb WHERE rank_b <= {top_n}),
+fused AS (
+  SELECT coalesce(ta.id, tb.id) AS id,
+         round(coalesce(1.0 / ({rrf_k} + rank_a), 0.0)
+               + coalesce(1.0 / ({rrf_k} + rank_b), 0.0), 6) AS score
+  FROM ta FULL OUTER JOIN tb ON ta.id = tb.id),
+cands AS (SELECT id, score FROM fused ORDER BY score DESC, id ASC LIMIT {2 * k}),
+hyd AS (SELECT d.doc_id AS id, c.score,
+               list_filter(string_split_regex(lower(d.text), '[^a-z0-9]+'),
+                           w -> w <> '') AS w
+        FROM documents d JOIN cands c ON d.doc_id = c.id),
+rr AS (
+  SELECT id, score,
+         round((CAST(len(list_intersect(w, {tlist})) AS DOUBLE)
+                / {float(len(terms))}) * 0.7
+               + least(CAST(len(list_filter(w, x -> list_contains({tlist}, x)))
+                            AS DOUBLE) / 20.0, 1.0) * 0.3, 6) AS rerank_score
+  FROM hyd),
+rr2 AS (SELECT id, score, rerank_score,
+               round({alpha} * rerank_score + {1.0 - alpha} * score, 6)
+                 AS final_score
+        FROM rr),
+rag_final AS (SELECT * FROM rr2 ORDER BY final_score DESC, id ASC LIMIT {k}),
+rag_rank AS (
+  SELECT id, score, rerank_score, final_score,
+         CAST(row_number() OVER (ORDER BY final_score DESC, id ASC) AS INTEGER)
+           AS rank
+  FROM rag_final),
+rag_snip AS ({snip}),
+cit AS (
+  SELECT 'citation' AS part, r.rank, r.id, r.score, r.rerank_score,
+         r.final_score, s.snippet AS content
+  FROM rag_rank r JOIN rag_snip s ON r.id = s.id)
+SELECT * FROM cit
+UNION ALL
+SELECT 'answer', CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       string_agg('[' || CAST(rank AS VARCHAR) || '] ' || content, ' '
+                  ORDER BY rank) FROM cit
+UNION ALL
+SELECT 'debug', CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       'vector=' || CAST((SELECT count(*) FROM sa) AS VARCHAR)
+       || ' keyword=' || CAST((SELECT count(*) FROM sb) AS VARCHAR)
+       || ' fused=' || CAST((SELECT count(*) FROM fused) AS VARCHAR)
+       || ' reranked=' || CAST((SELECT count(*) FROM rr2) AS VARCHAR)
+"""

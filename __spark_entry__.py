@@ -1999,12 +1999,13 @@ def retrieval_eval(spark, sf_dir):
     return search.eval_retrieval(retrieved, relevant, k=10)
 
 
-def retrieval_eval_by_query(spark, sf_dir):
-    """Multi-query eval harness shape: vec_ids 0-2 are the query set; each
-    query's retrieved list = cosine vs the whole corpus (minus self),
-    relevant = same-label vectors. Ranks partition by query_id."""
+def retrieval_eval_by_query(spark, sf_dir, n_queries=3):
+    """Multi-query eval harness shape: the first ``n_queries`` vec_ids are
+    the query set; each query's retrieved list = cosine vs the whole
+    corpus (minus self), relevant = same-label vectors. Ranks partition
+    by query_id."""
     emb = load(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 3).select(
+    q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("label").alias("qlabel"),
@@ -2019,6 +2020,19 @@ def retrieval_eval_by_query(spark, sf_dir):
         "query_id", F.col("vec_id").alias("id")
     )
     return search.eval_retrieval_by_query(retrieved, relevant, k=10)
+
+
+def retrieval_eval_categories(spark, sf_dir):
+    """EvalResult.byCategory arm (search.eval_retrieval_by_category): six
+    queries (vec_id 0-5) roll up to 'cat<label>' categories of their query
+    vector's label — macro-averaged recall/precision/MRR per category."""
+    emb = load(spark, sf_dir, "embeddings")
+    byq = retrieval_eval_by_query(spark, sf_dir, n_queries=6)
+    cats = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"),
+        F.concat(F.lit("cat"), F.col("label").cast("string")).alias("category"),
+    )
+    return search.eval_retrieval_by_category(byq, cats)
 
 
 def chunk_documents(spark, sf_dir):
@@ -2486,17 +2500,25 @@ def simhash_dedup(spark, sf_dir):
 
 
 def retrieval_eval_all(spark, sf_dir):
-    """Single-query aggregate eval (query_id = -1) plus the per-query eval
-    harness, in one (query_id, recall@k, precision@k, mrr) frame."""
+    """Single-query aggregate eval (query_id = -1), the per-query eval
+    harness, and the byCategory rollup (roadmap EvalResult.byCategory —
+    category rows carry NULL query_id and their category tag), in one
+    (query_id, category, recall@k, precision@k, mrr) frame."""
     agg = retrieval_eval(spark, sf_dir).select(
         F.lit(-1).cast("long").alias("query_id"),
+        F.lit(None).cast("string").alias("category"),
         "recall_at_k", "precision_at_k", "mrr",
     )
     byq = retrieval_eval_by_query(spark, sf_dir).select(
         F.col("query_id").cast("long").alias("query_id"),
+        F.lit(None).cast("string").alias("category"),
         "recall_at_k", "precision_at_k", "mrr",
     )
-    return agg.unionByName(byq)
+    byc = retrieval_eval_categories(spark, sf_dir).select(
+        F.lit(None).cast("long").alias("query_id"),
+        "category", "recall_at_k", "precision_at_k", "mrr",
+    )
+    return agg.unionByName(byq).unionByName(byc)
 
 
 def deterministic_samples(spark, sf_dir):
@@ -3737,6 +3759,39 @@ SELECT 'reading', id, seq, line_no, col_start, run_text FROM (__READING_SQL__)
     "__READING_SQL__", layout.reading_order_sql("runs", "regions"))
 
 
+def _eval_by_query_sql(n_queries: int = 3) -> str:
+    """DuckDB mirror of retrieval_eval_by_query for the first n_queries
+    vectors (shared by the per-query arm at n=3 and the byCategory arm's
+    n=6 rollup input)."""
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+           FROM embeddings WHERE vec_id < {n_queries}),
+s AS (SELECT q.query_id, e.vec_id AS id, e.label, q.qlabel,
+             round({_cos_sql('e.embedding', 'q.qv')}, 6) AS score
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+ranked AS (SELECT query_id, id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, id ASC) AS rank
+           FROM s),
+rel AS (SELECT query_id, id FROM s WHERE label = qlabel),
+j AS (SELECT r.query_id, r.rank,
+             CASE WHEN rel.id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM ranked r LEFT JOIN rel
+        ON r.query_id = rel.query_id AND r.id = rel.id
+      WHERE r.rank <= 10),
+per_q AS (SELECT query_id, sum(hit) AS hits,
+                 min(CASE WHEN hit = 1 THEN rank END) AS best
+          FROM j GROUP BY query_id),
+rel_n AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY query_id)
+SELECT p.query_id,
+       round(CASE WHEN coalesce(n_rel, 0) > 0
+                  THEN CAST(hits AS DOUBLE) / n_rel ELSE 0.0 END, 6) AS recall_at_k,
+       round(CAST(hits AS DOUBLE) / 10.0, 6) AS precision_at_k,
+       round(coalesce(1.0 / best, 0.0), 6) AS mrr
+FROM per_q p LEFT JOIN rel_n USING (query_id)
+"""
+
+
 def _graph_ann_sql() -> str:
     """DuckDB mirror of the graph_ann_topk entry (operators/graph_ann.py):
     the kNN-graph edge list rebuilt relationally (identical md5-LSH
@@ -4952,33 +5007,7 @@ SELECT round(sum(hit) / (SELECT count(*) FROM rel), 6) AS recall_at_k,
        round(coalesce(1.0 / min(CASE WHEN hit = 1 THEN rank END), 0.0), 6) AS mrr
 FROM j
 """,
-        "retrieval_eval_by_query": f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
-           FROM embeddings WHERE vec_id < 3),
-s AS (SELECT q.query_id, e.vec_id AS id, e.label, q.qlabel,
-             round({_cos_sql('e.embedding', 'q.qv')}, 6) AS score
-      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
-ranked AS (SELECT query_id, id, score,
-                  row_number() OVER (PARTITION BY query_id
-                                     ORDER BY score DESC, id ASC) AS rank
-           FROM s),
-rel AS (SELECT query_id, id FROM s WHERE label = qlabel),
-j AS (SELECT r.query_id, r.rank,
-             CASE WHEN rel.id IS NOT NULL THEN 1 ELSE 0 END AS hit
-      FROM ranked r LEFT JOIN rel
-        ON r.query_id = rel.query_id AND r.id = rel.id
-      WHERE r.rank <= 10),
-per_q AS (SELECT query_id, sum(hit) AS hits,
-                 min(CASE WHEN hit = 1 THEN rank END) AS best
-          FROM j GROUP BY query_id),
-rel_n AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY query_id)
-SELECT p.query_id,
-       round(CASE WHEN coalesce(n_rel, 0) > 0
-                  THEN CAST(hits AS DOUBLE) / n_rel ELSE 0.0 END, 6) AS recall_at_k,
-       round(CAST(hits AS DOUBLE) / 10.0, 6) AS precision_at_k,
-       round(coalesce(1.0 / best, 0.0), 6) AS mrr
-FROM per_q p LEFT JOIN rel_n USING (query_id)
-""",
+        "retrieval_eval_by_query": _eval_by_query_sql(3),
         "chunk_documents": f"""
 {_CHUNKS_SQL}
 SELECT chunk_id, doc_id, chunk_index, content FROM chunks
@@ -5100,11 +5129,21 @@ FROM events GROUP BY ROLLUP (event_type, hour(ts))
             ]
         ),
         "retrieval_eval": f"""
-SELECT CAST(-1 AS BIGINT) AS query_id, recall_at_k, precision_at_k, mrr
+SELECT CAST(-1 AS BIGINT) AS query_id, CAST(NULL AS VARCHAR) AS category,
+       recall_at_k, precision_at_k, mrr
 FROM ({base['retrieval_eval']})
 UNION ALL
-SELECT CAST(query_id AS BIGINT) AS query_id, recall_at_k, precision_at_k, mrr
+SELECT CAST(query_id AS BIGINT), CAST(NULL AS VARCHAR),
+       recall_at_k, precision_at_k, mrr
 FROM ({base['retrieval_eval_by_query']})
+UNION ALL
+SELECT CAST(NULL AS BIGINT), category,
+       round(avg(recall_at_k), 6), round(avg(precision_at_k), 6),
+       round(avg(mrr), 6)
+FROM ({_eval_by_query_sql(6)}) pq
+JOIN (SELECT vec_id AS query_id, 'cat' || CAST(label AS VARCHAR) AS category
+      FROM embeddings WHERE vec_id < 6) c USING (query_id)
+GROUP BY category
 """,
         "rerank_hydrate": f"""
 SELECT 'hydrate' AS variant, id, score, CAST(NULL AS DOUBLE) AS rerank_score,

@@ -1114,3 +1114,26 @@ SELECT 'debug', CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
        || ' fused=' || CAST((SELECT count(*) FROM fused) AS VARCHAR)
        || ' reranked=' || CAST((SELECT count(*) FROM rr2) AS VARCHAR)
 """
+
+
+def eval_retrieval_by_category(
+    per_query: DataFrame,
+    categories: DataFrame,
+    query_col: str = "query_id",
+) -> DataFrame:
+    """EvalResult.byCategory (SEMANTIC-SEARCH-ROADMAP.md:506-511): roll the
+    per-query eval metrics up to query categories — one EvalResult row per
+    category, macro-averaged (mean of per-query recall/precision/MRR, the
+    convention that weights every query equally regardless of its relevant-
+    set size). ``categories``: (query_col, category); unmapped queries land
+    in 'uncategorized'. The category table is eval-set-sized → broadcast."""
+    c = categories.select(query_col, "category")
+    j = per_query.join(F.broadcast(c), query_col, "left").withColumn(
+        "category", F.coalesce("category", F.lit("uncategorized"))
+    )
+    return j.groupBy("category").agg(
+        F.round(F.avg("recall_at_k"), 6).alias("recall_at_k"),
+        F.round(F.avg("precision_at_k"), 6).alias("precision_at_k"),
+        F.round(F.avg("mrr"), 6).alias("mrr"),
+        F.count(F.lit(1)).alias("n_queries"),
+    )

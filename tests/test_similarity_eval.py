@@ -270,3 +270,29 @@ def test_mrl_funnel_recall_reasonable(emb):
         ).collect()
     }
     assert len(got & brute) >= 3
+
+
+def test_eval_by_category_macro_average(spark):
+    """byCategory (roadmap EvalResult.byCategory): macro-average of the
+    per-query metrics within each category; unmapped queries roll into
+    'uncategorized'."""
+    from doc_agent_spark.operators import search
+
+    per_q = spark.createDataFrame(
+        [(0, 1.0, 0.5, 1.0), (1, 0.5, 0.25, 0.5),
+         (2, 0.0, 0.0, 0.0), (3, 1.0, 1.0, 0.25)],
+        "query_id long, recall_at_k double, precision_at_k double, mrr double",
+    )
+    cats = spark.createDataFrame(
+        [(0, "invoices"), (1, "invoices"), (2, "receipts")],
+        "query_id long, category string",
+    )  # query 3 unmapped
+    got = {r["category"]: r for r in
+           search.eval_retrieval_by_category(per_q, cats).collect()}
+    assert got["invoices"]["recall_at_k"] == 0.75
+    assert got["invoices"]["precision_at_k"] == 0.375
+    assert got["invoices"]["mrr"] == 0.75
+    assert got["invoices"]["n_queries"] == 2
+    assert got["receipts"]["recall_at_k"] == 0.0
+    assert got["uncategorized"]["mrr"] == 0.25
+    assert set(got) == {"invoices", "receipts", "uncategorized"}

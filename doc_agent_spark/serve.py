@@ -181,8 +181,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--query", help="search query string")
     ap.add_argument("--limit", type=int, help="result limit (operation param)")
     ap.add_argument("--words-per-chunk", type=int, help="chunking window")
-    ap.add_argument("--row-limit", type=int, default=100,
-                    help="max rows printed as JSON (CLI mode; default 100)")
+    ap.add_argument("--row-limit", type=int,
+                    help="max rows printed as JSON (CLI mode; default 100, "
+                         "overridable via $DOC_AGENT_ROW_LIMIT / config file)")
+    ap.add_argument("--config", help="JSON config file (precedence: CLI > "
+                                     "$DOC_AGENT_* env > file > defaults)")
     ap.add_argument("--output", help="write full result to this parquet path "
                                      "instead of printing JSON rows")
     ap.add_argument("--master", help="spark master (default $SPARK_GRAFT_CPUS local)")
@@ -193,9 +196,16 @@ def main(argv: list[str] | None = None) -> int:
     if args.rag and args.operation == "search_documents":
         args.operation = "rag_search"
 
+    from .config import load_config
     from .session import get_spark
 
-    spark = get_spark(app="doc-agent-serve", master=args.master)
+    cfg = load_config(
+        cli_args={"row_limit": args.row_limit, "master": args.master},
+        config_path=args.config,
+    )
+    args.row_limit = cfg["row_limit"]
+
+    spark = get_spark(app="doc-agent-serve", master=cfg["master"])
     try:
         if args.stdio:
             _serve_stdio(spark, sys.stdin, sys.stdout)

@@ -99,7 +99,7 @@ def _digit_norm(line: Column) -> Column:
     return F.regexp_replace(line, r"\d+", "#")
 
 
-def _let(value: Column, body) -> Column:
+def let_(value: Column, body) -> Column:
     """Expression-level let-binding: evaluate ``value`` ONCE per row and
     feed it to ``body`` as a bound lambda variable, via a single-element
     ``transform``. Higher-order lambdas re-evaluate every captured outer
@@ -124,7 +124,7 @@ def strip_repeated_page_lines(pages: Column, min_pages: int = 3) -> Column:
     corpus-wide state (contrast ``dedup.line_dups``, the cross-document
     boilerplate-line pass).
     """
-    # Every cross-page aggregate (lines, firsts, lasts) is _let-bound so
+    # Every cross-page aggregate (lines, firsts, lasts) is let_-bound so
     # the per-page lambda reads a slot instead of re-splitting every
     # page's text per page (the un-bound form measured ~25x slower —
     # 9.8 s vs 0.4 s warm at sf0.1).
@@ -165,9 +165,9 @@ def strip_repeated_page_lines(pages: Column, min_pages: int = 3) -> Column:
                     pages_out.alias("pages"), removed.cast("int").alias("removed")
                 )
 
-            return _let(F.transform(lines, strip_page), _with_kept)
+            return let_(F.transform(lines, strip_page), _with_kept)
 
-        return _let(
+        return let_(
             F.struct(
                 F.transform(
                     lines, lambda ls: _digit_norm(F.get(ls, 0))
@@ -179,6 +179,6 @@ def strip_repeated_page_lines(pages: Column, min_pages: int = 3) -> Column:
             _with_firsts_lasts,
         )
 
-    return _let(
+    return let_(
         F.transform(pages, lambda p: F.split(p, r"\n")), _with_lines
     )

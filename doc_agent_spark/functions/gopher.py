@@ -169,8 +169,11 @@ def word_ngrams_of(w: Column, n: int) -> Column:
 def word_ngrams_all(text: Column, n: int) -> Column:
     """Word n-grams WITH multiplicity (the counting input; word_ngrams in
     textfns is distinct-only for shingling). Generalizes word_bigrams_all —
-    n=2 produces the identical gram strings."""
-    return word_ngrams_of(words_of(text), n)
+    n=2 produces the identical gram strings. Tokens let_-bound (the
+    per-position lambda slices them; see assembly.let_)."""
+    from doc_agent_spark.functions.assembly import let_
+
+    return let_(words_of(text), lambda w: word_ngrams_of(w, n))
 
 
 def ngram_repetition_profile(

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from doc_agent_spark.functions.assembly import let_
+
 # Tiny deterministic stopword inventories (top function words per language).
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
@@ -155,14 +157,18 @@ def word_bigrams_all(text: Column) -> Column:
     """All word bigrams WITH multiplicity (unlike :func:`word_ngrams`, which
     is distinct-only for shingling) — the counting input for top-n-gram
     repetition fractions."""
-    w = words_of(text)
-    return F.when(
-        F.size(w) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    def _with_w(w: Column) -> Column:
+        return F.when(
+            F.size(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(w, i), F.element_at(w, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let_(words_of(text), _with_w)
 
 
 def fingerprint(text: Column) -> Column:
@@ -207,19 +213,34 @@ def top_bigram_char_fraction(df, id_col: str = "doc_id", text_col: str = "text")
 
 
 def char_ngrams(text: Column, n: int = 3) -> Column:
-    """Character n-gram shingles over the normalized text (distinct)."""
-    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - F.lit(n - 1), F.lit(0)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, n)))
+    """Character n-gram shingles over the normalized text (distinct).
+
+    ``norm`` is let_-bound: the per-position lambda substrings it, and an
+    unbound reference would re-run the normalize regex once per character
+    position — O(len²) per doc (the assembly.let_ lesson)."""
+    def _with_norm(norm: Column) -> Column:
+        idx = F.sequence(
+            F.lit(1), F.greatest(F.length(norm) - F.lit(n - 1), F.lit(0))
+        )
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.substring(norm, i, n))
+        )
+
+    return let_(F.regexp_replace(F.lower(text), r"\s+", " "), _with_norm)
 
 
 def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (distinct), over the shared tokenizer."""
-    w = words_of(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - F.lit(n), F.lit(-1)))
-    return F.when(F.size(w) >= n, F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
-    )).otherwise(F.array())
+    """Word n-gram shingles (distinct), over the shared tokenizer.
+
+    The token array is let_-bound — the per-position lambda slices it, and
+    an unbound reference would re-tokenize the text once per position."""
+    def _with_w(w: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(w) - F.lit(n), F.lit(-1)))
+        return F.when(F.size(w) >= n, F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
+        )).otherwise(F.array())
+
+    return let_(words_of(text), _with_w)
 
 
 # Stand-in blocklist for the C4 "bad words" page filter (Raffel et al. 2020

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from doc_agent_spark.functions.assembly import let_
+
 MIN_WORDS = 6
 MIN_DENSITY = 4.0        # words per line
 MAX_TAG_RATIO = 0.25     # tags per word
@@ -185,48 +187,61 @@ def justext_blocks(text: Column) -> Column:
         )
         return F.struct(b.alias("block"), words.alias("words"), cf.alias("cf"))
 
-    scored = F.transform(blocks, classify)
-    cfs = F.transform(scored, lambda s: s.cf)
+    # scored/cfs are let_-bound: `finalize` (a per-block lambda) references
+    # cfs three times, and an unbound cfs would re-run `classify` over
+    # EVERY block per block — O(blocks²) full tokenize/stopword scans (the
+    # strip_repeated_page_lines disease; see assembly.let_)
+    def _finalize_pass(bound: Column) -> Column:
+        scored, cfs = bound["scored"], bound["cfs"]
 
-    def finalize(s: Column, i: Column) -> Column:
-        # nearest context-free good/bad on each side; edges default bad
-        is_gb = lambda l: (l == "good") | (l == "bad")  # noqa: E731
-        prev = F.coalesce(
-            F.try_element_at(F.filter(F.slice(cfs, F.lit(1), i), is_gb), F.lit(-1)),
-            F.lit("bad"),
-        )
-        nxt = F.coalesce(
-            F.try_element_at(
-                F.filter(
-                    F.slice(cfs, i + 2, F.greatest(F.size(cfs) - i - 1, F.lit(0))),
-                    is_gb,
-                ),
-                F.lit(1),
-            ),
-            F.lit("bad"),
-        )
-        label = (
-            F.when(is_gb(s.cf), s.cf)
-            .when(
-                s.cf == "neargood",
-                F.when((prev == "good") | (nxt == "good"), F.lit("good")).otherwise(
-                    F.lit("bad")
-                ),
+        def finalize(s: Column, i: Column) -> Column:
+            # nearest context-free good/bad on each side; edges default bad
+            is_gb = lambda l: (l == "good") | (l == "bad")  # noqa: E731
+            prev = F.coalesce(
+                F.try_element_at(F.filter(F.slice(cfs, F.lit(1), i), is_gb), F.lit(-1)),
+                F.lit("bad"),
             )
-            .otherwise(  # short
-                F.when((prev == "good") & (nxt == "good"), F.lit("good")).otherwise(
-                    F.lit("bad")
+            nxt = F.coalesce(
+                F.try_element_at(
+                    F.filter(
+                        F.slice(cfs, i + 2, F.greatest(F.size(cfs) - i - 1, F.lit(0))),
+                        is_gb,
+                    ),
+                    F.lit(1),
+                ),
+                F.lit("bad"),
+            )
+            label = (
+                F.when(is_gb(s.cf), s.cf)
+                .when(
+                    s.cf == "neargood",
+                    F.when((prev == "good") | (nxt == "good"), F.lit("good")).otherwise(
+                        F.lit("bad")
+                    ),
+                )
+                .otherwise(  # short
+                    F.when((prev == "good") & (nxt == "good"), F.lit("good")).otherwise(
+                        F.lit("bad")
+                    )
                 )
             )
-        )
-        return F.struct(
-            s.block.alias("block"),
-            s.words.alias("words"),
-            s.cf.alias("cf"),
-            label.alias("label"),
-        )
+            return F.struct(
+                s.block.alias("block"),
+                s.words.alias("words"),
+                s.cf.alias("cf"),
+                label.alias("label"),
+            )
 
-    return F.transform(scored, finalize)
+        return F.transform(scored, finalize)
+
+    scored0 = F.transform(blocks, classify)
+    return let_(
+        F.struct(
+            scored0.alias("scored"),
+            F.transform(scored0, lambda s: s.cf).alias("cfs"),
+        ),
+        _finalize_pass,
+    )
 
 
 def justext_content(text: Column) -> Column:

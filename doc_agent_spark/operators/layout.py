@@ -34,18 +34,27 @@ def _segments(line: Column) -> Column:
 
 
 def _runs_with_offsets(line: Column) -> Column:
-    """array<struct<col_start:int, run_text:string>> for one line."""
-    segs = _segments(line)
-    entries = F.transform(
-        segs,
-        lambda s, i: F.struct(
-            F.aggregate(
-                F.slice(segs, 1, i.cast("int")), F.lit(0), lambda a, x: a + F.length(x)
-            ).alias("col_start"),
-            s.alias("run_text"),
-        ),
-    )
-    return F.filter(entries, lambda e: F.trim(e.run_text) != "")
+    """array<struct<col_start:int, run_text:string>> for one line.
+
+    ``segs`` is let_-bound: the per-segment lambda slices it, and an
+    unbound reference would re-run the segment regex once per segment —
+    O(segments²) extraction per line (the assembly.let_ lesson)."""
+    from doc_agent_spark.functions.assembly import let_
+
+    def _with_segs(segs: Column) -> Column:
+        entries = F.transform(
+            segs,
+            lambda s, i: F.struct(
+                F.aggregate(
+                    F.slice(segs, 1, i.cast("int")), F.lit(0),
+                    lambda a, x: a + F.length(x),
+                ).alias("col_start"),
+                s.alias("run_text"),
+            ),
+        )
+        return F.filter(entries, lambda e: F.trim(e.run_text) != "")
+
+    return let_(_segments(line), _with_segs)
 
 
 def line_column_runs(df: DataFrame, id_col: str = "doc_id",

@@ -804,12 +804,15 @@ def proximity_pairs(
     transform is O(occ_a x occ_b) per doc, never corpus-quadratic.
     """
     w = F.col(tokens_col) if tokens_col else words_of(F.col(text_col))
-    pa = _positions_1based(w, term_a)
-    pb = _positions_1based(w, term_b)
+    # materialize the token array as a projection column first: the
+    # position-list lambdas index it per element, and an unbound words_of
+    # expression would re-tokenize per position (assembly.let_ lesson;
+    # phrase_match already works this way)
+    base = docs.select(F.col(id_col).alias("id"), w.alias("_w"))
+    pa = _positions_1based(F.col("_w"), term_a)
+    pb = _positions_1based(F.col("_w"), term_b)
     return (
-        docs.select(
-            F.col(id_col).alias("id"), pa.alias("pa"), pb.alias("pb")
-        )
+        base.select("id", pa.alias("pa"), pb.alias("pb"))
         .filter((F.size("pa") > 0) & (F.size("pb") > 0))
         .select(
             "id",

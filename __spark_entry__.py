@@ -2920,14 +2920,14 @@ frobots AS (
          || 'Crawl-delay: ' || CAST(1 + k % 3 AS VARCHAR) || chr(10)
          || 'Disallow: /sec' || CAST(k AS VARCHAR) || '/' || chr(10)
          || 'Allow: /sec' || CAST(k AS VARCHAR) || '/p8' || chr(10)
-         || 'Disallow: /*9.html$' || chr(10)
+         || 'Disallow: *9.html$' || chr(10)
          || 'Disallow: /sec' || CAST((k + 3) % 13 AS VARCHAR) || '/ # comment'
          || chr(10) || 'Disallow:' || chr(10) || chr(10)
          || 'User-agent: other' || chr(10) || 'Disallow: /other/' || chr(10)
            AS body
   FROM fhosts),
 frules AS ({rules}),
-frx AS (SELECT host, rule, length(pattern) AS spec, {rx} AS rx FROM frules),
+frx AS (SELECT host, rule, octet_length(encode(pattern)) AS spec, {rx} AS rx FROM frules),
 fdelay AS ({delays}),
 ffront AS (
   SELECT doc_id, CAST(n_chars AS DOUBLE) AS priority,
@@ -3135,9 +3135,10 @@ def doc_listing(spark, sf_dir):
     # site0..site6 each publish a robots.txt with a googlebot-only group
     # (must be ignored), a shared bing+* group disallowing /sec<k>/ and
     # /sec<(k+3)%13>/ (one with a trailing comment), an ``Allow:
-    # /sec<k>/p8`` island (9 octets — outranks the 6-7-octet /sec<k>/
-    # Disallow and TIES the 9-octet wildcard, where Allow wins per RFC
-    # 9309 §2.2.2), a ``Disallow: /*9.html$`` anchored wildcard, a
+    # /sec<k>/p8`` island (8 octets — outranks the 6-7-octet /sec<k>/
+    # Disallow and TIES the 8-octet ``*9.html$`` wildcard, where Allow
+    # wins per RFC 9309 §2.2.2 — doc 819 at sf0.01 exercises the tie), a
+    # ``Disallow: *9.html$`` anchored wildcard, a
     # per-host ``Crawl-delay: 1+k%3``, an allow-all blank Disallow, and a
     # trailing non-* group. URL path /sec<doc_id%13>/p<doc_id>.html ⇒ the
     # most-specific matching rule decides. Kept rows get per-host
@@ -3177,7 +3178,7 @@ def doc_listing(spark, sf_dir):
             F.col("k").cast("string"),
             F.lit("/\nAllow: /sec"),
             F.col("k").cast("string"),
-            F.lit("/p8\nDisallow: /*9.html$\nDisallow: /sec"),
+            F.lit("/p8\nDisallow: *9.html$\nDisallow: /sec"),
             ((F.col("k") + 3) % 13).cast("string"),
             F.lit("/ # comment\nDisallow:\n\n"
                   "User-agent: other\nDisallow: /other/\n"),

@@ -91,7 +91,14 @@ def load_config(
         if v is not None:
             cfg[k] = _coerce(k, v)
 
+    if cfg["provider"] not in DEFAULT_MODELS:
+        # same fail-fast policy as unknown file keys: a typo'd provider
+        # silently borrowing another provider's default model is a
+        # misconfigured run (the reference types it as a closed enum)
+        raise ValueError(
+            f"unknown provider: {cfg['provider']!r}; "
+            f"known: {', '.join(sorted(DEFAULT_MODELS))}"
+        )
     if cfg["model"] is None:
-        cfg["model"] = DEFAULT_MODELS.get(cfg["provider"],
-                                          DEFAULT_MODELS["ollama"])
+        cfg["model"] = DEFAULT_MODELS[cfg["provider"]]
     return cfg

@@ -155,15 +155,8 @@ def gopher_outlier_pass(text: Column, page: Column) -> Column:
 # repetition signals (one tagged explode for every n)
 # ---------------------------------------------------------------------------
 
-def word_ngrams_of(w: Column, n: int) -> Column:
-    """Word n-grams WITH multiplicity from an already-tokenized array."""
-    return F.when(
-        F.size(w) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+from doc_agent_spark.functions.textfns import word_ngrams_of  # noqa: E402
+  # (one counting-gram builder — see textfns.word_ngrams_of docstring)
 
 
 def word_ngrams_all(text: Column, n: int) -> Column:
@@ -201,15 +194,24 @@ def ngram_repetition_profile(
     """
     ns = sorted(set(top_ns) | set(dup_ns))
     text = F.col(text_col)
-    w = F.col(tokens_col) if tokens_col else words_of(text)
 
     def _tag(n: int):
         # NB: the lambda must take exactly one arg — F.transform feeds a
         # two-arg lambda (element, index), which would shadow the n binding.
         return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
 
-    tagged = F.flatten(
-        F.array(*[F.transform(word_ngrams_of(w, n), _tag(n)) for n in ns])
+    def _tagged(w):
+        return F.flatten(
+            F.array(*[F.transform(word_ngrams_of(w, n), _tag(n)) for n in ns])
+        )
+
+    # default path let_-binds the tokenization: word_ngrams_of's
+    # per-position lambda slices w, and an unbound words_of(text) would
+    # re-tokenize per position (the captured-expression disease)
+    from doc_agent_spark.functions.assembly import let_ as _lb
+    tagged = (
+        _tagged(F.col(tokens_col)) if tokens_col
+        else _lb(words_of(text), _tagged)
     )
     grams = (
         df.select(id_col, F.explode(tagged).alias("t"))

@@ -157,18 +157,23 @@ def word_bigrams_all(text: Column) -> Column:
     """All word bigrams WITH multiplicity (unlike :func:`word_ngrams`, which
     is distinct-only for shingling) — the counting input for top-n-gram
     repetition fractions."""
-    def _with_w(w: Column) -> Column:
-        return F.when(
-            F.size(w) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(w, i), F.element_at(w, i + 1)
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+    return let_(words_of(text), lambda w: word_ngrams_of(w, 2))
 
-    return let_(words_of(text), _with_w)
+
+def word_ngrams_of(w: Column, n: int) -> Column:
+    """Word n-grams WITH multiplicity from an already-tokenized array —
+    the one counting-gram builder (gopher's repetition profile and
+    word_bigrams_all both delegate here; two hand-kept copies diverged
+    once and had the captured-expression bug fixed twice). Callers
+    passing a derived expression (not a bound column/lambda var) must
+    let_-bind it: the per-position lambda slices ``w``."""
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def fingerprint(text: Column) -> Column:

@@ -165,11 +165,15 @@ def robots_filter(
     collapsed to one array row per host, then broadcast; per URL the best
     match is an ``array_max`` over struct(spec, is_allow) of the matching
     subset — struct ordering compares spec first, then is_allow, which IS
-    the RFC tie-break. The frontier never explodes."""
+    the RFC tie-break (specificity in OCTETS per §2.2.2). The frontier
+    never explodes."""
     compiled = rules.select(
         "host",
         F.struct(
-            F.length("pattern").alias("spec"),
+            # RFC 9309 ties break on OCTETS, not characters — a non-ASCII
+            # pattern's UTF-8 byte length is what a conforming crawler
+            # (and the DuckDB mirror's octet_length) compares
+            F.octet_length("pattern").alias("spec"),
             (F.col("rule") == "allow").alias("is_allow"),
             rule_regex(F.col("pattern")).alias("rx"),
         ).alias("r"),

@@ -989,15 +989,23 @@ def rag_answer(
     answer aggregation is a single k-row collect_list. The corpus is
     scanned once per retrieval list and once for hydration — never
     shuffled."""
-    fused = rrf_fuse(vector_scores, keyword_scores, k=rrf_k, top_n=top_n)
+    # the fused/reranked frames feed SEVERAL consumers (citations, the
+    # answer aggregation, the debug counts): localCheckpoint them so one
+    # rag_answer action costs one keyword scan + one vector scan, not one
+    # per consumer (the rm3_scores shared-first-pass convention)
+    fused = rrf_fuse(
+        vector_scores, keyword_scores, k=rrf_k, top_n=top_n
+    ).localCheckpoint(eager=False)
     cands = topk(
         fused.withColumnRenamed("rrf_score", "score"), 2 * k
     )
     hydrated = docs.select(
         F.col(id_col).alias("id"), F.col(text_col).alias(text_col)
     ).join(F.broadcast(cands), "id")
-    rr = rerank(hydrated, query_terms, text_col=text_col, alpha=alpha)
-    final = topk(rr, k, score_col="final_score")
+    rr = rerank(
+        hydrated, query_terms, text_col=text_col, alpha=alpha
+    ).localCheckpoint(eager=False)
+    final = topk(rr, k, score_col="final_score").localCheckpoint(eager=False)
     ranked = final.join(
         _rank_bounded(final, "rank", score_col="final_score"), "id"
     )
@@ -1008,7 +1016,7 @@ def rag_answer(
     cit = ranked.join(F.broadcast(snip), "id").select(
         F.lit("citation").alias("part"), "rank", "id", "score",
         "rerank_score", "final_score", F.col("snippet").alias("content"),
-    )
+    ).localCheckpoint(eager=False)   # consumed by both output and answer agg
     null_cols = [
         F.lit(None).cast("int").alias("rank"),
         F.lit(None).cast(cit.schema["id"].dataType.simpleString()).alias("id"),

@@ -131,15 +131,20 @@ def _serve_mcp(spark, inp, out) -> None:
             continue
         rid = req.get("id")
         method = req.get("method")
+        if "id" not in req:
+            # JSON-RPC 2.0: "The Server MUST NOT reply to a Notification" —
+            # this covers notifications/initialized, /cancelled, /progress,
+            # /roots/list_changed and anything else a client may emit
+            continue
         if method == "initialize":
             reply(rid, {
-                "protocolVersion": req.get("params", {}).get(
-                    "protocolVersion", "2024-11-05"),
+                # version negotiation: answer with the version THIS server
+                # implements, never echo the client's request (echoing
+                # claims support for arbitrary future protocols)
+                "protocolVersion": "2024-11-05",
                 "capabilities": {"tools": {}},
                 "serverInfo": {"name": "doc-agent-spark", "version": "1.0"},
             })
-        elif method == "notifications/initialized":
-            continue  # notification: no id, no response
         elif method == "tools/list":
             reply(rid, {"tools": _mcp_tools()})
         elif method == "tools/call":

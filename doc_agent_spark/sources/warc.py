@@ -253,14 +253,17 @@ def _parse_http(
     status==200 filters downstream would silently drop."""
     if not block.startswith(b"HTTP/"):
         return None, None, None, block
-    sep = block.find(b"\r\n\r\n")
-    if sep >= 0:
-        head, body = block[:sep], block[sep + 4:]
+    # the EARLIEST terminator wins: a bare-LF head followed by a body that
+    # happens to contain CRLFCRLF (most real HTML) must not have its body
+    # prefix parsed as headers and dropped
+    crlf_sep = block.find(b"\r\n\r\n")
+    lf_sep = block.find(b"\n\n")
+    if crlf_sep < 0 and lf_sep < 0:
+        return None, None, None, block
+    if crlf_sep >= 0 and (lf_sep < 0 or crlf_sep < lf_sep):
+        head, body = block[:crlf_sep], block[crlf_sep + 4:]
     else:
-        sep = block.find(b"\n\n")
-        if sep < 0:
-            return None, None, None, block
-        head, body = block[:sep], block[sep + 2:]
+        head, body = block[:lf_sep], block[lf_sep + 2:]
     lines = [ln.rstrip(b"\r") for ln in head.replace(CRLF, b"\n").split(b"\n")]
     try:
         status = int(lines[0].split(b" ", 2)[1])

@@ -65,3 +65,8 @@ def test_unknown_keys_fail_fast(tmp_path):
         config.load_config(config_path=str(f), env={})
     with pytest.raises(ValueError, match="unknown config field"):
         config.load_config(cli_args={"nope": 1}, env={})
+
+
+def test_unknown_provider_fails_fast():
+    with pytest.raises(ValueError, match="unknown provider"):
+        config.load_config(env={"DOC_AGENT_PROVIDER": "gemni"})

@@ -206,7 +206,7 @@ def test_rfc9309_duckdb_mirror_agrees(spark):
     con.register("front", pd.DataFrame({"url": urls_}))
     q = f"""
 WITH rules AS ({frontier.parse_robots_sql("robots")}),
-rx AS (SELECT host, rule, length(pattern) AS spec,
+rx AS (SELECT host, rule, octet_length(encode(pattern)) AS spec,
               {frontier.rule_regex_sql("pattern")} AS rx FROM rules),
 f AS (SELECT url, regexp_replace(regexp_replace(url, '^[a-z]+://[^/]*', ''),
                                  '^$', '/') AS pathq FROM front),
@@ -246,3 +246,25 @@ def test_schedule_frontier_per_host_delay_override(spark):
     # c.com paces at its published 7s; d.com falls back to the 2s default
     assert out == {"https://c.com/p1": 0.0, "https://c.com/p2": 7.0,
                    "https://d.com/q1": 0.0, "https://d.com/q2": 2.0}
+
+
+def test_rfc9309_equal_octet_tie_allow_wins(spark):
+    """The §2.2.2 tie-break branch in isolation: an Allow and a Disallow
+    of EQUAL octet length both matching -> allowed (flipping the
+    is_allow struct ordering would invert this). Also pins octet (not
+    character) specificity: a 2-char/3-octet non-ASCII Allow ties a
+    3-char/3-octet Disallow (character counting would block)."""
+    body = ("User-agent: *\n"
+            "Disallow: /a/x\n"     # 4 octets
+            "Allow: /a/y\n"        # 4 octets — irrelevant, different path
+            "Allow: /a/x\n"        # 4 octets — ties the disallow -> allow
+            "Disallow: /дx\n"      # 3 chars, 4 octets
+            "Allow: /дxy\n")       # 4 chars, 5 octets -> more octets, allow
+    rules = frontier.parse_robots(spark.createDataFrame(
+        [("t.com", body)], "host string, body string"))
+    fr = spark.createDataFrame(
+        [("https://t.com/a/x1",), ("https://t.com/дxyz",)], "url string")
+    out = {r["url"]: r["blocked"] for r in
+           frontier.robots_filter(fr, rules).collect()}
+    assert out["https://t.com/a/x1"] is False   # equal octets -> allow wins
+    assert out["https://t.com/дxyz"] is False   # octet-longer allow governs

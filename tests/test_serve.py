@@ -98,6 +98,8 @@ def test_mcp_jsonrpc_mode(corpus_path):
         json.dumps({"jsonrpc": "2.0", "id": 1, "method": "initialize",
                     "params": {"protocolVersion": "2024-11-05"}}),
         json.dumps({"jsonrpc": "2.0", "method": "notifications/initialized"}),
+        json.dumps({"jsonrpc": "2.0", "method": "notifications/cancelled",
+                    "params": {"requestId": 99}}),
         json.dumps({"jsonrpc": "2.0", "id": 2, "method": "tools/list"}),
         json.dumps({"jsonrpc": "2.0", "id": 3, "method": "tools/call",
                     "params": {"name": "search_documents",
@@ -118,6 +120,9 @@ def test_mcp_jsonrpc_mode(corpus_path):
     resps = {r["id"]: r for ln in proc.stdout.splitlines()
              if ln.startswith("{") for r in [json.loads(ln)]}
     assert resps[1]["result"]["serverInfo"]["name"] == "doc-agent-spark"
+    # negotiation answers OUR version; notifications draw NO response
+    assert resps[1]["result"]["protocolVersion"] == "2024-11-05"
+    assert None not in resps
     tools = {t["name"]: t for t in resps[2]["result"]["tools"]}
     assert "rag_search" in tools and "extract_document" in tools
     assert tools["search_documents"]["inputSchema"]["properties"]["limit"] == {

@@ -313,3 +313,14 @@ def test_decode_payloads_null_charset_not_dropped(spark):
     got = {r["id"]: r["text"]
            for r in warc.decode_payloads(df).collect()}
     assert got == {"a": "café", "b": "plain", "c": "café"}
+
+
+def test_bare_lf_head_with_crlf_in_body_not_truncated():
+    """The EARLIEST head terminator wins: an LF-only head whose body
+    contains CRLFCRLF (most real HTML) must not have its body prefix
+    eaten as headers (code-review r4 finding)."""
+    block = (b"HTTP/1.1 200 OK\nContent-Type: text/html\n\n"
+             b"first part of body\r\n\r\nsecond part")
+    status, ctype, loc, body = warc._parse_http(block)
+    assert (status, ctype, loc) == (200, "text/html", None)
+    assert body == b"first part of body\r\n\r\nsecond part"

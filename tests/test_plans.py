@@ -648,3 +648,55 @@ def test_schedule_frontier_single_host_window(spark):
     # carry a partition spec
     win_lines = [ln for ln in plan.split("\n") if "Window [" in ln]
     assert win_lines and all(ln.count("], [") == 2 for ln in win_lines)
+
+
+def test_rag_answer_is_broadcast_shaped(spark, sf_dir):
+    """The RAG composition stays k-row-bounded after retrieval: candidate
+    hydration and snippet hydration are broadcast joins into the documents
+    scan (the corpus never shuffles for them), fusion's top-n cuts plan as
+    TakeOrderedAndProject, and no partition-less Window appears."""
+    from doc_agent_spark.operators import search
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = ["spark", "join"]
+    kw = search.bm25_scores(docs, terms)
+    vec = docs.select(F.col("doc_id").alias("id"),
+                      (F.col("doc_id") % 97 / 97.0).alias("score"))
+    df = search.rag_answer(docs, vec, kw, terms, k=3)
+    plan = _plan(df)
+    # the shared frames are localCheckpoint'ed (ExistingRDD scans in this
+    # plan), so the TakeOrderedAndProject cut is asserted on the
+    # pre-checkpoint fusion chain instead
+    fused_plan = _plan(
+        search.topk(
+            search.rrf_fuse(vec, kw, top_n=100)
+            .withColumnRenamed("rrf_score", "score"),
+            6,
+        )
+    )
+    assert "TakeOrderedAndProject" in fused_plan
+    assert "BroadcastHashJoin" in plan
+    win_lines = [ln for ln in plan.split("\n") if "Window [" in ln]
+    assert all(ln.count("], [") == 2 for ln in win_lines)
+    assert "CartesianProduct" not in plan
+
+
+def test_eval_by_category_broadcasts_categories(spark):
+    """The category map is eval-set-sized metadata: it must broadcast into
+    the per-query metrics, never shuffle them."""
+    from doc_agent_spark.operators import search
+    from pyspark.sql import functions as F
+
+    per_q = spark.range(0, 1000).select(
+        F.col("id").alias("query_id"),
+        (F.col("id") % 7 / 7.0).alias("recall_at_k"),
+        (F.col("id") % 5 / 5.0).alias("precision_at_k"),
+        (F.col("id") % 3 / 3.0).alias("mrr"),
+    )
+    cats = spark.range(0, 1000).select(
+        F.col("id").alias("query_id"),
+        F.concat(F.lit("cat"), (F.col("id") % 4).cast("string")).alias("category"),
+    )
+    plan = _plan(search.eval_retrieval_by_category(per_q, cats))
+    assert "BroadcastHashJoin" in plan

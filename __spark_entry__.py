@@ -2054,33 +2054,39 @@ def chunk_search_hydrate(spark, sf_dir):
     return chunking.hydrate_chunks(search.topk(scores, 10), chunks, docs)
 
 
-def rerank_search(spark, sf_dir):
+def rerank_search(spark, sf_dir, kw=None):
     """Hybrid-search rerank stage: BM25 top-20 hydrated with text, then the
     deterministic cross-encoder stub re-scores and blends (retrieval score
     preserved alongside, per the reference Reranker contract)."""
     docs = load(spark, sf_dir, "documents")
     terms = ["spark", "join", "window"]
-    topk = search.topk(search.bm25_scores(docs, terms), 20)
+    if kw is None:
+        kw = search.bm25_scores(docs, terms)
+    topk = search.topk(kw, 20)
     hydrated = docs.select(F.col("doc_id").alias("id"), "text").join(
         F.broadcast(topk), "id"
     )
     return search.rerank(hydrated, terms, text_col="text", alpha=0.6)
 
 
-def rag_search(spark, sf_dir):
+def rag_search(spark, sf_dir, vec=None, kw=None):
     """Deterministic extractive RAG assembly (search.rag_answer — the
     roadmap's runRAG surface): cosine list (query vector 0) ∪ full BM25
     list fused by RRF, reranked, top-5 cited with query-aware snippets,
     stitched answer + per-stage debug counts."""
     docs = load(spark, sf_dir, "documents")
     terms = ["spark", "join", "window"]
-    vec = _cosine_scores(spark, sf_dir, 0)
-    kw = search.bm25_scores(docs, terms)
+    if vec is None:
+        vec = _cosine_scores(spark, sf_dir, 0)
+    if kw is None:
+        kw = search.bm25_scores(docs, terms)
     return search.rag_answer(docs, vec, kw, terms, k=5)
 
 
-def search_hydrate(spark, sf_dir):
-    topk = _cosine_scores(spark, sf_dir, 0).orderBy(F.desc("score"), F.asc("id")).limit(10)
+def search_hydrate(spark, sf_dir, vec=None):
+    if vec is None:
+        vec = _cosine_scores(spark, sf_dir, 0)
+    topk = vec.orderBy(F.desc("score"), F.asc("id")).limit(10)
     docs = load(spark, sf_dir, "documents")
     return search.hydrate(topk, docs, id_col="doc_id")
 
@@ -3348,18 +3354,20 @@ def graph_ann_topk(spark, sf_dir):
     return a.unionByName(b).unionByName(c)
 
 
-def snippet_search(spark, sf_dir):
+def snippet_search(spark, sf_dir, kw=None):
     """Query-aware best-window snippets (search.best_window_snippet) for
     the BM25 top-10: every 12-token span scored by distinct query-term
     coverage, earliest max wins — the interpreted span scan runs on 10
     hydrated rows only (the corpus never pays it)."""
     docs = load(spark, sf_dir, "documents")
     qt = ["spark", "join", "window"]
-    topk = search.bm25_scores(docs, qt).orderBy(F.desc("score"), F.asc("id")).limit(10)
+    if kw is None:
+        kw = search.bm25_scores(docs, qt)
+    topk = kw.orderBy(F.desc("score"), F.asc("id")).limit(10)
     return search.best_window_snippet(topk, docs, qt)
 
 
-def mmr_search(spark, sf_dir):
+def mmr_search(spark, sf_dir, vec=None):
     """MMR diversity reranking (search.mmr_rerank; Carbonell & Goldstein
     1998): the top-20 cosine candidates vs query vector 0, greedily
     reranked to 10 with lambda=0.7 — near-duplicate hits are demoted in
@@ -3368,9 +3376,10 @@ def mmr_search(spark, sf_dir):
     posture); the DuckDB oracle replays the identical greedy as a
     recursive CTE with bit-matched sequential-fold cosines."""
     emb = load(spark, sf_dir, "embeddings")
+    if vec is None:
+        vec = _cosine_scores(spark, sf_dir, 0)
     cands = (
-        _cosine_scores(spark, sf_dir, 0)
-        .orderBy(F.desc("score"), F.asc("id")).limit(20)
+        vec.orderBy(F.desc("score"), F.asc("id")).limit(20)
         .join(F.broadcast(emb.withColumnRenamed("vec_id", "id")), "id")
     )
     return search.mmr_rerank(cands, k=10, lam=0.7)
@@ -3382,25 +3391,34 @@ def rerank_hydrate(spark, sf_dir):
     from a variant are typed NULLs (the snippet arm carries its distinct-
     term hit count in final_score). The mmr arm (see mmr_search) carries
     selection rank in rerank_score and the marginal score in
-    final_score."""
-    a = search_hydrate(spark, sf_dir).select(
+    final_score.
+
+    The five arms share ONE cosine-scores scan and ONE BM25 scan
+    (checkpointed) — each used to rebuild its own retrieval list, five
+    corpus passes where two suffice (the quality_tokens shared-scan
+    pattern)."""
+    vec = _cosine_scores(spark, sf_dir, 0).localCheckpoint(eager=False)
+    kw = search.bm25_scores(
+        load(spark, sf_dir, "documents"), ["spark", "join", "window"]
+    ).localCheckpoint(eager=False)
+    a = search_hydrate(spark, sf_dir, vec=vec).select(
         F.lit("hydrate").alias("variant"), "id", "score",
         F.lit(None).cast("double").alias("rerank_score"),
         F.lit(None).cast("double").alias("final_score"),
         "snippet",
     )
-    b = rerank_search(spark, sf_dir).select(
+    b = rerank_search(spark, sf_dir, kw=kw).select(
         F.lit("rerank").alias("variant"), "id", "score",
         "rerank_score", "final_score",
         F.lit(None).cast("string").alias("snippet"),
     )
-    c = snippet_search(spark, sf_dir).select(
+    c = snippet_search(spark, sf_dir, kw=kw).select(
         F.lit("snippet").alias("variant"), "id", "score",
         F.lit(None).cast("double").alias("rerank_score"),
         F.col("n_hits").cast("double").alias("final_score"),
         "snippet",
     )
-    d = mmr_search(spark, sf_dir).select(
+    d = mmr_search(spark, sf_dir, vec=vec).select(
         F.lit("mmr").alias("variant"),
         F.col("id").cast("long").alias("id"),
         F.col("rel").alias("score"),
@@ -3412,7 +3430,7 @@ def rerank_hydrate(spark, sf_dir):
     # the snippet's [n] marker (the same format the stitched answer uses),
     # so fusion, rerank blend, final ranking, snippet selection, answer
     # assembly, AND the debug stage counts are all value-checked.
-    e = rag_search(spark, sf_dir).select(
+    e = rag_search(spark, sf_dir, vec=vec, kw=kw).select(
         F.concat(F.lit("rag_"), F.col("part")).alias("variant"),
         F.col("id"),
         "score", "rerank_score", "final_score",

@@ -2022,6 +2022,41 @@ def retrieval_eval_by_query(spark, sf_dir, n_queries=3):
     return search.eval_retrieval_by_query(retrieved, relevant, k=10)
 
 
+_KW_EVAL_QUERIES = {0: ["spark", "join"], 1: ["window", "scan"],
+                    2: ["vector", "hash"]}
+
+
+def retrieval_eval_batched(spark, sf_dir):
+    """Batched keyword eval (search.bm25_scores_multi — the `doc eval
+    --dataset` engine): three term-set queries scored in ONE corpus pass,
+    qrels woven deterministically (relevant(q) = docs containing q's
+    FIRST term ≥ 3 times), per-query recall/precision/MRR via the same
+    eval chain. Tagged category='kw', query_id offset +100 so the rows
+    coexist with the cosine per-query arm."""
+    docs = load(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(qid, terms) for qid, terms in _KW_EVAL_QUERIES.items()],
+        "query_id long, terms array<string>",
+    )
+    retrieved = search.bm25_scores_multi(docs, queries)
+    rel = None
+    for qid, terms in _KW_EVAL_QUERIES.items():
+        hits = docs.filter(
+            F.size(
+                F.filter(textfns.words_of(F.col("text")),
+                         lambda w: w == F.lit(terms[0]))
+            ) >= 3
+        ).select(F.lit(qid).cast("long").alias("query_id"),
+                 F.col("doc_id").alias("id"))
+        rel = hits if rel is None else rel.unionByName(hits)
+    per_q = search.eval_retrieval_by_query(retrieved, rel, k=10)
+    return per_q.select(
+        (F.col("query_id") + 100).alias("query_id"),
+        F.lit("kw").alias("category"),
+        "recall_at_k", "precision_at_k", "mrr",
+    )
+
+
 def retrieval_eval_categories(spark, sf_dir):
     """EvalResult.byCategory arm (search.eval_retrieval_by_category): six
     queries (vec_id 0-5) roll up to 'cat<label>' categories of their query
@@ -2524,7 +2559,8 @@ def retrieval_eval_all(spark, sf_dir):
         F.lit(None).cast("long").alias("query_id"),
         "category", "recall_at_k", "precision_at_k", "mrr",
     )
-    return agg.unionByName(byq).unionByName(byc)
+    kw = retrieval_eval_batched(spark, sf_dir)
+    return agg.unionByName(byq).unionByName(byc).unionByName(kw)
 
 
 def deterministic_samples(spark, sf_dir):
@@ -3808,6 +3844,44 @@ SELECT p.query_id,
        round(CAST(hits AS DOUBLE) / 10.0, 6) AS precision_at_k,
        round(coalesce(1.0 / best, 0.0), 6) AS mrr
 FROM per_q p LEFT JOIN rel_n USING (query_id)
+"""
+
+
+def _kw_eval_sql() -> str:
+    """DuckDB mirror of retrieval_eval_batched: bm25_multi over the woven
+    query set, qrels = first-term tf >= 3, same per-query eval algebra."""
+    q_rows = " UNION ALL ".join(
+        f"SELECT {qid} AS query_id, '{t}' AS term"
+        for qid, terms in _KW_EVAL_QUERIES.items() for t in terms
+    )
+    rel_rows = " UNION ALL ".join(
+        f"SELECT {qid} AS query_id, doc_id AS id FROM documents "
+        f"WHERE len(list_filter({_WORDS_SQL}, w -> w = '{terms[0]}')) >= 3"
+        for qid, terms in _KW_EVAL_QUERIES.items()
+    )
+    multi = search.bm25_multi_sql(_WORDS_SQL, "documents", "doc_id", q_rows)
+    return f"""
+WITH kwret AS ({multi}),
+kwrel AS ({rel_rows}),
+kwranked AS (SELECT query_id, id, score,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, id ASC) AS rank
+             FROM kwret),
+kwj AS (SELECT r.query_id, r.rank,
+               CASE WHEN kwrel.id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM kwranked r LEFT JOIN kwrel
+          ON r.query_id = kwrel.query_id AND r.id = kwrel.id
+        WHERE r.rank <= 10),
+kwper AS (SELECT query_id, sum(hit) AS hits,
+                 min(CASE WHEN hit = 1 THEN rank END) AS best
+          FROM kwj GROUP BY query_id),
+kwn AS (SELECT query_id, count(*) AS n_rel FROM kwrel GROUP BY query_id)
+SELECT p.query_id,
+       round(CASE WHEN coalesce(n_rel, 0) > 0
+                  THEN CAST(hits AS DOUBLE) / n_rel ELSE 0.0 END, 6) AS recall_at_k,
+       round(CAST(hits AS DOUBLE) / 10.0, 6) AS precision_at_k,
+       round(coalesce(1.0 / best, 0.0), 6) AS mrr
+FROM kwper p LEFT JOIN kwn USING (query_id)
 """
 
 
@@ -5163,6 +5237,9 @@ FROM ({_eval_by_query_sql(6)}) pq
 JOIN (SELECT vec_id AS query_id, 'cat' || CAST(label AS VARCHAR) AS category
       FROM embeddings WHERE vec_id < 6) c USING (query_id)
 GROUP BY category
+UNION ALL
+SELECT query_id + 100, 'kw', recall_at_k, precision_at_k, mrr
+FROM ({_kw_eval_sql()})
 """,
         "rerank_hydrate": f"""
 SELECT 'hydrate' AS variant, id, score, CAST(NULL AS DOUBLE) AS rerank_score,

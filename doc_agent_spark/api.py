@@ -121,6 +121,64 @@ def _rag_search(spark: SparkSession, input_path: str, query: str,
     return search.rag_answer(docs, vec_scores, kw_scores, terms, k=limit)
 
 
+def _evaluate_dataset(spark: SparkSession, input_path: str, dataset_path: str,
+                      limit: int) -> DataFrame:
+    """The roadmap's eval harness (`doc eval --dataset <path>`,
+    SEMANTIC-SEARCH-ROADMAP.md:492-511): run BATCHED keyword retrieval for
+    every query of an EvalDataset in one corpus pass
+    (search.bm25_scores_multi), score recall@k / precision@k / MRR per
+    query, and roll up per category plus a macro-averaged overall row.
+
+    ``dataset_path``: parquet with (query_id long, query string,
+    relevant_ids array<long>, category string nullable) — the EvalQuery
+    shape (relevantChunkIds ∪ category). Output rows are tagged by scope
+    ('query' | 'category' | 'overall')."""
+    from .operators import search
+
+    docs = spark.read.parquet(input_path)
+    ds = spark.read.parquet(dataset_path)
+    terms = F.array_distinct(
+        F.filter(F.split(F.lower(F.col("query")), r"[^a-z0-9]+"),
+                 lambda w: w != "")
+    )
+    queries = ds.select("query_id", terms.alias("terms"))
+    retrieved = search.bm25_scores_multi(docs, queries)
+    relevant = ds.select(
+        "query_id", F.explode("relevant_ids").alias("id")
+    )
+    per_q = search.eval_retrieval_by_query(retrieved, relevant, k=limit)
+    # a query whose terms match NOTHING retrieves zero rows and would
+    # silently vanish from the report — an eval must show the failure
+    per_q = (
+        ds.select("query_id").distinct()
+        .join(per_q, "query_id", "left")
+        .fillna(0.0, ["recall_at_k", "precision_at_k", "mrr"])
+    )
+    cats = ds.select("query_id", "category")
+    by_cat = search.eval_retrieval_by_category(per_q, cats)
+    q_rows = per_q.select(
+        F.lit("query").alias("scope"), "query_id",
+        F.lit(None).cast("string").alias("category"),
+        "recall_at_k", "precision_at_k", "mrr",
+    )
+    c_rows = by_cat.select(
+        F.lit("category").alias("scope"),
+        F.lit(None).cast("long").alias("query_id"),
+        "category", "recall_at_k", "precision_at_k", "mrr",
+    )
+    overall = per_q.agg(
+        F.round(F.avg("recall_at_k"), 6).alias("recall_at_k"),
+        F.round(F.avg("precision_at_k"), 6).alias("precision_at_k"),
+        F.round(F.avg("mrr"), 6).alias("mrr"),
+    ).select(
+        F.lit("overall").alias("scope"),
+        F.lit(None).cast("long").alias("query_id"),
+        F.lit(None).cast("string").alias("category"),
+        "recall_at_k", "precision_at_k", "mrr",
+    )
+    return q_rows.unionByName(c_rows).unionByName(overall)
+
+
 def _list_documents(spark: SparkSession, input_path: str, limit: int) -> DataFrame:
     from .functions.format import format_bytes
 
@@ -160,6 +218,15 @@ OPERATIONS: dict[str, Operation] = {
             # must fail on its absence, not pass and then blow up on the
             # cluster (the whole point of preflight)
             required_cols=frozenset({"doc_id", "text", "lang"}),
+        ),
+        Operation(
+            "evaluate_dataset",
+            "Eval harness: batched retrieval + recall/precision/MRR "
+            "per query, per category, overall",
+            {"input_path": str, "dataset_path": str, "limit": int},
+            {"limit": 10},
+            fn=_evaluate_dataset,
+            required_cols=frozenset({"doc_id", "text"}),
         ),
         Operation(
             "rag_search",

@@ -1148,3 +1148,90 @@ def eval_retrieval_by_category(
         F.round(F.avg("mrr"), 6).alias("mrr"),
         F.count(F.lit(1)).alias("n_queries"),
     )
+
+
+def bm25_scores_multi(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Batched BM25: score EVERY query of an eval set in one corpus pass —
+    (query_id, id, score) for all (query, matching doc) pairs.
+
+    ``queries``: (query_id, terms array<string>). The eval-harness /
+    batched-search shape (roadmap `doc eval --dataset`): per-query loops
+    re-scan the corpus |Q| times; here the query set explodes to a
+    (query_id, term) table (eval-set-sized → broadcast), document tf and
+    per-term df compute ONCE from a single filtered token explode, and
+    each query's score is a per-(query_id, id) sum. A duplicated term
+    within one query must not double-count: the (query_id, term) table
+    dedupes. Corpus cost is one scan + one (id, term) aggregation
+    regardless of |Q|."""
+    qt = (
+        queries.select(
+            "query_id", F.explode("terms").alias("term")
+        ).distinct()
+    )
+    toks = _bm25_tokens(docs, id_col, text_col, tokens_col)
+    n_docs_avgdl = toks.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    # tf over the UNION of all queries' terms — one corpus explode
+    tf = (
+        toks.select("id", "dl", F.explode("w").alias("term"))
+        .join(F.broadcast(qt.select("term").distinct()), "term")
+        .groupBy("id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count_distinct("id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(qt), "term")     # fan out to the queries using the term
+        .crossJoin(F.broadcast(n_docs_avgdl))
+    )
+    idf = F.log(
+        1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        scored.withColumn("ts", idf * tf_part)
+        .groupBy("query_id", "id")
+        .agg(F.round(F.sum("ts"), 6).alias("score"))
+    )
+
+
+def bm25_multi_sql(
+    words_sql: str,
+    table: str,
+    id_expr: str,
+    queries_sql: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB mirror of :func:`bm25_scores_multi`. ``queries_sql``: a
+    (query_id, term) subquery (already exploded + deduped)."""
+    return f"""
+WITH mq AS (SELECT DISTINCT query_id, term FROM ({queries_sql})),
+mtoks AS (SELECT {id_expr} AS id, {words_sql} AS w FROM {table}),
+mstats AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM mtoks),
+mt2 AS (SELECT id, CAST(len(w) AS INTEGER) AS dl, unnest(w) AS term FROM mtoks),
+mtf AS (SELECT id, dl, term, count(*) AS tf FROM mt2
+        WHERE term IN (SELECT DISTINCT term FROM mq) GROUP BY 1, 2, 3),
+mdf AS (SELECT term, count(DISTINCT id) AS df FROM mtf GROUP BY term),
+msc AS (
+  SELECT mq.query_id, mtf.id,
+         ln(1 + (mstats.n - mdf.df + 0.5) / (mdf.df + 0.5))
+         * (mtf.tf * ({k1} + 1))
+         / (mtf.tf + {k1} * (1 - {b} + {b} * mtf.dl / mstats.avgdl)) AS ts
+  FROM mtf JOIN mdf ON mtf.term = mdf.term
+           JOIN mq ON mq.term = mtf.term
+           CROSS JOIN mstats)
+SELECT query_id, id, round(sum(ts), 6) AS score
+FROM msc GROUP BY query_id, id
+"""

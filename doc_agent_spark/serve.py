@@ -167,6 +167,55 @@ def _serve_mcp(spark, inp, out) -> None:
                               "message": f"method not found: {method}"})
 
 
+def _serve_http(spark, port: int) -> None:
+    """HTTP front (`doc serve --port 3000` analog, roadmap CLI reference;
+    `POST /rag` per SEMANTIC-SEARCH-ROADMAP.md:169): GET /operations
+    lists the registry, POST /<operation> runs it with the JSON body as
+    params (``row_limit`` in the body bounds the response). /rag is an
+    alias for rag_search. One Spark session serves every request;
+    requests serialize through Spark's own scheduler. Errors return
+    {ok:false, error} with 400 (bad request/op) — the server never
+    dies."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    def send(handler, code: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        handler.send_response(code)
+        handler.send_header("Content-Type", "application/json")
+        handler.send_header("Content-Length", str(len(body)))
+        handler.end_headers()
+        handler.wfile.write(body)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):   # stderr noise only in debug runs
+            pass
+
+        def do_GET(self):
+            if self.path.rstrip("/") == "/operations":
+                send(self, 200, {"ok": True, "operations": _op_schemas()})
+            else:
+                send(self, 404, {"ok": False, "error": "not found"})
+
+        def do_POST(self):
+            op = self.path.strip("/")
+            if op == "rag":
+                op = "rag_search"
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                params = json.loads(self.rfile.read(n) or b"{}")
+                row_limit = int(params.pop("row_limit", 100))
+                rows = _run_op(spark, op, params, row_limit)
+                send(self, 200, {"ok": True, "rows": rows})
+            except Exception as e:
+                send(self, 400,
+                     {"ok": False, "error": f"{type(e).__name__}: {e}"})
+
+    server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    print(json.dumps({"ok": True, "listening": server.server_address[1]}),
+          flush=True)
+    server.serve_forever()
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="python -m doc_agent_spark.serve",
@@ -179,6 +228,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--mcp", action="store_true",
                     help="serve MCP JSON-RPC 2.0 (initialize / tools/list / "
                          "tools/call) on stdin")
+    ap.add_argument("--port", type=int,
+                    help="serve HTTP on this port (GET /operations, "
+                         "POST /<operation>, POST /rag)")
     ap.add_argument("--rag", action="store_true",
                     help="with search_documents: return the RAG answer + "
                          "citations instead of plain hits (doc search --rag)")
@@ -196,8 +248,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--master", help="spark master (default $SPARK_GRAFT_CPUS local)")
     args = ap.parse_args(argv)
 
-    if not (args.stdio or args.mcp) and not args.operation:
-        ap.error("an operation name (or --stdio/--mcp) is required")
+    if not (args.stdio or args.mcp or args.port is not None) and not args.operation:
+        ap.error("an operation name (or --stdio/--mcp/--port) is required")
     if args.rag and args.operation == "search_documents":
         args.operation = "rag_search"
 
@@ -217,6 +269,9 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         if args.mcp:
             _serve_mcp(spark, sys.stdin, sys.stdout)
+            return 0
+        if args.port is not None:   # 0 = OS-assigned ephemeral port
+            _serve_http(spark, args.port)
             return 0
         params = {
             k: v

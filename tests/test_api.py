@@ -102,3 +102,38 @@ def test_semantic_search_operation(spark, sf_dir):
     assert len(rows) == 5
     assert {"chunk_id", "doc_id", "chunk_index", "score", "snippet", "doc_lang"} == set(out.columns)
     assert all(r.snippet for r in rows)
+
+
+def test_evaluate_dataset_scopes_and_zero_match_query(spark, tmp_path):
+    """`doc eval --dataset` analog: batched retrieval + per-query /
+    per-category / overall metric rows; a query matching nothing still
+    reports (zeros), and the overall row macro-averages the per-query
+    rows."""
+    from doc_agent_spark import api
+
+    ds_path = str(tmp_path / "evalds.parquet")
+    spark.createDataFrame(
+        [(0, "spark join", [1, 2, 3], "invoices"),
+         (1, "window scan", [4], "invoices"),
+         (2, "zzzznotaword", [5], "receipts")],
+        "query_id long, query string, relevant_ids array<long>, category string",
+    ).write.parquet(ds_path)
+    out = api.execute(
+        spark, "evaluate_dataset",
+        input_path="/root/testdata/sf0.001/documents.parquet",
+        dataset_path=ds_path, limit=10,
+    ).collect()
+    rows = {}
+    for r in out:
+        rows.setdefault(r["scope"], []).append(r)
+    assert len(rows["query"]) == 3
+    q = {r["query_id"]: r for r in rows["query"]}
+    assert q[2]["recall_at_k"] == 0.0 and q[2]["mrr"] == 0.0  # no-match query
+    assert len(rows["overall"]) == 1
+    ov = rows["overall"][0]
+    import pytest as _pt
+    assert ov["mrr"] == _pt.approx(
+        round(sum(r["mrr"] for r in rows["query"]) / 3, 6))
+    cats = {r["category"]: r for r in rows["category"]}
+    assert set(cats) == {"invoices", "receipts"}
+    assert cats["receipts"]["recall_at_k"] == 0.0

@@ -134,3 +134,58 @@ def test_mcp_jsonrpc_mode(corpus_path):
     assert resps[4]["result"]["isError"] is True
     # unknown method -> JSON-RPC error object
     assert resps[5]["error"]["code"] == -32601
+
+
+def test_http_mode_serves_search_and_rag(corpus_path):
+    """`doc serve --port` analog: real HTTP requests against the running
+    server — GET /operations, POST /search_documents, POST /rag, and a
+    bad op returning ok:false without killing the server."""
+    import time
+    import urllib.error
+    import urllib.request
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "doc_agent_spark.serve", "--port", "0"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        env=ENV, cwd=REPO,
+    )
+    try:
+        line = proc.stdout.readline()          # {"ok": true, "listening": N}
+        port = json.loads(line)["listening"]
+        base = f"http://127.0.0.1:{port}"
+
+        def post(path, payload):
+            req = urllib.request.Request(
+                base + path, data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"}, method="POST",
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        with urllib.request.urlopen(base + "/operations", timeout=60) as r:
+            ops = json.loads(r.read())
+        assert any(o["name"] == "rag_search" for o in ops["operations"])
+
+        docs = "/root/testdata/sf0.001/documents.parquet"
+        code, body = post("/search_documents",
+                          {"input_path": docs, "query": "spark", "limit": 2})
+        assert code == 200 and len(body["rows"]) == 2
+        assert {"id", "score", "snippet"} <= set(body["rows"][0])
+
+        code, body = post("/rag", {"input_path": docs,
+                                   "query": "spark join", "limit": 2})
+        assert code == 200
+        parts = {r["part"] for r in body["rows"]}
+        assert parts == {"citation", "answer", "debug"}
+
+        code, body = post("/no_such_op", {})
+        assert code == 400 and not body["ok"]
+        # server survived the bad request
+        with urllib.request.urlopen(base + "/operations", timeout=60) as r:
+            assert json.loads(r.read())["ok"]
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)

@@ -296,3 +296,26 @@ def test_eval_by_category_macro_average(spark):
     assert got["receipts"]["recall_at_k"] == 0.0
     assert got["uncategorized"]["mrr"] == 0.25
     assert set(got) == {"invoices", "receipts", "uncategorized"}
+
+
+def test_bm25_multi_matches_per_query_loop(spark):
+    """Batched BM25 (one corpus pass for the whole eval set) must equal
+    running bm25_scores per query — including the per-query idf/df being
+    the same global statistics, and duplicated query terms not
+    double-counting."""
+    from doc_agent_spark.operators import search
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    qsets = {0: ["spark", "join"], 1: ["window", "scan", "window"],
+             2: ["spark", "vector", "line"]}
+    queries = spark.createDataFrame(
+        [(qid, terms) for qid, terms in qsets.items()],
+        "query_id long, terms array<string>",
+    )
+    batched = {(r["query_id"], r["id"]): r["score"] for r in
+               search.bm25_scores_multi(docs, queries).collect()}
+    for qid, terms in qsets.items():
+        solo = {r["id"]: r["score"] for r in
+                search.bm25_scores(docs, sorted(set(terms))).collect()}
+        got = {i: s for (q, i), s in batched.items() if q == qid}
+        assert got == solo, qid

@@ -57,20 +57,65 @@ def _extract_document(spark: SparkSession, input_path: str) -> DataFrame:
     return extractor.extracted_spans(docs)
 
 
+def _parse_filter(docs: DataFrame, filter_expr: str) -> DataFrame:
+    """`--filter "key:value"` (roadmap search option): equality predicate
+    on a metadata column, validated against the schema (an unknown key
+    must fail fast, not silently match nothing). The value compares
+    through a cast to the column's type so numeric columns filter
+    naturally from the string form."""
+    key, sep, value = filter_expr.partition(":")
+    if not sep or not key:
+        raise ValueError(f"filter must be 'key:value', got {filter_expr!r}")
+    if key not in docs.columns:
+        raise ValueError(
+            f"unknown filter column {key!r}; have: {', '.join(docs.columns)}"
+        )
+    col_type = docs.schema[key].dataType
+    return docs.filter(F.col(key) == F.lit(value).cast(col_type))
+
+
 def _search_documents(spark: SparkSession, input_path: str, query: str,
-                      limit: int) -> DataFrame:
-    # the surface the reference stubs ("not yet implemented"): BM25 +
-    # hydration over the corpus, one call
+                      limit: int, mode: str = "keyword",
+                      filter: str = "") -> DataFrame:
+    """`doc search` with the roadmap's mode/filter options: 'keyword' =
+    BM25; 'vector' = deterministic doc-grain embedding cosine; 'hybrid' =
+    RRF fusion of both lists (roadmap :130-135). Every mode hydrates the
+    top-k with snippets; `filter` ("key:value") restricts the corpus
+    BEFORE retrieval so corpus statistics (df, avgdl) reflect the
+    filtered collection."""
+    import re
+
+    from .functions import embedder
+    from .functions.vectors import cosine
     from .operators import search
 
     docs = spark.read.parquet(input_path)
+    if filter:
+        docs = _parse_filter(docs, filter)
     # tokenize the query EXACTLY like the documents (textfns.words_of:
     # split on non-alphanumerics) — a whitespace split would emit terms
     # like "spark-join" or "what's" that can never equal a document token
-    import re
-
     terms = [t for t in re.split(r"[^a-z0-9]+", query.lower()) if t]
-    scores = search.bm25_scores(docs, terms)
+
+    def vec_scores():
+        vecs = embedder.embed(docs, "doc_id", "text", dim=16)
+        qv = embedder.fake_embedding(F.lit(query), 16)
+        return vecs.select(
+            "id", F.round(cosine(F.col("embedding"), qv), 6).alias("score")
+        )
+
+    if mode == "keyword":
+        scores = search.bm25_scores(docs, terms)
+    elif mode == "vector":
+        scores = vec_scores()
+    elif mode == "hybrid":
+        scores = search.rrf_fuse(
+            vec_scores(), search.bm25_scores(docs, terms), top_n=100
+        ).withColumnRenamed("rrf_score", "score")
+    else:
+        raise ValueError(
+            f"unknown mode {mode!r}; one of: keyword, vector, hybrid"
+        )
     return search.hydrate(search.topk(scores, limit), docs)
 
 
@@ -202,9 +247,11 @@ OPERATIONS: dict[str, Operation] = {
         ),
         Operation(
             "search_documents",
-            "Search indexed documents (BM25 + hydration)",
-            {"input_path": str, "query": str, "limit": int},
-            {"limit": 10},
+            "Search indexed documents (keyword | vector | hybrid, "
+            "optional key:value filter)",
+            {"input_path": str, "query": str, "limit": int,
+             "mode": str, "filter": str},
+            {"limit": 10, "mode": "keyword", "filter": ""},
             fn=_search_documents,
             required_cols=frozenset({"doc_id", "text"}),
         ),

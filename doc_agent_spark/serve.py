@@ -236,6 +236,8 @@ def main(argv: list[str] | None = None) -> int:
                          "citations instead of plain hits (doc search --rag)")
     ap.add_argument("--input-path", help="input corpus (parquet dir)")
     ap.add_argument("--query", help="search query string")
+    ap.add_argument("--mode", help="search mode: keyword | vector | hybrid")
+    ap.add_argument("--filter", help="metadata filter 'key:value'")
     ap.add_argument("--limit", type=int, help="result limit (operation param)")
     ap.add_argument("--words-per-chunk", type=int, help="chunking window")
     ap.add_argument("--row-limit", type=int,
@@ -279,6 +281,8 @@ def main(argv: list[str] | None = None) -> int:
                 "input_path": args.input_path,
                 "query": args.query,
                 "limit": args.limit,
+                "mode": args.mode,
+                "filter": args.filter,
                 "words_per_chunk": args.words_per_chunk,
             }.items()
             if v is not None

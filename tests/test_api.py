@@ -137,3 +137,37 @@ def test_evaluate_dataset_scopes_and_zero_match_query(spark, tmp_path):
     cats = {r["category"]: r for r in rows["category"]}
     assert set(cats) == {"invoices", "receipts"}
     assert cats["receipts"]["recall_at_k"] == 0.0
+
+
+def test_search_modes_and_filter(spark):
+    """Roadmap search options: --mode vector|keyword|hybrid and
+    --filter key:value. The hybrid list fuses both rankings (RRF), and a
+    filter restricts the corpus before retrieval; unknown modes/columns
+    fail fast."""
+    import pytest as _pt
+
+    from doc_agent_spark import api
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    kw = api.execute(spark, "search_documents", input_path=docs,
+                     query="spark join", limit=5).collect()
+    vec = api.execute(spark, "search_documents", input_path=docs,
+                      query="spark join", limit=5, mode="vector").collect()
+    hyb = api.execute(spark, "search_documents", input_path=docs,
+                      query="spark join", limit=5, mode="hybrid").collect()
+    assert len(kw) == 5 and len(vec) == 5 and len(hyb) == 5
+    # hybrid scores are RRF masses (bounded by 2/61), not BM25 scores
+    assert all(r["score"] <= 2.0 / 61 + 1e-9 for r in hyb)
+    flt = api.execute(spark, "search_documents", input_path=docs,
+                      query="spark join", limit=100,
+                      filter="lang:en").collect()
+    langs = {r["id"] for r in flt}
+    en_ids = {r["doc_id"] for r in spark.read.parquet(docs)
+              .filter("lang = 'en'").collect()}
+    assert langs and langs <= en_ids
+    with _pt.raises(ValueError, match="unknown mode"):
+        api.execute(spark, "search_documents", input_path=docs,
+                    query="x", mode="psychic")
+    with _pt.raises(ValueError, match="unknown filter column"):
+        api.execute(spark, "search_documents", input_path=docs,
+                    query="x", filter="nope:1")

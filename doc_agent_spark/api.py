@@ -167,7 +167,7 @@ def _rag_search(spark: SparkSession, input_path: str, query: str,
 
 
 def _evaluate_dataset(spark: SparkSession, input_path: str, dataset_path: str,
-                      limit: int) -> DataFrame:
+                      limit: int, compare: str = "") -> DataFrame:
     """The roadmap's eval harness (`doc eval --dataset <path>`,
     SEMANTIC-SEARCH-ROADMAP.md:492-511): run BATCHED keyword retrieval for
     every query of an EvalDataset in one corpus pass
@@ -177,7 +177,15 @@ def _evaluate_dataset(spark: SparkSession, input_path: str, dataset_path: str,
     ``dataset_path``: parquet with (query_id long, query string,
     relevant_ids array<long>, category string nullable) — the EvalQuery
     shape (relevantChunkIds ∪ category). Output rows are tagged by scope
-    ('query' | 'category' | 'overall')."""
+    ('query' | 'category' | 'overall').
+
+    ``compare``: comma-separated provider names (`doc eval --compare
+    ollama,openai,gemini`) — additionally runs VECTOR retrieval under
+    each named (deterministic) embedding provider and appends one
+    macro-averaged row per provider (scope='provider', category=name),
+    so embedding spaces rank against the same qrels."""
+    from .functions import embedder
+    from .functions.vectors import cosine
     from .operators import search
 
     docs = spark.read.parquet(input_path)
@@ -221,7 +229,35 @@ def _evaluate_dataset(spark: SparkSession, input_path: str, dataset_path: str,
         F.lit(None).cast("string").alias("category"),
         "recall_at_k", "precision_at_k", "mrr",
     )
-    return q_rows.unionByName(c_rows).unionByName(overall)
+    out = q_rows.unionByName(c_rows).unionByName(overall)
+    for prov in [p for p in compare.split(",") if p]:
+        demb = embedder.embed(docs, "doc_id", "text", dim=16, provider=prov)
+        qemb = ds.select(
+            "query_id",
+            embedder.fake_embedding(F.col("query"), 16, prov).alias("qv"),
+        )
+        vret = demb.crossJoin(F.broadcast(qemb)).select(
+            "query_id", "id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
+        )
+        vper = (
+            ds.select("query_id").distinct()
+            .join(search.eval_retrieval_by_query(vret, relevant, k=limit),
+                  "query_id", "left")
+            .fillna(0.0, ["recall_at_k", "precision_at_k", "mrr"])
+        )
+        prow = vper.agg(
+            F.round(F.avg("recall_at_k"), 6).alias("recall_at_k"),
+            F.round(F.avg("precision_at_k"), 6).alias("precision_at_k"),
+            F.round(F.avg("mrr"), 6).alias("mrr"),
+        ).select(
+            F.lit("provider").alias("scope"),
+            F.lit(None).cast("long").alias("query_id"),
+            F.lit(prov).alias("category"),
+            "recall_at_k", "precision_at_k", "mrr",
+        )
+        out = out.unionByName(prow)
+    return out
 
 
 def _list_documents(spark: SparkSession, input_path: str, limit: int) -> DataFrame:
@@ -270,8 +306,9 @@ OPERATIONS: dict[str, Operation] = {
             "evaluate_dataset",
             "Eval harness: batched retrieval + recall/precision/MRR "
             "per query, per category, overall",
-            {"input_path": str, "dataset_path": str, "limit": int},
-            {"limit": 10},
+            {"input_path": str, "dataset_path": str, "limit": int,
+             "compare": str},
+            {"limit": 10, "compare": ""},
             fn=_evaluate_dataset,
             required_cols=frozenset({"doc_id", "text"}),
         ),

@@ -22,20 +22,29 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def fake_embedding(text: Column, dim: int = 16) -> Column:
+def fake_embedding(text: Column, dim: int = 16,
+                   provider: str = "") -> Column:
+    """``provider`` salts the hash (md5(provider '|' text ':' i)) so each
+    named provider yields a DIFFERENT deterministic embedding space — the
+    `doc eval --compare ollama,openai,gemini` axis. The default ''
+    keeps the original formula bit-for-bit (every existing oracle arm
+    depends on that)."""
+    salted = F.concat(F.lit(provider + "|"), text) if provider else text
     return F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: F.conv(
-            F.substring(F.md5(F.concat(text, F.lit(":"), i.cast("string"))), 1, 8),
+            F.substring(F.md5(F.concat(salted, F.lit(":"), i.cast("string"))), 1, 8),
             16, 10,
         ).cast("long").cast("double") / F.lit(float(2 ** 32)) - 0.5,
     )
 
 
-def embed(df: DataFrame, id_col: str, text_col: str, dim: int = 16) -> DataFrame:
+def embed(df: DataFrame, id_col: str, text_col: str, dim: int = 16,
+          provider: str = "") -> DataFrame:
     """(id, embedding array<double>) — one vector per row, zero shuffle."""
     return df.select(
-        F.col(id_col).alias("id"), fake_embedding(F.col(text_col), dim).alias("embedding")
+        F.col(id_col).alias("id"),
+        fake_embedding(F.col(text_col), dim, provider).alias("embedding"),
     )
 
 

@@ -171,3 +171,31 @@ def test_search_modes_and_filter(spark):
     with _pt.raises(ValueError, match="unknown filter column"):
         api.execute(spark, "search_documents", input_path=docs,
                     query="x", filter="nope:1")
+
+
+def test_evaluate_dataset_compare_providers(spark, tmp_path):
+    """`doc eval --compare a,b`: one macro-averaged vector-eval row per
+    named provider, each a DIFFERENT deterministic embedding space (the
+    default space is untouched — existing oracle arms pin it)."""
+    from doc_agent_spark import api
+    from doc_agent_spark.functions import embedder
+    from pyspark.sql import functions as F
+
+    ds_path = str(tmp_path / "cmpds.parquet")
+    spark.createDataFrame(
+        [(0, "spark join", [1, 2], "a"), (1, "window scan", [3], "b")],
+        "query_id long, query string, relevant_ids array<long>, category string",
+    ).write.parquet(ds_path)
+    out = api.execute(
+        spark, "evaluate_dataset",
+        input_path="/root/testdata/sf0.001/documents.parquet",
+        dataset_path=ds_path, limit=10, compare="ollama,openai",
+    ).collect()
+    provs = {r["category"]: r for r in out if r["scope"] == "provider"}
+    assert set(provs) == {"ollama", "openai"}
+    # distinct provider salts -> distinct embedding spaces
+    base = spark.range(1).select(
+        embedder.fake_embedding(F.lit("x"), 4).alias("e"),
+        embedder.fake_embedding(F.lit("x"), 4, "ollama").alias("eo"),
+    ).head()
+    assert base["e"] != base["eo"]

@@ -76,7 +76,7 @@ def _parse_filter(docs: DataFrame, filter_expr: str) -> DataFrame:
 
 def _search_documents(spark: SparkSession, input_path: str, query: str,
                       limit: int, mode: str = "keyword",
-                      filter: str = "") -> DataFrame:
+                      filter: str = "", rerank: bool = False) -> DataFrame:
     """`doc search` with the roadmap's mode/filter options: 'keyword' =
     BM25; 'vector' = deterministic doc-grain embedding cosine; 'hybrid' =
     RRF fusion of both lists (roadmap :130-135). Every mode hydrates the
@@ -116,6 +116,23 @@ def _search_documents(spark: SparkSession, input_path: str, query: str,
         raise ValueError(
             f"unknown mode {mode!r}; one of: keyword, vector, hybrid"
         )
+    if rerank:
+        # --rerank (roadmap): the deterministic cross-encoder stub
+        # re-scores a wider candidate set, final order by blended score;
+        # retrieval score rides along (the Reranker contract)
+        cands = docs.select(F.col("doc_id").alias("id"), "text").join(
+            F.broadcast(search.topk(scores, 2 * limit)), "id"
+        )
+        rr = search.rerank(cands, terms, text_col="text")
+        top = search.topk(rr, limit, score_col="final_score")
+        hyd = search.hydrate(
+            top.select("id", F.col("final_score").alias("score")), docs
+        )
+        return hyd.join(
+            F.broadcast(top.select("id", F.col("score").alias("retrieval_score"),
+                                   "rerank_score", "final_score")), "id",
+        ).select("id", "retrieval_score", "rerank_score", "final_score",
+                 "snippet").orderBy(F.desc("final_score"), F.asc("id"))
     return search.hydrate(search.topk(scores, limit), docs)
 
 
@@ -286,8 +303,8 @@ OPERATIONS: dict[str, Operation] = {
             "Search indexed documents (keyword | vector | hybrid, "
             "optional key:value filter)",
             {"input_path": str, "query": str, "limit": int,
-             "mode": str, "filter": str},
-            {"limit": 10, "mode": "keyword", "filter": ""},
+             "mode": str, "filter": str, "rerank": bool},
+            {"limit": 10, "mode": "keyword", "filter": "", "rerank": False},
             fn=_search_documents,
             required_cols=frozenset({"doc_id", "text"}),
         ),

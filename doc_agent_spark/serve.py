@@ -238,6 +238,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--query", help="search query string")
     ap.add_argument("--mode", help="search mode: keyword | vector | hybrid")
     ap.add_argument("--filter", help="metadata filter 'key:value'")
+    ap.add_argument("--rerank", action="store_true", default=None,
+                    help="re-score the candidates with the deterministic "
+                         "cross-encoder stub (doc search --rerank)")
     ap.add_argument("--limit", type=int, help="result limit (operation param)")
     ap.add_argument("--words-per-chunk", type=int, help="chunking window")
     ap.add_argument("--row-limit", type=int,
@@ -283,6 +286,7 @@ def main(argv: list[str] | None = None) -> int:
                 "limit": args.limit,
                 "mode": args.mode,
                 "filter": args.filter,
+                "rerank": args.rerank,
                 "words_per_chunk": args.words_per_chunk,
             }.items()
             if v is not None

@@ -199,3 +199,18 @@ def test_evaluate_dataset_compare_providers(spark, tmp_path):
         embedder.fake_embedding(F.lit("x"), 4, "ollama").alias("eo"),
     ).head()
     assert base["e"] != base["eo"]
+
+
+def test_search_rerank_flag(spark):
+    from doc_agent_spark import api
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    rows = api.execute(spark, "search_documents", input_path=docs,
+                       query="spark join window", limit=5,
+                       rerank=True).collect()
+    assert len(rows) == 5
+    assert {"retrieval_score", "rerank_score", "final_score",
+            "snippet"} <= set(rows[0].asDict())
+    scores = [r["final_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["final_score"] is not None for r in rows)

@@ -71,7 +71,33 @@ def _parse_filter(docs: DataFrame, filter_expr: str) -> DataFrame:
             f"unknown filter column {key!r}; have: {', '.join(docs.columns)}"
         )
     col_type = docs.schema[key].dataType
-    return docs.filter(F.col(key) == F.lit(value).cast(col_type))
+    lit = F.lit(value).cast(col_type)
+    # an uncastable value makes the literal NULL and the predicate match
+    # NOTHING silently — the exact failure this validation exists to stop
+    spark = docs.sparkSession
+    if spark.range(1).select(lit.alias("v")).head()["v"] is None:
+        raise ValueError(
+            f"filter value {value!r} does not parse as the "
+            f"{col_type.simpleString()} column {key!r}"
+        )
+    return docs.filter(F.col(key) == lit)
+
+
+def _embed_cosine_scores(docs: DataFrame, query: str, dim: int = 16,
+                         provider: str = "",
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """(id, score): deterministic embedding cosine of every row against
+    the embedded query — the one definition of the vector-retrieval list
+    (rounding/dim/provider conventions live here, not in four copies)."""
+    from .functions import embedder
+    from .functions.vectors import cosine
+
+    vecs = embedder.embed(docs, id_col, text_col, dim=dim, provider=provider)
+    qv = embedder.fake_embedding(F.lit(query), dim, provider)
+    return vecs.select(
+        "id", F.round(cosine(F.col("embedding"), qv), 6).alias("score")
+    )
 
 
 def _search_documents(spark: SparkSession, input_path: str, query: str,
@@ -85,8 +111,6 @@ def _search_documents(spark: SparkSession, input_path: str, query: str,
     filtered collection."""
     import re
 
-    from .functions import embedder
-    from .functions.vectors import cosine
     from .operators import search
 
     docs = spark.read.parquet(input_path)
@@ -97,20 +121,14 @@ def _search_documents(spark: SparkSession, input_path: str, query: str,
     # like "spark-join" or "what's" that can never equal a document token
     terms = [t for t in re.split(r"[^a-z0-9]+", query.lower()) if t]
 
-    def vec_scores():
-        vecs = embedder.embed(docs, "doc_id", "text", dim=16)
-        qv = embedder.fake_embedding(F.lit(query), 16)
-        return vecs.select(
-            "id", F.round(cosine(F.col("embedding"), qv), 6).alias("score")
-        )
-
     if mode == "keyword":
         scores = search.bm25_scores(docs, terms)
     elif mode == "vector":
-        scores = vec_scores()
+        scores = _embed_cosine_scores(docs, query)
     elif mode == "hybrid":
         scores = search.rrf_fuse(
-            vec_scores(), search.bm25_scores(docs, terms), top_n=100
+            _embed_cosine_scores(docs, query),
+            search.bm25_scores(docs, terms), top_n=100
         ).withColumnRenamed("rrf_score", "score")
     else:
         raise ValueError(
@@ -158,7 +176,7 @@ def _semantic_search(spark: SparkSession, input_path: str, query: str,
 
 
 def _rag_search(spark: SparkSession, input_path: str, query: str,
-                limit: int) -> DataFrame:
+                limit: int, filter: str = "") -> DataFrame:
     """The roadmap's RAG surface (`doc search --rag` / `POST /rag`,
     SEMANTIC-SEARCH-ROADMAP.md:146-169): hybrid retrieval (deterministic
     doc-grain embedding cosine ∪ BM25) fused by RRF, reranked, top-k
@@ -166,19 +184,15 @@ def _rag_search(spark: SparkSession, input_path: str, query: str,
     RAGResponse{answer, chunks, debug} as (part, rank, id, …) rows."""
     import re
 
-    from .functions import embedder
-    from .functions.vectors import cosine
     from .operators import search
 
     docs = spark.read.parquet(input_path)
+    if filter:
+        docs = _parse_filter(docs, filter)
     terms = [t for t in re.split(r"[^a-z0-9]+", query.lower()) if t]
     if not terms:
         raise ValueError("query must contain at least one token")
-    vecs = embedder.embed(docs, "doc_id", "text", dim=16)
-    qv = embedder.fake_embedding(F.lit(query), 16)
-    vec_scores = vecs.select(
-        "id", F.round(cosine(F.col("embedding"), qv), 6).alias("score")
-    )
+    vec_scores = _embed_cosine_scores(docs, query)
     kw_scores = search.bm25_scores(docs, terms)
     return search.rag_answer(docs, vec_scores, kw_scores, terms, k=limit)
 
@@ -216,13 +230,29 @@ def _evaluate_dataset(spark: SparkSession, input_path: str, dataset_path: str,
     relevant = ds.select(
         "query_id", F.explode("relevant_ids").alias("id")
     )
-    per_q = search.eval_retrieval_by_query(retrieved, relevant, k=limit)
-    # a query whose terms match NOTHING retrieves zero rows and would
-    # silently vanish from the report — an eval must show the failure
-    per_q = (
-        ds.select("query_id").distinct()
-        .join(per_q, "query_id", "left")
-        .fillna(0.0, ["recall_at_k", "precision_at_k", "mrr"])
+    def zero_filled(per_query):
+        # a query whose terms match NOTHING retrieves zero rows and would
+        # silently vanish from the report — an eval must show the failure
+        return (
+            ds.select("query_id").distinct()
+            .join(per_query, "query_id", "left")
+            .fillna(0.0, ["recall_at_k", "precision_at_k", "mrr"])
+        )
+
+    def macro_row(per_query, scope, category):
+        return per_query.agg(
+            F.round(F.avg("recall_at_k"), 6).alias("recall_at_k"),
+            F.round(F.avg("precision_at_k"), 6).alias("precision_at_k"),
+            F.round(F.avg("mrr"), 6).alias("mrr"),
+        ).select(
+            F.lit(scope).alias("scope"),
+            F.lit(None).cast("long").alias("query_id"),
+            F.lit(category).cast("string").alias("category"),
+            "recall_at_k", "precision_at_k", "mrr",
+        )
+
+    per_q = zero_filled(
+        search.eval_retrieval_by_query(retrieved, relevant, k=limit)
     )
     cats = ds.select("query_id", "category")
     by_cat = search.eval_retrieval_by_category(per_q, cats)
@@ -236,18 +266,15 @@ def _evaluate_dataset(spark: SparkSession, input_path: str, dataset_path: str,
         F.lit(None).cast("long").alias("query_id"),
         "category", "recall_at_k", "precision_at_k", "mrr",
     )
-    overall = per_q.agg(
-        F.round(F.avg("recall_at_k"), 6).alias("recall_at_k"),
-        F.round(F.avg("precision_at_k"), 6).alias("precision_at_k"),
-        F.round(F.avg("mrr"), 6).alias("mrr"),
-    ).select(
-        F.lit("overall").alias("scope"),
-        F.lit(None).cast("long").alias("query_id"),
-        F.lit(None).cast("string").alias("category"),
-        "recall_at_k", "precision_at_k", "mrr",
+    out = q_rows.unionByName(c_rows).unionByName(
+        macro_row(per_q, "overall", None)
     )
-    out = q_rows.unionByName(c_rows).unionByName(overall)
-    for prov in [p for p in compare.split(",") if p]:
+    # strip + dedupe preserving order: " openai" must not become a
+    # DIFFERENT embedding space than "openai", and repeats add nothing
+    provs = list(dict.fromkeys(
+        p.strip() for p in compare.split(",") if p.strip()
+    ))
+    for prov in provs:
         demb = embedder.embed(docs, "doc_id", "text", dim=16, provider=prov)
         qemb = ds.select(
             "query_id",
@@ -257,23 +284,10 @@ def _evaluate_dataset(spark: SparkSession, input_path: str, dataset_path: str,
             "query_id", "id",
             F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
         )
-        vper = (
-            ds.select("query_id").distinct()
-            .join(search.eval_retrieval_by_query(vret, relevant, k=limit),
-                  "query_id", "left")
-            .fillna(0.0, ["recall_at_k", "precision_at_k", "mrr"])
+        vper = zero_filled(
+            search.eval_retrieval_by_query(vret, relevant, k=limit)
         )
-        prow = vper.agg(
-            F.round(F.avg("recall_at_k"), 6).alias("recall_at_k"),
-            F.round(F.avg("precision_at_k"), 6).alias("precision_at_k"),
-            F.round(F.avg("mrr"), 6).alias("mrr"),
-        ).select(
-            F.lit("provider").alias("scope"),
-            F.lit(None).cast("long").alias("query_id"),
-            F.lit(prov).alias("category"),
-            "recall_at_k", "precision_at_k", "mrr",
-        )
-        out = out.unionByName(prow)
+        out = out.unionByName(macro_row(vper, "provider", prov))
     return out
 
 
@@ -332,8 +346,8 @@ OPERATIONS: dict[str, Operation] = {
         Operation(
             "rag_search",
             "RAG answer with citations (hybrid retrieval + extractive answer)",
-            {"input_path": str, "query": str, "limit": int},
-            {"limit": 5},
+            {"input_path": str, "query": str, "limit": int, "filter": str},
+            {"limit": 5, "filter": ""},
             fn=_rag_search,
             required_cols=frozenset({"doc_id", "text"}),
         ),

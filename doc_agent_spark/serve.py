@@ -200,14 +200,20 @@ def _serve_http(spark, port: int) -> None:
             op = self.path.strip("/")
             if op == "rag":
                 op = "rag_search"
+            if op not in api.OPERATIONS:
+                send(self, 404, {"ok": False, "error": f"unknown operation: {op}"})
+                return
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 params = json.loads(self.rfile.read(n) or b"{}")
                 row_limit = int(params.pop("row_limit", 100))
                 rows = _run_op(spark, op, params, row_limit)
                 send(self, 200, {"ok": True, "rows": rows})
-            except Exception as e:
+            except (TypeError, ValueError) as e:   # bad params/body
                 send(self, 400,
+                     {"ok": False, "error": f"{type(e).__name__}: {e}"})
+            except Exception as e:   # execution failure ≠ client error
+                send(self, 500,
                      {"ok": False, "error": f"{type(e).__name__}: {e}"})
 
     server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
@@ -243,6 +249,10 @@ def main(argv: list[str] | None = None) -> int:
                          "cross-encoder stub (doc search --rerank)")
     ap.add_argument("--limit", type=int, help="result limit (operation param)")
     ap.add_argument("--words-per-chunk", type=int, help="chunking window")
+    ap.add_argument("--dataset-path", help="eval dataset parquet "
+                                           "(evaluate_dataset)")
+    ap.add_argument("--compare", help="comma-separated embed providers "
+                                      "to compare (evaluate_dataset)")
     ap.add_argument("--row-limit", type=int,
                     help="max rows printed as JSON (CLI mode; default 100, "
                          "overridable via $DOC_AGENT_ROW_LIMIT / config file)")
@@ -257,6 +267,10 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("an operation name (or --stdio/--mcp/--port) is required")
     if args.rag and args.operation == "search_documents":
         args.operation = "rag_search"
+        if args.mode or args.rerank:
+            ap.error("--rag composes its own hybrid retrieval + rerank; "
+                     "--mode/--rerank do not apply (use --filter to "
+                     "restrict the corpus)")
 
     from .config import load_config
     from .session import get_spark
@@ -287,6 +301,8 @@ def main(argv: list[str] | None = None) -> int:
                 "mode": args.mode,
                 "filter": args.filter,
                 "rerank": args.rerank,
+                "dataset_path": args.dataset_path,
+                "compare": args.compare,
                 "words_per_chunk": args.words_per_chunk,
             }.items()
             if v is not None

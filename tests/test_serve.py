@@ -182,10 +182,50 @@ def test_http_mode_serves_search_and_rag(corpus_path):
         assert parts == {"citation", "answer", "debug"}
 
         code, body = post("/no_such_op", {})
-        assert code == 400 and not body["ok"]
+        assert code == 404 and not body["ok"]          # unknown op -> 404
+        code, body = post("/search_documents", {"query": "x"})
+        assert code == 400 and not body["ok"]          # missing params -> 400
         # server survived the bad request
         with urllib.request.urlopen(base + "/operations", timeout=60) as r:
             assert json.loads(r.read())["ok"]
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+def test_eval_cli_flags(tmp_path):
+    """evaluate_dataset is reachable from ONE-SHOT CLI mode via
+    --dataset-path/--compare (review finding: it previously only worked
+    through stdio/mcp/http)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ds = str(tmp_path / "ds.parquet")
+    pq.write_table(pa.table({
+        "query_id": pa.array([0, 1], pa.int64()),
+        "query": ["spark join", "window scan"],
+        "relevant_ids": pa.array([[1, 2], [3]], pa.list_(pa.int64())),
+        "category": ["a", "b"],
+    }), ds)
+    proc = subprocess.run(
+        [sys.executable, "-m", "doc_agent_spark.serve", "evaluate_dataset",
+         "--input-path", "/root/testdata/sf0.001/documents.parquet",
+         "--dataset-path", ds, "--compare", "ollama"],
+        capture_output=True, text=True, timeout=300, env=ENV, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rows = [json.loads(ln) for ln in proc.stdout.splitlines()
+            if ln.startswith("{")]
+    scopes = {r["scope"] for r in rows}
+    assert scopes == {"query", "category", "overall", "provider"}
+
+
+def test_rag_rejects_incompatible_flags(corpus_path):
+    proc = subprocess.run(
+        [sys.executable, "-m", "doc_agent_spark.serve", "search_documents",
+         "--rag", "--mode", "vector", "--input-path", corpus_path,
+         "--query", "x"],
+        capture_output=True, text=True, timeout=120, env=ENV, cwd=REPO,
+    )
+    assert proc.returncode != 0
+    assert "--mode/--rerank do not apply" in proc.stderr

@@ -268,3 +268,49 @@ def test_rfc9309_equal_octet_tie_allow_wins(spark):
            frontier.robots_filter(fr, rules).collect()}
     assert out["https://t.com/a/x1"] is False   # equal octets -> allow wins
     assert out["https://t.com/дxyz"] is False   # octet-longer allow governs
+
+
+def test_rule_regex_cross_engine_grid(spark):
+    """Generative cross-engine check of the robots pattern compiler: a
+    grid of patterns exercising every metacharacter/escape/wildcard/
+    anchor combination × a grid of paths, matched through Spark
+    (regexp_like on rule_regex) AND DuckDB (regexp_matches on
+    rule_regex_sql) — the compiled regex STRINGS and every match verdict
+    must agree, or the oracle could silently diverge from the engine on
+    hosts publishing exotic rules."""
+    patterns = [
+        "/a", "/a/", "/a$", "/*", "/*$", "/a*b", "/a*b$", "/*.php",
+        "/*.php$", "/a.b", "/a+b", "/a?x=1", "/a(b)c", "/a[b]c",
+        "/a{2}", "/a|b", "/a^b", "/a\\b", "/a$b", "/a$b$", "/**",
+        "/a**b$", "/.^$+?()[]{}|*$", "/д/ж", "/%7Ea",
+    ]
+    paths = [
+        "/a", "/a/", "/a/x", "/ab", "/a.b", "/axb", "/a*b", "/aXYb",
+        "/x.php", "/x.phpq", "/a?x=1", "/a?x=12", "/a(b)c", "/a[b]c",
+        "/a{2}", "/a|b", "/a^b", "/a\\b", "/a$b", "/д/ж", "/%7Ea", "/",
+    ]
+    cases = [(pat, path) for pat in patterns for path in paths]
+    df = spark.createDataFrame(cases, "pattern string, path string")
+    got_spark = {
+        (r["pattern"], r["path"]): (r["rx"], r["m"])
+        for r in df.select(
+            "pattern", "path",
+            frontier.rule_regex(F.col("pattern")).alias("rx"),
+            F.regexp_like(
+                F.col("path"), frontier.rule_regex(F.col("pattern"))
+            ).alias("m"),
+        ).collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("cases", pd.DataFrame(cases, columns=["pattern", "path"]))
+    got_duck = {
+        (pat, path): (rx, m)
+        for pat, path, rx, m in con.execute(
+            f"SELECT pattern, path, {frontier.rule_regex_sql('pattern')} AS rx,"
+            f" regexp_matches(path, {frontier.rule_regex_sql('pattern')})"
+            " FROM cases"
+        ).fetchall()
+    }
+    assert got_spark == got_duck

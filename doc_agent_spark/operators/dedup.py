@@ -226,32 +226,49 @@ def minhash_band_structs(text: Column, k: int = 8, bands: int = 4) -> Column:
     near-dup join free of shuffle state. Shingle-less docs return an empty
     array (no bands ⇒ no candidates — the same no-constant-signature rule
     as the batch path)."""
+    from ..functions.assembly import let_
+
     _check_minhash_params(k, bands)
     rows = k // bands
-    shingles = word_ngrams(text, 3)
-    h = F.transform(
-        shingles,
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
-        % F.lit(_MINHASH_PRIME),
-    )
-    sigs = [
-        F.array_min(
-            F.transform(h, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_MINHASH_PRIME))
+
+    # shingles and the base hash array are let_-bound: the k permutation
+    # folds and the size() guard reference them k+1 times, and unbound
+    # references would re-shingle + re-md5 the text once per permutation
+    def _with_shingles(shingles: Column) -> Column:
+        def _with_h(h: Column) -> Column:
+            sigs = [
+                F.array_min(
+                    F.transform(
+                        h,
+                        lambda x: (F.lit(a) * x + F.lit(b))
+                        % F.lit(_MINHASH_PRIME),
+                    )
+                )
+                for a, b in minhash_perm_consts(k)
+            ]
+            structs = F.array(*[
+                F.struct(
+                    F.lit(bd).cast("int").alias("band"),
+                    F.md5(F.concat_ws("|", *[
+                        sigs[bd * rows + r].cast("string") for r in range(rows)
+                    ])).alias("bucket"),
+                )
+                for bd in range(bands)
+            ])
+            return F.when(F.size(shingles) > 0, structs).otherwise(
+                F.array().cast("array<struct<band:int,bucket:string>>")
+            )
+
+        return let_(
+            F.transform(
+                shingles,
+                lambda sh: F.conv(F.substring(F.md5(sh), 1, 15), 16, 10)
+                .cast("long") % F.lit(_MINHASH_PRIME),
+            ),
+            _with_h,
         )
-        for a, b in minhash_perm_consts(k)
-    ]
-    structs = F.array(*[
-        F.struct(
-            F.lit(bd).cast("int").alias("band"),
-            F.md5(F.concat_ws("|", *[
-                sigs[bd * rows + r].cast("string") for r in range(rows)
-            ])).alias("bucket"),
-        )
-        for bd in range(bands)
-    ])
-    return F.when(F.size(shingles) > 0, structs).otherwise(
-        F.array().cast("array<struct<band:int,bucket:string>>")
-    )
+
+    return let_(word_ngrams(text, 3), _with_shingles)
 
 
 def minhash_lsh_pairs(

@@ -38,15 +38,24 @@ def _pieces(text, strategy: str, words_per_chunk: int):
     elif strategy == "sentence":
         raw = F.regexp_extract_all(text, F.lit(r"[^.!?]+[.!?]*"), 0)
     elif strategy == "semantic":
-        toks = F.split(F.trim(text), r"\s+")
-        n_chunks = F.ceil(F.size(toks) / F.lit(float(words_per_chunk))).cast("int")
-        idx = F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1)
-        return F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", F.slice(toks, i * words_per_chunk + 1, words_per_chunk)
-            ),
-        )
+        from ..functions.assembly import let_
+
+        # toks is let_-bound: the per-chunk lambda slices it, and an
+        # unbound split expression would re-tokenize the text once per
+        # chunk index (assembly.let_ lesson)
+        def _windows(toks):
+            n_chunks = F.ceil(
+                F.size(toks) / F.lit(float(words_per_chunk))
+            ).cast("int")
+            idx = F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1)
+            return F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i * words_per_chunk + 1, words_per_chunk)
+                ),
+            )
+
+        return let_(F.split(F.trim(text), r"\s+"), _windows)
     else:
         raise ValueError(f"unknown chunking strategy: {strategy!r}")
     # NB: don't pass F.trim directly to transform — its optional second

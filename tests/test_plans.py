@@ -700,3 +700,28 @@ def test_eval_by_category_broadcasts_categories(spark):
     )
     plan = _plan(search.eval_retrieval_by_category(per_q, cats))
     assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_multi_broadcasts_terms_single_corpus_pass(spark, sf_dir):
+    """The batched eval engine's scale shape: the query-term table
+    broadcasts into the corpus token stream (never shuffles it), the
+    per-(id, term) tf is a partial-aggregated hash aggregate, and the
+    whole plan carries no window and no cartesian product."""
+    from doc_agent_spark.operators import search
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = spark.createDataFrame(
+        [(i, ["spark", "join", "window"]) for i in range(50)],
+        "query_id long, terms array<string>",
+    )
+    df = search.bm25_scores_multi(docs, queries)
+    df.collect()   # AQE finalizes the plan (exchange reuse appears then)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan          # map-side combine on the tf agg
+    assert "CartesianProduct" not in plan
+    assert "Window [" not in plan
+    # the (id, term) tf exchange feeds BOTH df and scoring: AQE must reuse
+    # it, so the corpus tokenize+explode runs once regardless of |Q|
+    assert "ReusedExchange" in plan

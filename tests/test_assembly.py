@@ -143,3 +143,35 @@ def test_reflow_one_char_wrapped_line_joined(spark):
 
     df = spark.createDataFrame([(1, "x\n1\ny")], "id long, text string")
     assert df.select(reflow_text(F.col("text")).alias("r")).collect()[0].r == "x 1 y"
+
+
+def test_let_binding_value_equivalence(spark):
+    """let_(v, body) must be value-identical to body(v) for every type it
+    is used with (arrays, structs, strings) including NULL inputs — the
+    helper now underpins shingles, jusText, layout, chunking, minhash and
+    language ID, so a semantic regression here would corrupt all of them
+    silently."""
+    from pyspark.sql import functions as F
+
+    from doc_agent_spark.functions.assembly import let_
+
+    df = spark.createDataFrame(
+        [("a b c",), (" ",), (None,)], "t string"
+    )
+    arr = F.split(F.col("t"), " ")
+    rows = df.select(
+        let_(arr, lambda w: F.size(w)).alias("let_size"),
+        F.size(arr).alias("raw_size"),
+        let_(arr, lambda w: F.concat_ws("|", w)).alias("let_join"),
+        F.concat_ws("|", arr).alias("raw_join"),
+        let_(
+            F.struct(arr.alias("w"), F.length("t").alias("n")),
+            lambda s: s["n"] + F.size(s["w"]),
+        ).alias("let_struct"),
+        (F.length("t") + F.size(arr)).alias("raw_struct"),
+    ).collect()
+    for r in rows:
+        assert r["let_size"] == r["raw_size"]
+        # concat_ws treats a NULL array as empty; the binding must too
+        assert r["let_join"] == r["raw_join"]
+        assert r["let_struct"] == r["raw_struct"]

@@ -130,9 +130,27 @@ def _search_documents(spark: SparkSession, input_path: str, query: str,
             _embed_cosine_scores(docs, query),
             search.bm25_scores(docs, terms), top_n=100
         ).withColumnRenamed("rrf_score", "score")
+    elif mode == "media":
+        # multi-modal search (roadmap :353): the query string is treated as
+        # media CONTENT, dHashed driver-side with the same codec kernel the
+        # corpus pass uses, and retrieved by banded Hamming-kNN — rows
+        # sharing >= 1 of 8 byte bands with the query are exact-verified
+        # (pigeonhole-exact within Hamming 7; beyond that it is LSH recall,
+        # the documented behavior of perceptual-hash retrieval at scale).
+        # score = 64 - hamming so "higher is better" like the other modes.
+        from .operators import multimodal
+
+        sigs = multimodal.image_dhash(multimodal.media_from_documents(docs))
+        _, _, qsig = multimodal.dhash_of_bytes(query.encode("utf-8"))
+        knn = multimodal.hamming_knn(sigs, qsig, k=limit, max_hamming=63)
+        scores = knn.select(
+            F.regexp_extract("ref", r"media://doc/(\d+)/", 1)
+            .cast("long").alias("id"),
+            (F.lit(64) - F.col("hamming")).cast("double").alias("score"),
+        )
     else:
         raise ValueError(
-            f"unknown mode {mode!r}; one of: keyword, vector, hybrid"
+            f"unknown mode {mode!r}; one of: keyword, vector, hybrid, media"
         )
     if rerank:
         # --rerank (roadmap): the deterministic cross-encoder stub

@@ -318,6 +318,20 @@ def media_videos_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def dhash_of_bytes(b: bytes) -> tuple[int, int, str]:
+    """One image's (width, height, 64-bit dHash string) — the shared kernel
+    of the Arrow batch pass and the driver-side query hash for
+    `doc search --mode media` (the query is a single item; hashing it
+    locally is model-sized work, not a corpus collect)."""
+    arr = FakeCodec.decode_image(b)
+    h, w = arr.shape
+    ri = (np.arange(8) * h) // 8
+    cj = (np.arange(9) * w) // 9
+    grid = arr[np.ix_(ri, cj)].astype(np.int16)
+    bits = (grid[:, :8] > grid[:, 1:]).astype(np.uint8).ravel()
+    return w, h, "".join("1" if x else "0" for x in bits)
+
+
 def image_dhash(
     media: DataFrame,
     ref_col: str = "media_ref",
@@ -342,18 +356,12 @@ def image_dhash(
         for pdf in batches:
             refs, ws, hs, pops, hashes = [], [], [], [], []
             for ref, content in zip(pdf[ref_col], pdf[content_col]):
-                b = bytes(content or b"\x00")
-                arr = FakeCodec.decode_image(b)
-                h, w = arr.shape
-                ri = (np.arange(8) * h) // 8
-                cj = (np.arange(9) * w) // 9
-                grid = arr[np.ix_(ri, cj)].astype(np.int16)
-                bits = (grid[:, :8] > grid[:, 1:]).astype(np.uint8).ravel()
+                w, h, sig = dhash_of_bytes(bytes(content or b"\x00"))
                 refs.append(ref)
                 ws.append(w)
                 hs.append(h)
-                pops.append(int(bits.sum()))
-                hashes.append("".join("1" if x else "0" for x in bits))
+                pops.append(sig.count("1"))
+                hashes.append(sig)
             yield pd.DataFrame(
                 {ref_col: refs, "width": ws, "height": hs,
                  "popcnt": pops, "dhash": hashes}
@@ -411,3 +419,101 @@ def audio_fingerprint(
             )
 
     return media.select(ref_col, content_col).mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash retrieval (SEMANTIC-SEARCH-ROADMAP.md:353 "multi-modal
+# search"): Hamming-nearest queries over the dHash / audio-FP signatures
+# through the same banded-LSH machinery the SimHash text path uses — band
+# the bit signature into byte bands, candidates meet ONLY inside a band
+# bucket (never all-pairs), then an exact popcount verify. By pigeonhole a
+# pair within Hamming distance <= n_bands - 1 shares at least one intact
+# band, so max_hamming = 7 over 8 bands is EXACT retrieval, not approximate.
+# ---------------------------------------------------------------------------
+
+def _sig_bands(sigs: DataFrame, ref_col: str, sig_col: str, n_bands: int,
+               n_bits: int) -> DataFrame:
+    """Explode a '0'/'1' bit-string signature into (ref, band, band_bits)
+    rows — ceil-split so a non-multiple width (the 31-bit audio FP) puts
+    the remainder in the last band."""
+    per = (n_bits + n_bands - 1) // n_bands
+    bands = F.array(*[
+        F.substring(F.col(sig_col), b * per + 1, per) for b in range(n_bands)
+    ])
+    return sigs.select(
+        F.col(ref_col).alias("ref"), F.col(sig_col).alias("sig"),
+        F.posexplode(bands).alias("band", "band_bits"),
+    )
+
+
+def _hamming(a, b, n_bits: int):
+    """Exact Hamming distance between two equal-width bit strings, JVM-side:
+    conv() each 32-bit half to a long, XOR, bit_count — no UDF, no explode."""
+    total = None
+    for lo in range(0, n_bits, 32):
+        w = min(32, n_bits - lo)
+        ai = F.conv(F.substring(a, lo + 1, w), 2, 10).cast("long")
+        bi = F.conv(F.substring(b, lo + 1, w), 2, 10).cast("long")
+        d = F.bit_count(ai.bitwiseXOR(bi))
+        total = d if total is None else total + d
+    return total
+
+
+def hamming_near_pairs(
+    sigs: DataFrame,
+    max_hamming: int = 7,
+    ref_col: str = "media_ref",
+    sig_col: str = "dhash",
+    n_bands: int = 8,
+    n_bits: int = 64,
+) -> DataFrame:
+    """All signature pairs within ``max_hamming`` bits: banded candidate
+    generation (equi-join on (band, band_bits) — shuffle keys are byte
+    bands, collisions are rare for random signatures) then exact verify.
+    EXACT when max_hamming <= n_bands - 1 (pigeonhole). Returns
+    (ref_a, ref_b, hamming)."""
+    b = _sig_bands(sigs, ref_col, sig_col, n_bands, n_bits)
+    cands = (
+        b.alias("a").join(b.alias("b"), ["band", "band_bits"])
+        .where(F.col("a.ref") < F.col("b.ref"))
+        .select(F.col("a.ref").alias("ref_a"), F.col("b.ref").alias("ref_b"),
+                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        .dropDuplicates(["ref_a", "ref_b"])
+    )
+    return (
+        cands.withColumn("hamming", _hamming(F.col("sig_a"), F.col("sig_b"), n_bits))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("ref_a", "ref_b", "hamming")
+    )
+
+
+def hamming_knn(
+    sigs: DataFrame,
+    query_sig: str,
+    k: int = 10,
+    max_hamming: int = 7,
+    ref_col: str = "media_ref",
+    sig_col: str = "dhash",
+    n_bands: int = 8,
+    n_bits: int = 64,
+) -> DataFrame:
+    """Single-query Hamming top-k (the `doc search --mode media` serve
+    shape): rows sharing >= 1 band with the query are scanned — a static
+    8-branch OR of substring equalities the scan evaluates without any
+    join or shuffle — then exact-verified and TakeOrdered'd. Exact for
+    max_hamming <= n_bands - 1. Returns (ref, hamming) ordered by
+    (hamming asc, ref asc)."""
+    per = (n_bits + n_bands - 1) // n_bands
+    qbands = [query_sig[b * per:(b + 1) * per] for b in range(n_bands)]
+    match = None
+    for b, qb in enumerate(qbands):
+        cond = F.substring(F.col(sig_col), b * per + 1, per) == F.lit(qb)
+        match = cond if match is None else match | cond
+    return (
+        sigs.filter(match)
+        .withColumn("hamming", _hamming(F.col(sig_col), F.lit(query_sig), n_bits))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col(ref_col).alias("ref"), "hamming")
+        .orderBy(F.asc("hamming"), F.asc("ref"))
+        .limit(k)
+    )

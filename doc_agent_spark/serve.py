@@ -242,7 +242,7 @@ def main(argv: list[str] | None = None) -> int:
                          "citations instead of plain hits (doc search --rag)")
     ap.add_argument("--input-path", help="input corpus (parquet dir)")
     ap.add_argument("--query", help="search query string")
-    ap.add_argument("--mode", help="search mode: keyword | vector | hybrid")
+    ap.add_argument("--mode", help="search mode: keyword | vector | hybrid | media")
     ap.add_argument("--filter", help="metadata filter 'key:value'")
     ap.add_argument("--rerank", action="store_true", default=None,
                     help="re-score the candidates with the deterministic "

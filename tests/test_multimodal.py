@@ -194,3 +194,96 @@ def test_audio_fingerprint_shift_and_constant(spark):
     assert rows["a://1"].afp == rows["a://2"].afp
     assert rows["a://3"].afp == "0" * 31 and rows["a://3"].popcnt == 0
     assert rows["a://1"].n_samples == 256
+
+
+# --- Hamming-banded perceptual retrieval (roadmap :353 media search) -------
+
+
+def _sig_df(spark, rows, bits=64):
+    return spark.createDataFrame(
+        [(r, s.zfill(bits)) for r, s in rows], "media_ref string, dhash string"
+    )
+
+
+def _brute_pairs(rows, max_h):
+    out = set()
+    for i, (ra, sa) in enumerate(rows):
+        for rb, sb in rows[i + 1:]:
+            h = sum(x != y for x, y in zip(sa, sb))
+            if h <= max_h:
+                a, b = sorted([ra, rb])
+                out.add((a, b, h))
+    return out
+
+
+def test_hamming_near_pairs_pigeonhole_exact(spark):
+    """Within max_hamming <= n_bands-1 the banded path is EXACT: compare
+    against a brute-force all-pairs oracle on a corpus with planted
+    neighbors at distances 0..9."""
+    import random
+
+    rng = random.Random(11)
+    base = ["".join(rng.choice("01") for _ in range(64)) for _ in range(20)]
+    rows = [(f"m{i}", s) for i, s in enumerate(base)]
+    # planted: distance-0 twin, distance-3, distance-7, distance-9 (>7: may
+    # or may not share a band — must never FALSELY appear below threshold)
+    for d, src in [(0, 0), (3, 1), (7, 2), (9, 3)]:
+        s = list(base[src])
+        for k in range(d):
+            s[(k * 7) % 64] = "1" if s[(k * 7) % 64] == "0" else "0"
+        rows.append((f"p{src}_{d}", "".join(s)))
+    got = {
+        (r.ref_a, r.ref_b, r.hamming)
+        for r in multimodal.hamming_near_pairs(
+            _sig_df(spark, rows), max_hamming=7
+        ).collect()
+    }
+    want = _brute_pairs(rows, 7)
+    assert got == want
+    assert any(h == 0 for *_, h in got)
+    assert any(h == 7 for *_, h in got)
+
+
+def test_hamming_knn_matches_brute_force_within_bound(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [(f"m{i}", "".join(rng.choice("01") for _ in range(64)))
+            for i in range(30)]
+    q = rows[4][1]
+    got = multimodal.hamming_knn(
+        _sig_df(spark, rows), q, k=5, max_hamming=7
+    ).collect()
+    brute = sorted(
+        (sum(x != y for x, y in zip(s, q)), r) for r, s in rows
+        if sum(x != y for x, y in zip(s, q)) <= 7
+    )[:5]
+    assert [(r.hamming, r.ref) for r in got] == brute
+    assert got[0].ref == "m4" and got[0].hamming == 0
+
+
+def test_hamming_audio_width_31(spark):
+    """Non-multiple widths ceil-split (8,8,8,7) and still verify exactly."""
+    rows = [("a", "1" * 31), ("b", "1" * 30 + "0"), ("c", "0" * 31)]
+    df = spark.createDataFrame(rows, "media_ref string, afp string")
+    got = {
+        (r.ref_a, r.ref_b, r.hamming)
+        for r in multimodal.hamming_near_pairs(
+            df, max_hamming=3, sig_col="afp", n_bands=4, n_bits=31
+        ).collect()
+    }
+    assert got == {("a", "b", 1)}
+
+
+def test_search_mode_media(spark, sf_dir):
+    """`doc search --mode media`: querying with a document's exact text
+    bytes retrieves that doc at hamming 0 (score 64)."""
+    from doc_agent_spark import api
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qtext = docs.filter("doc_id = 3").first()["text"]
+    out = api._search_documents(
+        spark, f"{sf_dir}/documents.parquet", qtext, limit=5, mode="media"
+    ).collect()
+    assert out, "media mode returned no rows"
+    assert out[0].id == 3 and out[0].score == 64.0

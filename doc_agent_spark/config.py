@@ -30,6 +30,7 @@ DEFAULTS: dict[str, Any] = {
     "db_path": None,
     "row_limit": 100,
     "master": None,
+    "cache_dir": None,        # serve-layer result cache (roadmap :348)
 }
 
 # cli.ts:31-37 defaultModels mirror

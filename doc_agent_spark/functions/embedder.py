@@ -21,6 +21,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Embedding-space identity (SEMANTIC-SEARCH-ROADMAP.md:349 "Embeddings
+# versioning - Handle embedding model updates"): every index artifact built
+# from these vectors is stamped with this string (jobs/index.py config);
+# consumers (jobs/incremental.py) refuse a stamped index whose version
+# differs from the running embedder — mixing vectors from two embedding
+# spaces silently breaks every cosine. Bump on ANY change to the formula
+# below or to a provider's salting scheme.
+EMBEDDER_VERSION = "fake-md5-v1"
+
 
 def fake_embedding(text: Column, dim: int = 16,
                    provider: str = "") -> Column:

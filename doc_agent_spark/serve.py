@@ -49,12 +49,35 @@ def _op_schemas() -> list[dict]:
     ]
 
 
-def _run_op(spark, op: str, params: dict, row_limit: int) -> list[dict]:
-    df = api.execute(spark, op, **params)
-    return [json.loads(s) for s in df.limit(row_limit).toJSON().collect()]
+def _run_op(spark, op: str, params: dict, row_limit: int, cache=None):
+    """Execute an operation; returns (rows, cache_debug). With a
+    ResultCache configured, deterministic results round-trip through the
+    parquet-backed cache keyed on (op, defaults-canonicalized params,
+    row_limit, input snapshot fingerprints) — a changed input file listing
+    changes the key, which IS the invalidation."""
+    if cache is None:
+        df = api.execute(spark, op, **params)
+        rows = [json.loads(s) for s in df.limit(row_limit).toJSON().collect()]
+        return rows, None
+    from . import cache as cache_mod
+
+    spec = api.OPERATIONS[op]
+    canon = {**spec.defaults, **params}
+    fps = {
+        k: cache_mod.input_fingerprint(v)
+        for k, v in canon.items()
+        if k.endswith("_path") and isinstance(v, str) and v
+    }
+    key = cache.key(op, canon, row_limit, fps)
+    df = cache.lookup(spark, key)
+    hit = df is not None
+    if not hit:
+        df = cache.store(api.execute(spark, op, **params), row_limit, key)
+    rows = [json.loads(s) for s in df.limit(row_limit).toJSON().collect()]
+    return rows, cache.stats(hit, key)
 
 
-def _serve_stdio(spark, inp, out) -> None:
+def _serve_stdio(spark, inp, out, cache=None) -> None:
     for line in inp:
         line = line.strip()
         if not line:
@@ -67,9 +90,11 @@ def _serve_stdio(spark, inp, out) -> None:
             if op == "list_operations":
                 resp = {"id": rid, "ok": True, "operations": _op_schemas()}
             else:
-                rows = _run_op(spark, op, req.get("params", {}),
-                               int(req.get("row_limit", 100)))
+                rows, cdbg = _run_op(spark, op, req.get("params", {}),
+                                     int(req.get("row_limit", 100)), cache)
                 resp = {"id": rid, "ok": True, "rows": rows}
+                if cdbg is not None:
+                    resp["cache"] = cdbg
         except BrokenPipeError:
             raise
         except Exception as e:  # bad request ≠ dead server
@@ -103,7 +128,7 @@ def _mcp_tools() -> list[dict]:
     return tools
 
 
-def _serve_mcp(spark, inp, out) -> None:
+def _serve_mcp(spark, inp, out, cache=None) -> None:
     """MCP-over-stdio with real JSON-RPC 2.0 framing (one message per
     line): `initialize`, `tools/list`, `tools/call`. Protocol errors →
     JSON-RPC error objects; TOOL errors → a successful response whose
@@ -150,9 +175,9 @@ def _serve_mcp(spark, inp, out) -> None:
         elif method == "tools/call":
             params = req.get("params", {})
             try:
-                rows = _run_op(spark, params["name"],
-                               params.get("arguments", {}),
-                               int(params.get("row_limit", 100)))
+                rows, _ = _run_op(spark, params["name"],
+                                  params.get("arguments", {}),
+                                  int(params.get("row_limit", 100)), cache)
                 reply(rid, {
                     "content": [{"type": "text", "text": json.dumps(rows)}],
                 })
@@ -167,7 +192,7 @@ def _serve_mcp(spark, inp, out) -> None:
                               "message": f"method not found: {method}"})
 
 
-def _serve_http(spark, port: int) -> None:
+def _serve_http(spark, port: int, cache=None) -> None:
     """HTTP front (`doc serve --port 3000` analog, roadmap CLI reference;
     `POST /rag` per SEMANTIC-SEARCH-ROADMAP.md:169): GET /operations
     lists the registry, POST /<operation> runs it with the JSON body as
@@ -207,8 +232,11 @@ def _serve_http(spark, port: int) -> None:
                 n = int(self.headers.get("Content-Length", 0))
                 params = json.loads(self.rfile.read(n) or b"{}")
                 row_limit = int(params.pop("row_limit", 100))
-                rows = _run_op(spark, op, params, row_limit)
-                send(self, 200, {"ok": True, "rows": rows})
+                rows, cdbg = _run_op(spark, op, params, row_limit, cache)
+                payload = {"ok": True, "rows": rows}
+                if cdbg is not None:
+                    payload["cache"] = cdbg
+                send(self, 200, payload)
             except (TypeError, ValueError) as e:   # bad params/body
                 send(self, 400,
                      {"ok": False, "error": f"{type(e).__name__}: {e}"})
@@ -258,6 +286,11 @@ def main(argv: list[str] | None = None) -> int:
                          "overridable via $DOC_AGENT_ROW_LIMIT / config file)")
     ap.add_argument("--config", help="JSON config file (precedence: CLI > "
                                      "$DOC_AGENT_* env > file > defaults)")
+    ap.add_argument("--cache-dir",
+                    help="enable the deterministic result cache here "
+                         "(roadmap: query/result caching; keyed on op + "
+                         "canonical params + input snapshot fingerprint; "
+                         "also via $DOC_AGENT_CACHE_DIR / config file)")
     ap.add_argument("--output", help="write full result to this parquet path "
                                      "instead of printing JSON rows")
     ap.add_argument("--master", help="spark master (default $SPARK_GRAFT_CPUS local)")
@@ -276,21 +309,28 @@ def main(argv: list[str] | None = None) -> int:
     from .session import get_spark
 
     cfg = load_config(
-        cli_args={"row_limit": args.row_limit, "master": args.master},
+        cli_args={"row_limit": args.row_limit, "master": args.master,
+                  "cache_dir": args.cache_dir},
         config_path=args.config,
     )
     args.row_limit = cfg["row_limit"]
 
+    cache = None
+    if cfg["cache_dir"]:
+        from .cache import ResultCache
+
+        cache = ResultCache(cfg["cache_dir"])
+
     spark = get_spark(app="doc-agent-serve", master=cfg["master"])
     try:
         if args.stdio:
-            _serve_stdio(spark, sys.stdin, sys.stdout)
+            _serve_stdio(spark, sys.stdin, sys.stdout, cache)
             return 0
         if args.mcp:
-            _serve_mcp(spark, sys.stdin, sys.stdout)
+            _serve_mcp(spark, sys.stdin, sys.stdout, cache)
             return 0
         if args.port is not None:   # 0 = OS-assigned ephemeral port
-            _serve_http(spark, args.port)
+            _serve_http(spark, args.port, cache)
             return 0
         params = {
             k: v

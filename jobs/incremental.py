@@ -120,6 +120,27 @@ def run_incremental(
     hist_ids = history.select("doc_id")
     recrawled = raw_batch.join(hist_ids, "doc_id", "left_semi").select("doc_id")
     batch = raw_batch.join(hist_ids, "doc_id", "left_anti")
+    # embeddings/index versioning (roadmap :349): a stamped index built
+    # under a different embedder version is STALE — its band tables and
+    # codebooks live in a different signature/vector space than anything
+    # this run would add, so refusing here is the only safe answer (the
+    # rebuild path is jobs/index.py --rebuild-stale). Unstamped (pre-
+    # versioning) indexes pass, preserving old outputs.
+    import json as _json
+
+    from doc_agent_spark.functions import embedder as _emb
+
+    _cfgp = index_path.rstrip("/") + "_config.json"
+    if os.path.exists(_cfgp):
+        with open(_cfgp) as _fh:
+            _stamped = _json.load(_fh).get("embedder_version")
+        if _stamped is not None and _stamped != _emb.EMBEDDER_VERSION:
+            raise ValueError(
+                f"stale index at {index_path}: stamped embedder_version="
+                f"{_stamped!r} but this run embeds with "
+                f"{_emb.EMBEDDER_VERSION!r}; rebuild the index "
+                "(jobs/index.py --rebuild-stale) before ingesting"
+            )
     hist_bands = spark.read.parquet(
         index_path.rstrip("/") + "/minhash_bands"
     )

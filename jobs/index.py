@@ -87,6 +87,7 @@ def run_index(
     centroid_stride: int = 50,
     minhash_k: int = 8,
     bands: int = 4,
+    rebuild_stale: bool = False,
 ) -> dict:
     from doc_agent_spark.functions import embedder
     from doc_agent_spark.functions.textfns import words_of
@@ -102,12 +103,32 @@ def run_index(
     # resume under a different config would mix artifacts that cannot agree
     # (dim-16 embeddings quantized as dim-32 dequantize to garbage forever)
     # — same fail-fast contract as jobs/publish.py
+    # ... and of the EMBEDDING SPACE + input SNAPSHOT (roadmap :349
+    # embeddings versioning): the stamp carries the embedder version and the
+    # input content fingerprint, so an embedder upgrade or an input rewrite
+    # makes every artifact stale. Default is the fail-fast contract;
+    # rebuild_stale=True wipes and rebuilds under the new stamp instead
+    # (the "re-embed on model update" path).
+    from doc_agent_spark.cache import input_fingerprint
     from doc_agent_spark.operators.publish import check_or_write_config
 
-    check_or_write_config(out, {
+    cfg = {
         "input": input_path, "dim": dim, "centroid_stride": centroid_stride,
         "minhash_k": minhash_k, "bands": bands,
-    })
+        "embedder_version": embedder.EMBEDDER_VERSION,
+        "input_fp": (input_fingerprint(input_path) if "/" in input_path
+                     else "table:" + input_path),
+    }
+    try:
+        check_or_write_config(out, cfg)
+    except ValueError:
+        if not rebuild_stale:
+            raise
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        os.remove(out + "_config.json")
+        check_or_write_config(out, cfg)
     built: dict[str, int] = {}
     reused: dict[str, bool] = {}
     lineage_rows = []
@@ -232,6 +253,10 @@ def main() -> None:
     ap.add_argument("--centroid-stride", type=int, default=50)
     ap.add_argument("--minhash-k", type=int, default=8)
     ap.add_argument("--bands", type=int, default=4)
+    ap.add_argument("--rebuild-stale", action="store_true",
+                    help="on a stale stamp (embedder version / input "
+                         "fingerprint / config mismatch) wipe and rebuild "
+                         "instead of failing fast")
     args = ap.parse_args()
 
     from extract import ship_package  # same zip+addPyFile bootstrap
@@ -243,6 +268,7 @@ def main() -> None:
     stats = run_index(
         spark, args.input, args.output, args.lineage, args.metrics,
         args.run_id, args.dim, args.centroid_stride, args.minhash_k, args.bands,
+        rebuild_stale=args.rebuild_stale,
     )
     print(stats)
     spark.stop()

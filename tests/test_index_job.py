@@ -129,3 +129,85 @@ def test_partial_commit_without_success_marker_rebuilds(spark, tmp_path_factory)
     assert r2["reused"]["embeddings"] is False      # rebuilt, not trusted
     assert os.path.exists(os.path.join(emb_dir, "_SUCCESS"))
     assert r2["artifacts"]["embeddings"] == r1["artifacts"]["embeddings"]
+
+
+JOBS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"
+)
+
+
+def _docs(spark, n):
+    return spark.createDataFrame(
+        [(i, f"doc {i} spark pipeline token{i % 5}") for i in range(n)],
+        "doc_id long, text string",
+    )
+
+
+def test_stale_stamp_refuses_then_rebuilds(spark, tmp_path, monkeypatch):
+    """Roadmap :349 embeddings versioning: artifacts are stamped with the
+    embedder version + input snapshot fingerprint. A bumped embedder =
+    fail-fast by default, full rebuild with rebuild_stale=True; an input
+    REWRITE (changed fingerprint, same path) is detected the same way."""
+    from doc_agent_spark.functions import embedder
+
+    in_p, out, lin, met = (str(tmp_path / n) for n in
+                           ("in.parquet", "idx", "lin", "met"))
+    _docs(spark, 30).write.parquet(in_p)
+    r1 = run_index(spark, in_p, out, lin, met, run_id="v1", dim=4,
+                   centroid_stride=10, minhash_k=4, bands=2)
+    assert r1["artifacts_reused"] == 0
+
+    # same stamp -> full reuse
+    r2 = run_index(spark, in_p, out, lin, met, run_id="v2", dim=4,
+                   centroid_stride=10, minhash_k=4, bands=2)
+    assert r2["artifacts_reused"] == len(ARTIFACTS)
+
+    # embedder upgrade -> stale stamp -> refuse...
+    monkeypatch.setattr(embedder, "EMBEDDER_VERSION", "fake-md5-v2")
+    with pytest.raises(ValueError, match="config mismatch"):
+        run_index(spark, in_p, out, lin, met, run_id="v3", dim=4,
+                  centroid_stride=10, minhash_k=4, bands=2)
+    # ...and rebuild_stale re-embeds everything under the new stamp
+    r3 = run_index(spark, in_p, out, lin, met, run_id="v3", dim=4,
+                   centroid_stride=10, minhash_k=4, bands=2,
+                   rebuild_stale=True)
+    assert r3["artifacts_reused"] == 0
+    import json as _json
+    stamped = _json.load(open(out + "_config.json"))
+    assert stamped["embedder_version"] == "fake-md5-v2"
+
+    # input rewrite (same path, new snapshot) -> stale fingerprint
+    _docs(spark, 31).write.mode("overwrite").parquet(in_p)
+    with pytest.raises(ValueError, match="config mismatch"):
+        run_index(spark, in_p, out, lin, met, run_id="v4", dim=4,
+                  centroid_stride=10, minhash_k=4, bands=2)
+
+
+def test_incremental_refuses_stale_index(spark, tmp_path, monkeypatch):
+    """jobs/incremental.py refuses an index stamped by another embedder
+    version (the 'handle embedding model updates' contract)."""
+    import importlib.util as _ilu
+
+    from doc_agent_spark.functions import embedder
+
+    spec = _ilu.spec_from_file_location(
+        "increm_mod", os.path.join(JOBS, "incremental.py"))
+    increm = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(increm)
+
+    in_p, out, lin, met = (str(tmp_path / n) for n in
+                           ("in.parquet", "idx", "lin", "met"))
+    _docs(spark, 20).write.parquet(in_p)
+    run_index(spark, in_p, out, lin, met, run_id="s1", dim=4,
+              centroid_stride=10, minhash_k=4, bands=2)
+
+    hist = str(tmp_path / "hist.parquet")
+    batch = str(tmp_path / "batch.parquet")
+    _docs(spark, 20).write.parquet(hist)
+    _docs(spark, 25).write.parquet(batch)
+
+    monkeypatch.setattr(embedder, "EMBEDDER_VERSION", "fake-md5-v9")
+    with pytest.raises(ValueError, match="stale index"):
+        increm.run_incremental(
+            spark, batch, hist, out, str(tmp_path / "delta"),
+            str(tmp_path / "dlin"), run_id="s1", minhash_k=4, bands=2)

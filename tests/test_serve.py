@@ -229,3 +229,52 @@ def test_rag_rejects_incompatible_flags(corpus_path):
     )
     assert proc.returncode != 0
     assert "--mode/--rerank do not apply" in proc.stderr
+
+
+def test_result_cache_hit_miss_invalidation(tmp_path):
+    """Roadmap :348 query caching: same request twice through --stdio with
+    --cache-dir = miss then hit (same key, identical rows); touching the
+    input parquet (snapshot fingerprint change) = miss with a NEW key."""
+    import shutil
+
+    corpus = str(tmp_path / "docs.parquet")
+    shutil.copytree("/root/testdata/sf0.001", tmp_path / "tier")
+    shutil.copy(tmp_path / "tier" / "documents.parquet", corpus)
+    cache_dir = str(tmp_path / "cache")
+
+    req = json.dumps({"id": 1, "op": "search_documents",
+                      "params": {"input_path": corpus,
+                                 "query": "spark join", "limit": 3}}) + "\n"
+
+    def run(n_reqs):
+        reqs = "".join(
+            req.replace('"id": 1', f'"id": {i + 1}') for i in range(n_reqs)
+        )
+        proc = subprocess.run(
+            [sys.executable, "-m", "doc_agent_spark.serve", "--stdio",
+             "--cache-dir", cache_dir],
+            input=reqs, capture_output=True, text=True, timeout=300,
+            env=ENV, cwd=REPO,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return [json.loads(ln) for ln in proc.stdout.splitlines()
+                if ln.startswith("{")]
+
+    first, second = run(2)
+    assert first["ok"] and second["ok"]
+    assert first["cache"]["hit"] is False and second["cache"]["hit"] is True
+    assert first["cache"]["key"] == second["cache"]["key"]
+    assert first["rows"] == second["rows"] and len(first["rows"]) == 3
+    assert second["cache"] == {**second["cache"], "hits": 1, "misses": 1}
+
+    # cache persists across processes: a fresh server hits immediately
+    (third,) = run(1)
+    assert third["cache"]["hit"] is True and third["rows"] == first["rows"]
+
+    # invalidation: any change to the input snapshot (here: mtime bump)
+    # changes the fingerprint, hence the key — stale entry never served
+    os.utime(corpus)
+    (fourth,) = run(1)
+    assert fourth["cache"]["hit"] is False
+    assert fourth["cache"]["key"] != first["cache"]["key"]
+    assert fourth["rows"] == first["rows"]

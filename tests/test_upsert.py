@@ -311,3 +311,72 @@ def test_iceberg_merge_round_trip_real_catalog(tmp_path):
         assert s.table(table).count() == 2
     finally:
         s.stop()
+
+
+def test_merge_and_ddl_sql_goldens():
+    """Golden-pin the EXACT rendered SQL (r4 verdict #3: the sandbox has no
+    Iceberg runtime, so the rendered strings are the contract a jar-bearing
+    cluster executes — pin them verbatim against Iceberg's documented
+    Spark-DDL/MERGE grammar so they cannot drift silently; grammar refs:
+    iceberg.apache.org/docs/latest/spark-ddl/ and spark-writes/#merge-into)."""
+    from doc_agent_spark.sinks import iceberg_ddl as ddl
+
+    assert ddl.merge_upsert("wh.documents", "updates_v") == (
+        "MERGE INTO wh.documents t\n"
+        "USING updates_v u\n"
+        "ON t.path_hash = u.path_hash\n"
+        "WHEN MATCHED THEN UPDATE SET\n"
+        "  t.id = u.id, t.data = u.data, t.status = 'pending'\n"
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert ddl.add_column("wh.documents", "ocr_version", "STRING") == (
+        "ALTER TABLE wh.documents ADD COLUMN ocr_version STRING"
+    )
+    assert ddl.create_documents("wh.documents", buckets=128) == (
+        "CREATE TABLE IF NOT EXISTS wh.documents (\n"
+        "  id STRING, path_hash STRING, filename STRING, content_hash STRING,\n"
+        "  status STRING, data STRUCT<vendor: STRING, amount: DOUBLE>,\n"
+        "  created_at TIMESTAMP\n"
+        ") USING iceberg\n"
+        "PARTITIONED BY (bucket(128, path_hash))\n"
+        "TBLPROPERTIES ('write.distribution-mode' = 'hash',\n"
+        "               'format-version' = '2',\n"
+        "               'write.merge.mode' = 'merge-on-read')"
+    )
+    assert ddl.create_lineage("wh.lineage") == (
+        "CREATE TABLE IF NOT EXISTS wh.lineage (\n"
+        "  run_id STRING, stage STRING, partition_id INT, status STRING,\n"
+        "  docs_in BIGINT, docs_out BIGINT, spans_out BIGINT, parse_failures BIGINT,\n"
+        "  wall_ms BIGINT, finished_at TIMESTAMP\n"
+        ") USING iceberg\n"
+        "PARTITIONED BY (run_id)"
+    )
+
+
+def test_mixed_batch_update_and_insert_one_merge(spark, tmp_path):
+    """MERGE edge the real engine enforces in ONE statement: a single batch
+    holding a matched row (takes UPDATE SET policy: data/id updated, status
+    reset, created_at preserved) AND an unmatched row (INSERT * verbatim) —
+    both arms of the same MERGE, not two calls."""
+    target = str(tmp_path / "docs_mixed")
+    h1, h2 = (spec.path_hash(p) for p in ("/abs/a.pdf", "/abs/b.pdf"))
+    merge_upsert_parquet(
+        spark, target,
+        _updates(spark, [("i1", h1, "a.pdf", None, "indexed", ("A", 1.0), T0)]),
+    )
+    merge_upsert_parquet(
+        spark, target,
+        _updates(spark, [
+            ("i1b", h1, "a2.pdf", "ch1", "extracted", ("A2", 9.0), T1),
+            ("i2", h2, "b.pdf", None, "extracted", ("B", 2.0), T1),
+        ]),
+    )
+    rows = {r.path_hash: r for r in spark.read.parquet(target).collect()}
+    assert len(rows) == 2
+    m = rows[h1]                                  # matched arm
+    assert m.id == "i1b" and m.data.vendor == "A2"
+    assert m.status == "pending"                  # RESET_ON_MATCH
+    assert m.filename == "a.pdf" and m.created_at == T0   # PRESERVE_ON_MATCH
+    i = rows[h2]                                  # not-matched arm: verbatim
+    assert (i.id, i.filename, i.status, i.created_at) == ("i2", "b.pdf", "extracted", T1)
+    assert i.data.vendor == "B"

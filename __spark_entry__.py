@@ -1926,37 +1926,6 @@ def media_metadata(spark, sf_dir):
         F.col("jaccard").alias("metric"),
         F.lit(None).cast("string").alias("digest"),
     )
-    # dhash arm (multimodal.image_dhash): the 64-bit perceptual image
-    # fingerprint as a bit string — digest carries the full signature so
-    # the gate value-checks every bit; n1/n2 pin the FakeCodec dims.
-    c = multimodal.image_dhash(media).select(
-        F.lit("dhash").alias("variant"),
-        F.col("media_ref").alias("ref"),
-        F.lit(None).cast("string").alias("ref_b"),
-        F.col("width").cast("long").alias("n1"),
-        F.col("height").cast("long").alias("n2"),
-        F.col("popcnt").cast("double").alias("metric"),
-        F.col("dhash").alias("digest"),
-    )
-    # audio arm (multimodal.audio_fingerprint): 31-bit energy-delta
-    # signature, all-integer frame comparison (cross-multiplied means) so
-    # numpy's pairwise summation and the oracle's sequential fold agree
-    # bit-for-bit; digest carries the full signature.
-    audio = docs.select(
-        F.concat(
-            F.lit("media://doc/"), F.col("doc_id").cast("string"), F.lit("/clip.wav")
-        ).alias("media_ref"),
-        F.encode(F.col("text"), "utf-8").alias("content"),
-    )
-    d = multimodal.audio_fingerprint(audio).select(
-        F.lit("audio").alias("variant"),
-        F.col("media_ref").alias("ref"),
-        F.lit(None).cast("string").alias("ref_b"),
-        F.col("n_samples").cast("long").alias("n1"),
-        F.col("popcnt").cast("long").alias("n2"),
-        F.col("popcnt").cast("double").alias("metric"),
-        F.col("afp").alias("digest"),
-    )
     # Hamming-retrieval arms (multimodal.hamming_near_pairs / hamming_knn;
     # roadmap :353 multi-modal search): woven known positives — every 10th
     # doc an identical '/copy.png' (hamming 0), every 7th a '/near.png'
@@ -1987,6 +1956,51 @@ def media_metadata(spark, sf_dir):
         )
     )
     sigs = multimodal.image_dhash(img_media).localCheckpoint(eager=True)
+    # dhash arm (multimodal.image_dhash): the 64-bit perceptual image
+    # fingerprint as a bit string — digest carries the full signature so
+    # the gate value-checks every bit; n1/n2 pin the FakeCodec dims.
+    # ONE signature pass over base ∪ copy ∪ near feeds this arm AND the
+    # Hamming pair/knn arms below (shared-scan law — the base refs are a
+    # strict subset of img_media, so a second Arrow pass would be the
+    # retrieval_eval mistake all over again).
+    c = sigs.filter(F.col("media_ref").endswith("/full.png")).select(
+        F.lit("dhash").alias("variant"),
+        F.col("media_ref").alias("ref"),
+        F.lit(None).cast("string").alias("ref_b"),
+        F.col("width").cast("long").alias("n1"),
+        F.col("height").cast("long").alias("n2"),
+        F.col("popcnt").cast("double").alias("metric"),
+        F.col("dhash").alias("digest"),
+    )
+    # audio arm (multimodal.audio_fingerprint): 31-bit energy-delta
+    # signature, all-integer frame comparison (cross-multiplied means) so
+    # numpy's pairwise summation and the oracle's sequential fold agree
+    # bit-for-bit; digest carries the full signature.
+    audio = docs.select(
+        F.concat(
+            F.lit("media://doc/"), F.col("doc_id").cast("string"), F.lit("/clip.wav")
+        ).alias("media_ref"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+    audio_all = audio.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            F.concat(F.lit("media://doc/"), F.col("doc_id").cast("string"),
+                     F.lit("/copy.wav")).alias("media_ref"),
+            F.encode(F.col("text"), "utf-8").alias("content"),
+        )
+    )
+    afp_all = multimodal.audio_fingerprint(audio_all).localCheckpoint(
+        eager=True
+    )
+    d = afp_all.filter(F.col("media_ref").endswith("/clip.wav")).select(
+        F.lit("audio").alias("variant"),
+        F.col("media_ref").alias("ref"),
+        F.lit(None).cast("string").alias("ref_b"),
+        F.col("n_samples").cast("long").alias("n1"),
+        F.col("popcnt").cast("long").alias("n2"),
+        F.col("popcnt").cast("double").alias("metric"),
+        F.col("afp").alias("digest"),
+    )
     e_pair = multimodal.hamming_near_pairs(sigs, max_hamming=7).select(
         F.lit("dhash_pair").alias("variant"),
         F.col("ref_a").alias("ref"), "ref_b",
@@ -2032,16 +2046,10 @@ def media_metadata(spark, sf_dir):
     # afp_pair arm: the audio-FP analog of dhash_pair — every 10th doc's
     # clip duplicated as '/copy.wav' (hamming 0 known positives), 31-bit
     # signatures banded into 4 ceil-split byte bands, exact verify.
-    audio_all = audio.unionByName(
-        docs.filter(F.col("doc_id") % 10 == 0).select(
-            F.concat(F.lit("media://doc/"), F.col("doc_id").cast("string"),
-                     F.lit("/copy.wav")).alias("media_ref"),
-            F.encode(F.col("text"), "utf-8").alias("content"),
-        )
-    )
-    afp = multimodal.audio_fingerprint(audio_all)
+    # Signatures come from the SAME checkpointed afp_all pass as the audio
+    # arm above.
     e_afp = multimodal.hamming_near_pairs(
-        afp, max_hamming=3, sig_col="afp", n_bands=4, n_bits=31
+        afp_all, max_hamming=3, sig_col="afp", n_bands=4, n_bits=31
     ).select(
         F.lit("afp_pair").alias("variant"),
         F.col("ref_a").alias("ref"), "ref_b",

@@ -17,6 +17,7 @@ sf1.0); nation/region stay fixed like TPC-H.
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 
@@ -63,7 +64,10 @@ def gen_tier(out_dir: str, sf: float = 1.0, seed: int = 7) -> None:
     n_evt = int(1_000_000 * sf)
     n_users = int(15_000 * sf)
     n_docs = int(50_000 * sf)
-    n_vecs = int(20_000 * sf)
+    # the driver's own embeddings curve is SUBLINEAR (500 @ sf0.01 →
+    # 2000 @ sf0.1: ×4 per decade, not ×10) — follow it so vector entries
+    # keep the same relative weight the shipped tiers have
+    n_vecs = int(round(500 * 4 ** (math.log10(sf / 0.01))))
 
     _write(out_dir, "region", pa.table({
         "r_regionkey": pa.array(range(5), pa.int32()),

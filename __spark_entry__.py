@@ -504,12 +504,29 @@ def q1_pricing_summary(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            # decimal accumulation for the MONEY sums (the q10 idiom): at
+            # sf1.0 these sums reach ~3e10 where a double's ULP (~4e-6)
+            # sits under round(·,4) — two engines' summation orders then
+            # legitimately round to different last digits. Decimal sums are
+            # exact and associative; round in decimal space, cast once.
+            # (The avgs stay double: their magnitudes keep round(·,4) far
+            # above the ULP at any SF.)
+            F.round(F.sum(F.col("l_quantity").cast("decimal(12,4)")), 4)
+            .cast("double").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,4)")), 4)
+            .cast("double").alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 4
-            ).alias("sum_charge"),
+                F.sum(F.col("l_extendedprice").cast("decimal(12,4)")
+                      * (F.lit(1).cast("decimal(12,4)")
+                         - F.col("l_discount").cast("decimal(12,4)"))), 4
+            ).cast("double").alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,4)")
+                      * (F.lit(1).cast("decimal(12,4)")
+                         - F.col("l_discount").cast("decimal(12,4)"))
+                      * (F.lit(1).cast("decimal(12,4)")
+                         + F.col("l_tax").cast("decimal(12,4)"))), 4
+            ).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -544,7 +561,15 @@ def q5_nation_revenue(spark, sf_dir):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        # decimal accumulation (q10 idiom): at sf1.0 per-nation revenue is
+        # ~9e9, where round(·,4) on a double sum is ULP-ambiguous
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,4)")
+                      * (F.lit(1).cast("decimal(12,4)")
+                         - F.col("l_discount").cast("decimal(12,4)"))), 4
+            ).cast("double").alias("revenue")
+        )
     )
 
 
@@ -2601,8 +2626,10 @@ def minhash_verified_pairs(spark, sf_dir):
 
 
 def simhash_dedup(spark, sf_dir):
-    """Exact-signature SimHash clusters AND Hamming-distance-1 near pairs
-    (bit-flip bucketing), union-tagged over a (key_a, key_b, metric) frame.
+    """Exact-signature SimHash clusters AND Hamming-distance-1 near
+    SIGNATURE adjacency (bit-flip bucketing; group-first so the output is
+    bounded by the signature space, not the corpus — the 100-TB shape),
+    union-tagged over a (key_a, key_b, metric) frame.
     ONE signature pass feeds both variants (checkpointed (id, sig) frame —
     the persisted-signature-table shape)."""
     sigs = dedup.simhash_sigs(
@@ -2614,11 +2641,15 @@ def simhash_dedup(spark, sf_dir):
         F.col("keep_id").cast("long").alias("key_b"),
         F.col("n_docs").cast("long").alias("metric"),
     )
-    b = dedup.simhash_near_pairs_from_sigs(sigs).select(
+    # near_pair rows are SIGNATURE-level adjacency (r5: the sf1.0 gate
+    # caught doc-level pair emission going quadratic in collision-group
+    # size — see dedup.simhash_near_sig_adjacency): key_a/key_b are the
+    # two Hamming-1 sig values, metric = the doc-pair mass n_a*n_b.
+    b = dedup.simhash_near_sig_adjacency(sigs).select(
         F.lit("near_pair").alias("variant"),
-        F.col("id_a").cast("long").alias("key_a"),
-        F.col("id_b").cast("long").alias("key_b"),
-        F.col("hamming").cast("long").alias("metric"),
+        F.col("sig_a").cast("long").alias("key_a"),
+        F.col("sig_b").cast("long").alias("key_b"),
+        F.col("n_pairs").cast("long").alias("metric"),
     )
     return a.unionByName(b)
 
@@ -4147,10 +4178,13 @@ coalesce(array_to_string(list_transform(list_filter([
     base = {
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
-  round(sum(l_quantity), 4) AS sum_qty,
-  round(sum(l_extendedprice), 4) AS sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_qty,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_base_price,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                 * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))), 4) AS DOUBLE) AS sum_disc_price,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                 * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))
+                 * (CAST(1 AS DECIMAL(12,4)) + CAST(l_tax AS DECIMAL(12,4)))), 4) AS DOUBLE) AS sum_charge,
   round(avg(l_quantity), 4) AS avg_qty,
   round(avg(l_extendedprice), 4) AS avg_price,
   round(avg(l_discount), 4) AS avg_disc,
@@ -4170,7 +4204,9 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
 """,
         "q5_nation_revenue": """
-SELECT r_name, n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+SELECT r_name, n_name,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                      * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))), 4) AS DOUBLE) AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -5322,7 +5358,8 @@ rr AS (
                        / 20.0, 1.0) * 0.3, 6) AS rerank_score
   FROM h)
 SELECT id, score, rerank_score,
-       round(0.6 * rerank_score + 0.4 * score, 6) AS final_score
+       CAST(round(CAST(0.6 AS DECIMAL(8,6)) * CAST(rerank_score AS DECIMAL(10,6))
+                  + CAST(0.4 AS DECIMAL(8,6)) * CAST(score AS DECIMAL(10,6)), 6) AS DOUBLE) AS final_score
 FROM rr
 """,
         "search_hydrate": f"""
@@ -5637,8 +5674,16 @@ SELECT 'cluster' AS variant, CAST(simhash AS BIGINT) AS key_a,
        CAST(keep_id AS BIGINT) AS key_b, CAST(n_docs AS BIGINT) AS metric
 FROM ({base['simhash_clusters']})
 UNION ALL
-SELECT 'near_pair', CAST(id_a AS BIGINT), CAST(id_b AS BIGINT), CAST(hamming AS BIGINT)
-FROM ({base['simhash_near_pairs']})
+SELECT 'near_pair', CAST(sig_a AS BIGINT), CAST(sig_b AS BIGINT), CAST(n_pairs AS BIGINT)
+FROM (
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+words AS (SELECT doc_id AS id, {_WORDS_SQL} AS w FROM corpus),
+s AS (SELECT id, CAST({_simhash_sql()} AS INTEGER) AS sig FROM words),
+g AS (SELECT sig, count(*) AS n FROM s GROUP BY sig),
+f AS (SELECT sig AS sig_a, n AS n_a, xor(sig, 1 << b.b) AS sig_b
+      FROM g, (SELECT unnest(range(16)) AS b) b
+      WHERE sig < xor(sig, 1 << b.b))
+SELECT sig_a, sig_b, n_a * c.n AS n_pairs FROM f JOIN g c ON f.sig_b = c.sig)
 """,
         "minhash_verified_pairs": f"""
 SELECT 'candidate' AS variant, id_a, id_b, CAST(n_bands AS DOUBLE) AS metric

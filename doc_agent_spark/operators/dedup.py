@@ -531,6 +531,34 @@ def simhash_near_pairs_from_sigs(s: DataFrame) -> DataFrame:
     )
 
 
+def simhash_near_sig_adjacency(s: DataFrame, bits: int = 16) -> DataFrame:
+    """Hamming-1 adjacency between DISTINCT signature VALUES with group
+    multiplicities: (sig_a, sig_b, n_a, n_b, n_pairs).
+
+    The scale-safe formulation of near-pair detection (r5, found by the
+    sf1.0 gate): doc-level pair emission is quadratic in collision-group
+    size — a 55k-doc corpus collapsed to 4.9k distinct 16-bit sigs with a
+    2,068-doc top group, so id-level Hamming-≤1 pairs exceed 10^7 rows and
+    grow ~N² with the corpus. Grouping FIRST bounds the output by the
+    signature space (≤ 2^bits · bits / 2 rows) regardless of corpus size;
+    doc-pair mass is n_a·n_b, membership resolves through the exact-
+    signature cluster table (simhash_clusters_from_sigs). The id-level
+    function above remains the targeted-lookup tool for post-blocking
+    verification on small candidate sets."""
+    g = s.groupBy("sig").agg(F.count(F.lit(1)).alias("n"))
+    a = g.select(
+        F.col("sig").alias("sig_a"), F.col("n").alias("n_a"),
+        F.explode(F.array(*[F.lit(1 << b) for b in range(bits)])).alias("m"),
+    ).withColumn("sig_b", F.col("sig_a").bitwiseXOR(F.col("m"))).filter(
+        F.col("sig_a") < F.col("sig_b")
+    )
+    b = g.select(F.col("sig").alias("sig_b"), F.col("n").alias("n_b"))
+    return a.join(b, "sig_b").select(
+        "sig_a", "sig_b", "n_a", "n_b",
+        (F.col("n_a") * F.col("n_b")).alias("n_pairs"),
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.95,

@@ -226,9 +226,19 @@ def rerank(
         "id",
         "score",
         rerank_score.alias("rerank_score"),
+        # blend in DECIMAL space: both operands are round(·,6) values, so
+        # alpha=0.5 puts the sum's 7th decimal at an exact half boundary
+        # where Spark's BigDecimal HALF_UP and DuckDB's double rounding
+        # legitimately disagree (found by the sf1.0 gate: 0.5004365 →
+        # 0.500437 vs 0.500436). Decimal products/sums are exact and both
+        # engines round decimals half-away-from-zero identically.
         F.round(
-            F.lit(alpha) * rerank_score + F.lit(1.0 - alpha) * F.col("score"), 6
-        ).alias("final_score"),
+            F.lit(alpha).cast("decimal(8,6)")
+            * rerank_score.cast("decimal(10,6)")
+            + F.lit(1.0 - alpha).cast("decimal(8,6)")
+            * F.col("score").cast("decimal(10,6)"),
+            6,
+        ).cast("double").alias("final_score"),
     )
 
 
@@ -1097,7 +1107,10 @@ rr AS (
                             AS DOUBLE) / 20.0, 1.0) * 0.3, 6) AS rerank_score
   FROM hyd),
 rr2 AS (SELECT id, score, rerank_score,
-               round({alpha} * rerank_score + {1.0 - alpha} * score, 6)
+               CAST(round(CAST({alpha} AS DECIMAL(8,6))
+                            * CAST(rerank_score AS DECIMAL(10,6))
+                          + CAST({1.0 - alpha} AS DECIMAL(8,6))
+                            * CAST(score AS DECIMAL(10,6)), 6) AS DOUBLE)
                  AS final_score
         FROM rr),
 rag_final AS (SELECT * FROM rr2 ORDER BY final_score DESC, id ASC LIMIT {k}),

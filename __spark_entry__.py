@@ -1956,8 +1956,12 @@ def media_metadata(spark, sf_dir):
     # doc an identical '/copy.png' (hamming 0), every 7th a '/near.png'
     # whose LAST char flips to 'z' (same length ⇒ same FakeCodec dims ⇒
     # small or zero hamming depending on whether the grid samples that
-    # byte) — banded into 8 byte-bands, candidates meet only inside band
-    # buckets, exact popcount verify (pigeonhole-exact at max_hamming 7).
+    # byte) — banded into 4 SIXTEEN-bit bands (the corpus-scale operating
+    # point: 65,536 buckets/band; 8-bit bands hot-bucketed at sf1.0 —
+    # 8e7 candidate pairs from correlated docs), candidates meet only
+    # inside sub-cap band buckets (max_band_df=256, the stop-shingle
+    # rule), exact popcount verify (pigeonhole-exact at max_hamming 3
+    # among uncapped buckets).
     # The knn arm is the `doc search --mode media` serve shape: doc 0's
     # signature as the query, a static 8-branch band-OR scan filter, top-10
     # by (hamming, ref). The afp_pair arm runs the same banded machinery
@@ -2026,7 +2030,9 @@ def media_metadata(spark, sf_dir):
         F.col("popcnt").cast("double").alias("metric"),
         F.col("afp").alias("digest"),
     )
-    e_pair = multimodal.hamming_near_pairs(sigs, max_hamming=7).select(
+    e_pair = multimodal.hamming_near_pairs(
+        sigs, max_hamming=3, n_bands=4, max_band_df=256
+    ).select(
         F.lit("dhash_pair").alias("variant"),
         F.col("ref_a").alias("ref"), "ref_b",
         F.col("hamming").alias("n1"), F.lit(None).cast("long").alias("n2"),
@@ -2070,11 +2076,13 @@ def media_metadata(spark, sf_dir):
     )
     # afp_pair arm: the audio-FP analog of dhash_pair — every 10th doc's
     # clip duplicated as '/copy.wav' (hamming 0 known positives), 31-bit
-    # signatures banded into 4 ceil-split byte bands, exact verify.
+    # signatures in 2 ceil-split 16-bit bands (max_hamming 1), capped
+    # buckets, exact verify.
     # Signatures come from the SAME checkpointed afp_all pass as the audio
     # arm above.
     e_afp = multimodal.hamming_near_pairs(
-        afp_all, max_hamming=3, sig_col="afp", n_bands=4, n_bits=31
+        afp_all, max_hamming=1, sig_col="afp", n_bands=2, n_bits=31,
+        max_band_df=256,
     ).select(
         F.lit("afp_pair").alias("variant"),
         F.col("ref_a").alias("ref"), "ref_b",
@@ -5247,8 +5255,10 @@ dh AS (
            16 + CAST(length(text) AS INTEGER) % 241 AS w,
            16 + (CAST(length(text) AS INTEGER) // 7) % 181 AS h
     FROM imgsrc)),
-dhb AS (SELECT ref, sig, b, substring(sig, CAST(b * 8 + 1 AS INT), 8) AS bb
-        FROM dh CROSS JOIN (SELECT unnest(range(0, 8)) AS b)),
+dhb0 AS (SELECT ref, sig, b, substring(sig, CAST(b * 16 + 1 AS INT), 16) AS bb
+         FROM dh CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+dhb AS (SELECT * FROM dhb0 WHERE (b, bb) NOT IN
+          (SELECT (b, bb) FROM dhb0 GROUP BY b, bb HAVING count(*) > 256)),
 dhc AS (SELECT DISTINCT l.ref AS ref_a, l.sig AS sig_a, r.ref AS ref_b, r.sig AS sig_b
         FROM dhb l JOIN dhb r ON l.b = r.b AND l.bb = r.bb AND l.ref < r.ref),
 dhp AS (SELECT ref_a, ref_b,
@@ -5278,8 +5288,10 @@ af AS (
       list_transform(range(0, 32), f ->
         greatest(((f + 1) * n) // 32 - (f * n) // 32, 1)) AS c
     FROM (SELECT ref, text, CAST(length(text) AS INTEGER) AS n FROM afpsrc))),
-afb AS (SELECT ref, sig, b, substring(sig, CAST(b * 8 + 1 AS INT), 8) AS bb
-        FROM af CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+afb0 AS (SELECT ref, sig, b, substring(sig, CAST(b * 16 + 1 AS INT), 16) AS bb
+         FROM af CROSS JOIN (SELECT unnest(range(0, 2)) AS b)),
+afb AS (SELECT * FROM afb0 WHERE (b, bb) NOT IN
+          (SELECT (b, bb) FROM afb0 GROUP BY b, bb HAVING count(*) > 256)),
 afc AS (SELECT DISTINCT l.ref AS ref_a, l.sig AS sig_a, r.ref AS ref_b, r.sig AS sig_b
         FROM afb l JOIN afb r ON l.b = r.b AND l.bb = r.bb AND l.ref < r.ref),
 afp AS (SELECT ref_a, ref_b,
@@ -5287,13 +5299,13 @@ afp AS (SELECT ref_a, ref_b,
                  i -> CASE WHEN sig_a[i] <> sig_b[i] THEN 1 ELSE 0 END), 'sum') AS ham
         FROM afc)
 SELECT 'dhash_pair' AS variant, ref_a AS ref, ref_b, CAST(ham AS BIGINT) AS n1
-FROM dhp WHERE ham <= 7
+FROM dhp WHERE ham <= 3
 UNION ALL
 SELECT 'dhash_knn', ref, CAST(NULL AS VARCHAR), CAST(ham AS BIGINT)
 FROM (SELECT ref, ham FROM knn WHERE ham <= 7 ORDER BY ham ASC, ref ASC LIMIT 10)
 UNION ALL
 SELECT 'afp_pair', ref_a, ref_b, CAST(ham AS BIGINT)
-FROM afp WHERE ham <= 3)
+FROM afp WHERE ham <= 1)
 """,
         "retrieval_eval": f"""
 WITH q AS (SELECT embedding AS qv, label AS qlabel FROM embeddings WHERE vec_id = 0),

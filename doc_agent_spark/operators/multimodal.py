@@ -466,13 +466,35 @@ def hamming_near_pairs(
     sig_col: str = "dhash",
     n_bands: int = 8,
     n_bits: int = 64,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """All signature pairs within ``max_hamming`` bits: banded candidate
-    generation (equi-join on (band, band_bits) — shuffle keys are byte
-    bands, collisions are rare for random signatures) then exact verify.
-    EXACT when max_hamming <= n_bands - 1 (pigeonhole). Returns
-    (ref_a, ref_b, hamming)."""
+    generation (equi-join on (band, band_bits)) then exact verify.
+    EXACT when max_hamming <= n_bands - 1 (pigeonhole) and no bucket is
+    capped. Returns (ref_a, ref_b, hamming).
+
+    Scale levers (r5, found by the sf1.0 bench — 50k CORRELATED docs in
+    8-bit bands produced 1.3k-doc hot buckets and 8e7 candidate pairs,
+    a 50× super-linear entry):
+    - band WIDTH is the primary dial: n_bands=4 → 16-bit bands → 65,536
+      buckets per band; candidates ≈ T·N²/2^width. Wider bands trade the
+      pigeonhole exactness bound down (≤ n_bands-1) — the standard
+      corpus-scale operating point for perceptual-hash dedup, where the
+      interesting pairs are a few bits apart anyway.
+    - ``max_band_df`` is the skew backstop: drop band buckets above the
+      cap before the self-join (the stop-shingle / video frame-DF rule).
+      A pair whose every intact band is hot is missed — the documented
+      recall trade every production LSH makes on boilerplate-heavy data.
+    """
     b = _sig_bands(sigs, ref_col, sig_col, n_bands, n_bits)
+    if max_band_df is not None:
+        hot = (
+            b.groupBy("band", "band_bits")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_band_df)
+            .select("band", "band_bits")
+        )
+        b = b.join(hot, ["band", "band_bits"], "left_anti")
     cands = (
         b.alias("a").join(b.alias("b"), ["band", "band_bits"])
         .where(F.col("a.ref") < F.col("b.ref"))

@@ -287,3 +287,31 @@ def test_search_mode_media(spark, sf_dir):
     ).collect()
     assert out, "media mode returned no rows"
     assert out[0].id == 3 and out[0].score == 64.0
+
+
+def test_hamming_band_df_cap_drops_hot_buckets(spark):
+    """max_band_df: a bucket above the cap generates no candidates from
+    that band (the stop-shingle rule); pairs still meet through any other
+    sub-cap shared band."""
+    rows = []
+    # 10 sigs share band 0 (first 8 bits all '0') but differ everywhere
+    # else by >max_hamming; two of them ALSO share band 7 (sub-cap) and
+    # are hamming-2 apart overall
+    import random
+    rng = random.Random(3)
+    for i in range(10):
+        tail = "".join(rng.choice("01") for _ in range(48))
+        rows.append((f"h{i}", "0" * 8 + tail + "".join(rng.choice("01") for _ in range(8))))
+    base = "0" * 8 + "1" * 48 + "10101010"
+    near = "0" * 8 + "1" * 46 + "00" + "10101010"   # hamming 2, shares bands 0 and 7
+    rows += [("p0", base), ("p1", near)]
+    df = spark.createDataFrame(rows, "media_ref string, dhash string")
+    got = {
+        (r.ref_a, r.ref_b, r.hamming)
+        for r in multimodal.hamming_near_pairs(
+            df, max_hamming=7, n_bands=8, max_band_df=5
+        ).collect()
+    }
+    # band 0's bucket (12 members) is capped out; p0/p1 still pair via band 7
+    assert ("p0", "p1", 2) in got
+    assert all(a.startswith("p") and b.startswith("p") for a, b, _ in got)

@@ -1965,7 +1965,7 @@ def media_metadata(spark, sf_dir):
     # The knn arm is the `doc search --mode media` serve shape: doc 0's
     # signature as the query, a static 8-branch band-OR scan filter, top-10
     # by (hamming, ref). The afp_pair arm runs the same banded machinery
-    # over the 31-bit audio fingerprint (4 ceil-split bands).
+    # over the 31-bit audio fingerprint (2 ceil-split 16-bit bands).
     near_txt = F.concat(
         F.substring(F.col("text"), 1, F.length("text") - 1), F.lit("z")
     )

@@ -142,7 +142,14 @@ def _search_documents(spark: SparkSession, input_path: str, query: str,
 
         sigs = multimodal.image_dhash(multimodal.media_from_documents(docs))
         _, _, qsig = multimodal.dhash_of_bytes(query.encode("utf-8"))
-        knn = multimodal.hamming_knn(sigs, qsig, k=limit, max_hamming=63)
+        # rerank widens the candidate pool to 2x limit like every other
+        # mode (the knn k IS the retrieval cut); ties at the cut break on
+        # the NUMERIC doc id, matching search.topk's id-asc convention
+        knn = multimodal.hamming_knn(
+            sigs, qsig, k=(2 * limit if rerank else limit), max_hamming=63,
+            tie=F.regexp_extract("media_ref", r"media://doc/(\d+)/", 1)
+            .cast("long"),
+        )
         scores = knn.select(
             F.regexp_extract("ref", r"media://doc/(\d+)/", 1)
             .cast("long").alias("id"),

@@ -34,6 +34,7 @@ import hashlib
 import json
 import os
 import shutil
+import threading
 
 
 def input_fingerprint(path: str) -> str:
@@ -67,6 +68,12 @@ class ResultCache:
         self.max_entries = max_entries
         self.hits = 0
         self.misses = 0
+        # serve --port is a ThreadingHTTPServer: store/evict for the same
+        # key can race across request threads. One lock serializes the
+        # commit/evict window (the Spark write itself runs outside it);
+        # cross-PROCESS writers still converge because every fill writes
+        # the same deterministic bytes and tmp names are per-thread.
+        self._lock = threading.Lock()
         os.makedirs(cache_dir, exist_ok=True)
 
     def key(self, op: str, canon_params: dict, row_limit: int,
@@ -95,23 +102,45 @@ class ResultCache:
         read-back frame. coalesce(1) keeps one file so row order survives
         the round-trip; tmp-then-rename keeps half-written entries
         invisible to lookup."""
-        tmp = self.path(key) + ".tmp"
+        # per-thread tmp name: two concurrent fills of the SAME key must
+        # not share a staging dir, or one thread renames the other's
+        # half-overwritten directory into place (a permanently poisoned
+        # entry — review finding r5)
+        tmp = self.path(key) + f".tmp-{os.getpid()}-{threading.get_ident()}"
         df.limit(row_limit).coalesce(1).write.mode("overwrite").parquet(tmp)
         final = self.path(key)
-        if os.path.isdir(final):        # concurrent fill: last writer wins
-            shutil.rmtree(final)
-        os.rename(tmp, final)
-        self._evict()
+        with self._lock:
+            if os.path.isdir(final):    # concurrent fill: last writer wins
+                shutil.rmtree(final)
+            os.rename(tmp, final)
+            self._evict()
         return df.sparkSession.read.parquet(final)
 
     def _evict(self) -> None:
-        entries = [
-            os.path.join(self.dir, d) for d in os.listdir(self.dir)
-            if not d.endswith(".tmp")
-        ]
+        """Caller holds self._lock. Drops oldest entries beyond the cap and
+        sweeps leaked staging dirs from crashed fills."""
+        def mtime(p):
+            try:
+                return os.stat(p).st_mtime_ns
+            except OSError:       # deleted by a concurrent process: ignore
+                return 0
+        entries, now_ns = [], None
+        for d in os.listdir(self.dir):
+            p = os.path.join(self.dir, d)
+            if ".tmp-" in d:
+                # leaked staging dir from a crashed fill: sweep once it is
+                # clearly abandoned (no growing write renames it anymore)
+                import time
+
+                if now_ns is None:
+                    now_ns = time.time_ns()
+                if now_ns - mtime(p) > 3600 * 1_000_000_000:
+                    shutil.rmtree(p, ignore_errors=True)
+                continue
+            entries.append(p)
         if len(entries) <= self.max_entries:
             return
-        entries.sort(key=lambda p: os.stat(p).st_mtime_ns)
+        entries.sort(key=mtime)
         for p in entries[: len(entries) - self.max_entries]:
             shutil.rmtree(p, ignore_errors=True)
 

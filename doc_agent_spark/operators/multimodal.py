@@ -518,6 +518,7 @@ def hamming_knn(
     sig_col: str = "dhash",
     n_bands: int = 8,
     n_bits: int = 64,
+    tie=None,
 ) -> DataFrame:
     """Single-query Hamming top-k (the `doc search --mode media` serve
     shape): rows sharing >= 1 band with the query are scanned — a static
@@ -531,11 +532,20 @@ def hamming_knn(
     for b, qb in enumerate(qbands):
         cond = F.substring(F.col(sig_col), b * per + 1, per) == F.lit(qb)
         match = cond if match is None else match | cond
-    return (
+    out = (
         sigs.filter(match)
         .withColumn("hamming", _hamming(F.col(sig_col), F.lit(query_sig), n_bits))
         .filter(F.col("hamming") <= max_hamming)
+    )
+    # default tie-break is ref ASC (string order — what the oracle arm
+    # pins); callers whose refs embed a numeric id pass ``tie`` (a Column
+    # over the sigs frame) so membership at the k cut matches the
+    # id-asc convention of the other search modes (review finding r5)
+    order = [F.asc("hamming")]
+    if tie is not None:
+        order.append(tie.asc())
+    order.append(F.asc(ref_col))
+    return (
+        out.orderBy(*order).limit(k)
         .select(F.col(ref_col).alias("ref"), "hamming")
-        .orderBy(F.asc("hamming"), F.asc("ref"))
-        .limit(k)
     )

@@ -71,9 +71,17 @@ def _run_op(spark, op: str, params: dict, row_limit: int, cache=None):
     key = cache.key(op, canon, row_limit, fps)
     df = cache.lookup(spark, key)
     hit = df is not None
-    if not hit:
+    rows = None
+    if hit:
+        try:
+            rows = [json.loads(x) for x in df.limit(row_limit).toJSON().collect()]
+        except Exception:
+            # entry evicted/corrupted between lookup and read (concurrent
+            # --port traffic): recompute rather than surface a 500
+            hit = False
+    if rows is None:
         df = cache.store(api.execute(spark, op, **params), row_limit, key)
-    rows = [json.loads(s) for s in df.limit(row_limit).toJSON().collect()]
+        rows = [json.loads(x) for x in df.limit(row_limit).toJSON().collect()]
     return rows, cache.stats(hit, key)
 
 
@@ -347,13 +355,17 @@ def main(argv: list[str] | None = None) -> int:
             }.items()
             if v is not None
         }
-        df = api.execute(spark, args.operation, **params)
         if args.output:
+            # full-result sink: the cache stores row_limit-bounded rows, so
+            # it cannot stand in for a complete parquet export
+            df = api.execute(spark, args.operation, **params)
             df.write.mode("overwrite").parquet(args.output)
             print(json.dumps({"ok": True, "output": args.output}))
         else:
-            for s in df.limit(args.row_limit).toJSON().collect():
-                print(s)
+            rows, _ = _run_op(spark, args.operation, params,
+                              args.row_limit, cache)
+            for r in rows:
+                print(json.dumps(r))
         return 0
     finally:
         spark.stop()

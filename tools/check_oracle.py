@@ -89,6 +89,7 @@ def main():
 
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     failures, checked, counts = [], 0, {}
+    detail = {}   # name -> honest per-stage record for $ORACLE_JSON
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -100,9 +101,16 @@ def main():
             counts[name] = len(srows)
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
+            detail[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": None,
+                            "oracle_rows": None, "err": f"SPARK ERROR: {e}"[:500]}
             print(f"FAIL {name}: spark error {str(e)[:300]}")
             continue
         if name not in os_:
+            detail[name] = {"rows_match": True, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(srows),
+                            "oracle_rows": None, "err": None,
+                            "note": "no_oracle: rows-only check"}
             print(f"PASS(rows-only) {name}: {len(srows)} rows")
             continue
         try:
@@ -112,52 +120,58 @@ def main():
             drows = rel.fetchall()
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
+            detail[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": len(srows),
+                            "oracle_rows": None, "err": f"DUCKDB ERROR: {e}"[:500]}
             print(f"FAIL {name}: duckdb error {str(e)[:300]}")
             continue
+        rec = {"rows_match": len(srows) == len(drows),
+               "schema_match": True, "hash_match": False,
+               "spark_rows": len(srows), "oracle_rows": len(drows),
+               "err": None}
+        detail[name] = rec
         if sorted(scols) != sorted(dcols):
-            failures.append((name, f"cols spark={sorted(scols)} duck={sorted(dcols)}"))
+            rec["schema_match"] = False
+            rec["err"] = f"cols spark={sorted(scols)} duck={sorted(dcols)}"
+            failures.append((name, rec["err"]))
             print(f"FAIL {name}: column mismatch spark={sorted(scols)} duck={sorted(dcols)}")
             continue
         stypes = type_map(scols, [f.dataType.simpleString() for f in sdf.schema.fields])
         dtmap = type_map(dcols, dtypes)
         badt = {c: (stypes[c], dtmap[c]) for c in scols if stypes[c] != dtmap[c]}
         if badt:
-            failures.append((name, f"type mismatch {badt}"))
+            rec["schema_match"] = False
+            rec["err"] = f"type mismatch {badt}"
+            failures.append((name, rec["err"]))
             print(f"FAIL {name}: type mismatch {badt}")
             continue
         if len(srows) != len(drows):
-            failures.append((name, f"rowcount spark={len(srows)} duck={len(drows)}"))
+            rec["err"] = f"rowcount spark={len(srows)} duck={len(drows)}"
+            failures.append((name, rec["err"]))
             print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
             continue
         a = rows_canon(scols, srows)
         b = rows_canon(dcols, drows)
         if a != b:
             diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
-            failures.append((name, f"values differ, first diffs: {diff}"))
+            rec["err"] = f"values differ, first diffs: {str(diff)[:400]}"
+            failures.append((name, rec["err"]))
             print(f"FAIL {name}: values differ; first diffs: {str(diff)[:500]}")
         else:
+            rec["hash_match"] = True   # order-insensitive typed-value equality
             print(f"PASS {name}: {len(srows)} rows")
     print(f"\n{checked - len(failures)}/{checked} checked queries pass"
           f" ({len(qs)} registered)")
     # $ORACLE_JSON=<path>: emit a driver-style CORRECTNESS artifact
     # (used for the committed sf1.0 scale-proof record, BASELINE.md §7)
+    # (hash_match here = order-insensitive typed-value equality — this
+    # harness's value check; stage fields reflect what was actually run)
     art_path = os.environ.get("ORACLE_JSON")
     if art_path:
         import json
 
-        bad = dict(failures)
-        art = {}
-        for name in qs:
-            if only and name not in only:
-                continue
-            ok = name not in bad
-            art[name] = {
-                "rows_match": ok, "schema_match": ok, "hash_match": ok,
-                "spark_rows": counts.get(name), "oracle_rows": counts.get(name),
-                "err": bad.get(name),
-            }
         with open(art_path, "w") as fh:
-            json.dump(art, fh, indent=1)
+            json.dump(detail, fh, indent=1)
     spark.stop()
     return 1 if failures else 0
 

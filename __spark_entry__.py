@@ -2149,13 +2149,19 @@ def retrieval_eval_batched(spark, sf_dir):
         [(qid, terms) for qid, terms in _KW_EVAL_QUERIES.items()],
         "query_id long, terms array<string>",
     )
-    retrieved = search.bm25_scores_multi(docs, queries)
+    # ONE tokenization pass (checkpointed) feeds BOTH the batched scorer
+    # and the three relevance weaves — words_of previously re-ran per
+    # qrels filter plus once inside bm25_scores_multi (4 corpus token
+    # passes where one suffices; the retrieval_eval shared-scan rule)
+    toks = docs.select(
+        "doc_id", textfns.words_of(F.col("text")).alias("_toks")
+    ).localCheckpoint(eager=True)
+    retrieved = search.bm25_scores_multi(toks, queries, tokens_col="_toks")
     rel = None
     for qid, terms in _KW_EVAL_QUERIES.items():
-        hits = docs.filter(
+        hits = toks.filter(
             F.size(
-                F.filter(textfns.words_of(F.col("text")),
-                         lambda w: w == F.lit(terms[0]))
+                F.filter(F.col("_toks"), lambda w: w == F.lit(terms[0]))
             ) >= 3
         ).select(F.lit(qid).cast("long").alias("query_id"),
                  F.col("doc_id").alias("id"))
